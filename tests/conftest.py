@@ -1,0 +1,44 @@
+"""Test configuration.
+
+Tests run hermetically on CPU with 8 virtual devices so that
+multi-chip sharding (`tpusparse.parallel`) is exercised without TPU
+hardware, mirroring how the driver validates `dryrun_multichip`.
+Pallas kernels run in interpreter mode on CPU (see tpusparse.kernels).
+
+Set RUN_TPU_TESTS=1 to run the tests on real TPU hardware instead.
+"""
+
+import os
+
+if not os.environ.get("RUN_TPU_TESTS"):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from tpusparse.io import generators  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def small_spd():
+    """Small SPD matrix (CSR, host) for solver tests."""
+    return generators.make_laplacian_grid2d(16).to_csr()
+
+
+@pytest.fixture(scope="session")
+def medium_spd():
+    return generators.make_laplacian_grid3d(12).to_csr()

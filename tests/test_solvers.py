@@ -1,0 +1,132 @@
+"""CG solver tests: convergence, iteration-count parity vs a numpy CG,
+multi-RHS masking semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpusparse.io import generators
+from tpusparse.solvers.cg import cg_solve, cg_solve_multi
+
+
+def numpy_cg(A, b, max_iters, tol):
+    """Host oracle mirroring the reference CGSolveSingle exactly
+    (single_strategy.hpp:105-170): convergence when sqrt(rs) < ||b||*tol,
+    checked after the residual update."""
+    x = np.zeros_like(b)
+    r = b.copy()
+    p = b.copy()
+    rs = r @ r
+    b_norm = np.sqrt(b @ b)
+    if b_norm == 0:
+        b_norm = 1.0
+    threshold = b_norm * tol
+    it = 0
+    while it < max_iters and np.sqrt(rs) >= threshold:
+        Ap = A @ p
+        alpha = rs / (p @ Ap)
+        x += alpha * p
+        r -= alpha * Ap
+        rs_new = r @ r
+        beta = rs_new / rs
+        p = r + beta * p
+        rs = rs_new
+        it += 1
+    return x, it
+
+
+@pytest.mark.parametrize(
+    "make",
+    [
+        lambda: generators.make_laplacian_grid2d(16),
+        lambda: generators.make_random_spd(400, row_nnz=6, seed=3),
+    ],
+)
+def test_cg_converges_and_matches_numpy_iterations(make, rng):
+    csr = make().to_csr()
+    b = rng.standard_normal(csr.num_rows)
+    d = csr.to_device()
+    res = cg_solve(d, jnp.asarray(b), max_iters=2000, tolerance=1e-8)
+    assert bool(res.converged)
+    # solution correctness
+    x = np.asarray(res.x)
+    r = b - csr.to_scipy() @ x
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-7
+    # iteration parity with the host oracle (identical recurrences in f64)
+    _, it_np = numpy_cg(csr.to_scipy(), b, 2000, 1e-8)
+    assert abs(int(res.iterations) - it_np) <= 1
+
+
+def test_cg_zero_rhs():
+    csr = generators.make_laplacian_grid2d(8).to_csr()
+    d = csr.to_device()
+    b = jnp.zeros(csr.num_rows, dtype=jnp.float64)
+    res = cg_solve(d, b, max_iters=100, tolerance=1e-8)
+    assert int(res.iterations) == 0
+    np.testing.assert_allclose(np.asarray(res.x), 0.0)
+
+
+def test_cg_history():
+    csr = generators.make_laplacian_grid2d(10).to_csr()
+    d = csr.to_device()
+    b = jnp.ones(csr.num_rows, dtype=jnp.float64)
+    res = cg_solve(d, b, max_iters=500, tolerance=1e-8,
+                   record_history=True)
+    it = int(res.iterations)
+    h = np.asarray(res.history)
+    assert np.all(np.isfinite(h[:it]))
+    assert np.all(np.isnan(h[it:]))
+    assert h[it - 1] < 1e-8
+
+
+def test_cg_multi_converges_all_lanes(rng):
+    csr = generators.make_laplacian_grid2d(12).to_csr()
+    B = rng.standard_normal((csr.num_rows, 8))
+    d = csr.to_device()
+    res = cg_solve_multi(d, jnp.asarray(B), max_iters=2000, tolerance=1e-8)
+    assert bool(np.all(np.asarray(res.converged)))
+    X = np.asarray(res.x)
+    R = B - csr.to_scipy() @ X
+    rel = np.linalg.norm(R, axis=0) / np.linalg.norm(B, axis=0)
+    assert rel.max() < 1e-7
+
+
+def test_cg_multi_masking_freezes_converged(rng):
+    """Lanes that converge early must freeze exactly (alpha=beta=0)."""
+    csr = generators.make_laplacian_grid2d(12).to_csr()
+    n = csr.num_rows
+    # lane 0: zero RHS converges at iteration 1; lane 1: random
+    B = np.stack([np.zeros(n), rng.standard_normal(n)], axis=1)
+    d = csr.to_device()
+    res = cg_solve_multi(d, jnp.asarray(B), max_iters=2000, tolerance=1e-8)
+    X = np.asarray(res.x)
+    np.testing.assert_allclose(X[:, 0], 0.0, atol=1e-14)
+    assert bool(np.all(np.asarray(res.converged)))
+
+
+def test_cg_multi_history_is_max_over_lanes(rng):
+    csr = generators.make_laplacian_grid2d(10).to_csr()
+    B = rng.standard_normal((csr.num_rows, 4))
+    d = csr.to_device()
+    res = cg_solve_multi(d, jnp.asarray(B), max_iters=1000, tolerance=1e-8,
+                         record_history=True)
+    it = int(res.iterations)
+    h = np.asarray(res.history)
+    assert h[it - 1] < 1e-8
+    # history is non-increasing in the tail (CG on SPD converges)
+    assert h[0] > h[it - 1]
+
+
+def test_cg_jits():
+    csr = generators.make_laplacian_grid2d(8).to_csr()
+    d = csr.to_device()
+    b = jnp.ones(csr.num_rows, dtype=jnp.float64)
+
+    @jax.jit
+    def solve(b):
+        return cg_solve(d, b, max_iters=500, tolerance=1e-8).x
+
+    x1 = solve(b)
+    x2 = solve(b + 0.0)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2))

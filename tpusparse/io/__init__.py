@@ -1,0 +1,8 @@
+from tpusparse.io.market import read_market, write_market
+from tpusparse.io.generators import (
+    make_dense,
+    make_wheel,
+    make_grid2d,
+    make_grid3d,
+    make_random_spd,
+)

@@ -1,0 +1,143 @@
+"""Synthetic matrix generators — built-in benchmark fixtures.
+
+Capability parity with the reference generators
+(``/root/reference/sparse_matrix.h``):
+
+  * ``make_dense``   — InitDense   (:385): all-ones dense matrix in COO.
+  * ``make_wheel``   — InitWheel   (:417): hub-and-rim wheel graph; the
+    hub row has ``spokes`` nonzeros — the pathological row-length-skew
+    stress test for load-balanced SpMV.
+  * ``make_grid2d``  — InitGrid2d  (:458): 2-D 4/5-point stencil.
+  * ``make_grid3d``  — InitGrid3d  (:533): 3-D 6/7-point stencil.
+
+Plus ``make_random_spd`` / ``make_laplacian_*`` for the CG solver tests
+(the reference relies on downloaded SPD SuiteSparse matrices; a built-in
+SPD source makes the test pyramid hermetic).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpusparse.formats.coo import CooMatrix
+
+
+def make_dense(num_rows: int, num_cols: int, default_value: float = 1.0,
+               dtype=np.float64) -> CooMatrix:
+    """Dense matrix in COO form (parity: InitDense, sparse_matrix.h:385)."""
+    rows = np.repeat(np.arange(num_rows, dtype=np.int32), num_cols)
+    cols = np.tile(np.arange(num_cols, dtype=np.int32), num_rows)
+    vals = np.full(num_rows * num_cols, default_value, dtype=dtype)
+    return CooMatrix(num_rows, num_cols, rows, cols, vals)
+
+
+def make_wheel(spokes: int, default_value: float = 1.0,
+               dtype=np.float64) -> CooMatrix:
+    """Wheel graph: hub row 0 with ``spokes`` nonzeros plus the rim cycle
+    (parity: InitWheel, sparse_matrix.h:417-450). The hub row's extreme
+    length is the row-skew stress test."""
+    i = np.arange(spokes, dtype=np.int32)
+    hub_rows = np.zeros(spokes, dtype=np.int32)
+    hub_cols = i + 1
+    rim_rows = i + 1
+    rim_cols = ((i + 1) % spokes) + 1
+    rows = np.concatenate([hub_rows, rim_rows])
+    cols = np.concatenate([hub_cols, rim_cols])
+    vals = np.full(2 * spokes, default_value, dtype=dtype)
+    return CooMatrix(spokes + 1, spokes + 1, rows, cols, vals)
+
+
+def _grid_neighbors(shape_dims, self_loop, default_value, dtype):
+    """Shared stencil builder: nodes on a dense grid, one nonzero per
+    (node, axis-neighbor) pair, optional self loop."""
+    nd = len(shape_dims)
+    n = int(np.prod(shape_dims))
+    coords = np.unravel_index(np.arange(n), shape_dims)
+    coords = np.stack(coords, axis=0)  # (nd, n)
+    strides = np.ones(nd, dtype=np.int64)
+    for d in range(nd - 2, -1, -1):
+        strides[d] = strides[d + 1] * shape_dims[d + 1]
+    me = np.arange(n, dtype=np.int64)
+    rows_l, cols_l = [], []
+    for d in range(nd):
+        for delta in (-1, +1):
+            ok = (
+                (coords[d] + delta >= 0) & (coords[d] + delta < shape_dims[d])
+            )
+            rows_l.append(me[ok])
+            cols_l.append(me[ok] + delta * strides[d])
+    if self_loop:
+        rows_l.append(me)
+        cols_l.append(me)
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    vals = np.full(rows.size, default_value, dtype=dtype)
+    idt = np.int32 if n < 2**31 else np.int64
+    return CooMatrix(n, n, rows.astype(idt), cols.astype(idt), vals)
+
+
+def make_grid2d(width: int, self_loop: bool = False,
+                default_value: float = 1.0, dtype=np.float64) -> CooMatrix:
+    """2-D grid stencil (parity: InitGrid2d, sparse_matrix.h:458)."""
+    return _grid_neighbors((width, width), self_loop, default_value, dtype)
+
+
+def make_grid3d(width: int, self_loop: bool = False,
+                default_value: float = 1.0, dtype=np.float64) -> CooMatrix:
+    """3-D grid stencil (parity: InitGrid3d, sparse_matrix.h:533)."""
+    return _grid_neighbors((width, width, width), self_loop, default_value,
+                           dtype)
+
+
+def make_laplacian_grid2d(width: int, dtype=np.float64) -> CooMatrix:
+    """SPD 5-point Laplacian on a 2-D grid: 4 on the diagonal, -1 on
+    neighbors. Standard SPD fixture for CG convergence tests."""
+    g = _grid_neighbors((width, width), False, -1.0, dtype)
+    n = g.num_rows
+    rows = np.concatenate([g.rows, np.arange(n, dtype=g.rows.dtype)])
+    cols = np.concatenate([g.cols, np.arange(n, dtype=g.cols.dtype)])
+    vals = np.concatenate([g.vals, np.full(n, 4.0, dtype=dtype)])
+    return CooMatrix(n, n, rows, cols, vals)
+
+
+def make_laplacian_grid3d(width: int, dtype=np.float64) -> CooMatrix:
+    """SPD 7-point Laplacian on a 3-D grid (6 on diagonal, -1 neighbors)."""
+    g = _grid_neighbors((width, width, width), False, -1.0, dtype)
+    n = g.num_rows
+    rows = np.concatenate([g.rows, np.arange(n, dtype=g.rows.dtype)])
+    cols = np.concatenate([g.cols, np.arange(n, dtype=g.cols.dtype)])
+    vals = np.concatenate([g.vals, np.full(n, 6.0, dtype=dtype)])
+    return CooMatrix(n, n, rows, cols, vals)
+
+
+def make_random_spd(n: int, row_nnz: int = 8, seed: int = 0,
+                    dtype=np.float64, bandwidth: int | None = None,
+                    ) -> CooMatrix:
+    """Random sparse SPD matrix: symmetric pattern with random values plus
+    a diagonal shift making it strictly diagonally dominant. When
+    ``bandwidth`` is given, off-diagonals are confined to a band — the
+    RCM-ordered-matrix model that exercises the merge-tile fast path."""
+    rng = np.random.default_rng(seed)
+    k = max(row_nnz // 2, 1)
+    rows = np.repeat(np.arange(n, dtype=np.int64), k)
+    if bandwidth:
+        offs = rng.integers(1, max(bandwidth, 2), size=rows.size)
+        cols = np.minimum(rows + offs, n - 1)
+    else:
+        cols = rng.integers(0, n, size=rows.size)
+    vals = rng.standard_normal(rows.size).astype(dtype)
+    keep = rows != cols
+    rows, cols, vals = rows[keep], cols[keep], vals[keep]
+    # symmetrize
+    rows_s = np.concatenate([rows, cols])
+    cols_s = np.concatenate([cols, rows])
+    vals_s = np.concatenate([vals, vals])
+    # diagonal dominance: diag = (sum |offdiag| per row) + 1
+    abssum = np.zeros(n, dtype=np.float64)
+    np.add.at(abssum, rows_s, np.abs(vals_s))
+    rows_f = np.concatenate([rows_s, np.arange(n, dtype=np.int64)])
+    cols_f = np.concatenate([cols_s, np.arange(n, dtype=np.int64)])
+    vals_f = np.concatenate([vals_s, (abssum + 1.0).astype(dtype)])
+    idt = np.int32 if n < 2**31 else np.int64
+    coo = CooMatrix(n, n, rows_f.astype(idt), cols_f.astype(idt), vals_f)
+    return coo.sum_duplicates()
