@@ -10,8 +10,8 @@ Set RUN_TPU_TESTS=1 to run the tests on real TPU hardware instead.
 
 import os
 
-if not os.environ.get("RUN_TPU_TESTS"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_ON_TPU = bool(os.environ.get("RUN_TPU_TESTS"))
+if not _ON_TPU:
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -20,6 +20,10 @@ if not os.environ.get("RUN_TPU_TESTS"):
 
 import jax  # noqa: E402
 
+if not _ON_TPU:
+    # The ambient TPU plugin ignores the JAX_PLATFORMS env var, so
+    # override through the config API before any backend is initialized.
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402

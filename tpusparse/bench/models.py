@@ -1,0 +1,57 @@
+"""FLOP and byte models — metric definitions with reference parity.
+
+Every formula cites its reference origin (see BASELINE.md):
+
+  * SpMV GFLOP/s       = 2*nnz / t                  (cpu_spmv.cpp:725,733)
+  * SpMM GFLOP/s       = 2*nnz*L / t                (cpu_spmm_v2.cpp:876,884)
+  * effective GB/s     = (nnz*(2*sV+sO) + rows*L*(sO+sV)) / t
+                                                    (cpu_spmv.cpp:721-727)
+  * CG GFLOP/s         = (2*nnz + 10*n)*L*iters / t (cpu_multicg.cpp:176)
+  * PCG-IC0 GFLOP/s    = (2*nnz + 4*nnz_L + 12*n)*L*iters / t
+                                                    (cpu_multicg.cpp:240)
+  * SPAI-CG GFLOP/s    = (4*nnz + 12*n)*L*iters / t (cpu_multicg.cpp:282)
+"""
+
+from __future__ import annotations
+
+
+def spmv_flops(nnz: int, L: int = 1) -> float:
+    return 2.0 * nnz * L
+
+
+def spmv_bytes(nnz: int, rows: int, L: int = 1, value_bytes: int = 8,
+               offset_bytes: int = 4) -> float:
+    """Effective-bandwidth byte model (cpu_spmv.cpp:721-727): stream the
+    values + column indices once, plus per-row offset and output."""
+    return (
+        nnz * (2 * value_bytes + offset_bytes)
+        + rows * L * (offset_bytes + value_bytes)
+    )
+
+
+def cg_flops(nnz: int, n: int, L: int, iters: int) -> float:
+    return (2.0 * nnz + 10.0 * n) * L * iters
+
+
+def pcg_ic0_flops(nnz: int, nnz_L: int, n: int, L: int, iters: int) -> float:
+    return (2.0 * nnz + 4.0 * nnz_L + 12.0 * n) * L * iters
+
+
+def spai_cg_flops(nnz: int, n: int, L: int, iters: int) -> float:
+    return (4.0 * nnz + 12.0 * n) * L * iters
+
+
+def gflops(flops: float, seconds: float) -> float:
+    return flops / seconds / 1e9 if seconds > 0 else 0.0
+
+
+def gbytes_per_s(nbytes: float, seconds: float) -> float:
+    return nbytes / seconds / 1e9 if seconds > 0 else 0.0
+
+
+# Empirically measured streaming bandwidth ceiling of the benchmark chip
+# (TPU v5e via the axon tunnel, measured with a fused scale pass; the
+# datasheet HBM figure is 819 GB/s but the attainable stream rate here
+# measured ~216 GB/s r+w). Used for roofline percentages in reports.
+MEASURED_STREAM_GBS = 216.0
+HBM_DATASHEET_GBS = 819.0
