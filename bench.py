@@ -1,63 +1,74 @@
 """Headline benchmark — prints ONE JSON line.
 
-Metric: fp32 SpMM GFLOP/s (L=32) on a 3-D Laplacian via the best
-available strategy, the reference's headline metric
-(``cpu_spmm_v2.cpp:876,884``: GFLOP/s = 2*nnz*L/t). ``vs_baseline``
-compares against the reference machine's realistic CPU SpMM rate
-derived from its own bandwidth model: the i9-9980XE sustains
-~80 GB/s; at 20 B/nnz (fp64+idx) that is ~4 Gnnz/s -> at L=32
-~256 GFLOP/s ceiling; measured CPU merge-SpMM typically reaches ~50%%
-of that. We use 128 GFLOP/s as the baseline denominator.
+Metric: fp32 CSR SpMV GFLOP/s on a 3-D Laplacian (110k rows, 760k nnz)
+via the Pallas merge-tile kernel — the reference's headline metric
+(``cpu_spmv.cpp:725,733``: GFLOP/s = 2*nnz/t).
+
+Timing detail: the tunneled TPU platform has ~25 ms host<->device
+round-trip latency, so the op is iterated inside one jitted fori_loop
+(y renormalized into x each step — the matrix is square) and the
+per-op time comes from the slope between two iteration counts.
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md); the
+denominator is the throughput its own byte model implies on its
+i9-9980XE host (~80 GB/s at 20 B/nnz fp64 -> ~4 Gnnz/s -> 8 GFLOP/s),
+i.e. the bandwidth-bound ceiling of the reference machine.
 """
 
 import json
-import sys
+import time
 
 import numpy as np
 
-
-BASELINE_SPMM_GFLOPS = 128.0
+BASELINE_SPMV_GFLOPS = 8.0
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from tpusparse.bench import models, timing
+    from tpusparse.formats.tiles import build_merge_tiles
     from tpusparse.io import generators
-    from tpusparse.ops.spmv import spmm
+    from tpusparse.kernels import merge_spmv
 
-    L = 32
     width = 48  # 110k rows, ~760k nnz
     csr = generators.make_laplacian_grid3d(width, dtype=np.float32).to_csr()
-
-    kind = "reference"
-    try:
-        from tpusparse.kernels import merge_spmv  # noqa: F401
-        from tpusparse.formats.tiles import build_merge_tiles
-
-        tiles = build_merge_tiles(csr)
-        if tiles.overflow_fraction < 0.05:
-            A = merge_spmv.to_device_tiles(tiles, dtype=np.float32)
-            kind = "merge"
-        else:
-            A = csr.to_device(dtype=np.float32)
-    except Exception:
-        A = csr.to_device(dtype=np.float32)
+    tiles = build_merge_tiles(csr)
+    A = merge_spmv.to_device_tiles(tiles, dtype=np.float32)
 
     rng = np.random.default_rng(0)
-    X = jnp.asarray(rng.standard_normal((csr.num_cols, L)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal(csr.num_cols).astype(np.float32))
 
-    fn = jax.jit(lambda X: spmm(A, X))
-    t = timing.benchmark(fn, X, reps=10, warmup=1)
-    gf = models.gflops(models.spmv_flops(csr.nnz, L), t.avg_s)
+    def chain(K):
+        @jax.jit
+        def g(x):
+            def body(i, x):
+                y = merge_spmv.spmv_merge(A, x)
+                return y / (jnp.max(jnp.abs(y)) + 1.0)
+            return jax.lax.fori_loop(0, K, body, x)
+        return g
+
+    def run(g):
+        r = g(x)
+        float(jnp.sum(r))  # sync (block_until_ready is unreliable here)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = g(x)
+            float(jnp.sum(r))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    K1, K2 = 5, 55
+    per_op = (run(chain(K2)) - run(chain(K1))) / (K2 - K1)
+    gf = 2.0 * csr.nnz / per_op / 1e9
     print(
         json.dumps(
             {
-                "metric": f"spmm_L{L}_gflops_{kind}",
+                "metric": "spmv_fp32_merge_gflops",
                 "value": round(gf, 2),
                 "unit": "GFLOP/s",
-                "vs_baseline": round(gf / BASELINE_SPMM_GFLOPS, 3),
+                "vs_baseline": round(gf / BASELINE_SPMV_GFLOPS, 3),
             }
         )
     )

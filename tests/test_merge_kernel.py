@@ -1,0 +1,81 @@
+"""Merge-tile Pallas SpMV kernel tests (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpusparse.formats.coo import CooMatrix
+from tpusparse.formats.csr import CsrMatrix
+from tpusparse.formats.tiles import build_merge_tiles
+from tpusparse.io import generators
+from tpusparse.kernels import merge_spmv
+
+
+def run_case(csr, rng, **tile_kwargs):
+    tiles = build_merge_tiles(csr, tile_nnz=1024, **tile_kwargs)
+    A = merge_spmv.to_device_tiles(tiles, dtype=np.float32)
+    x = rng.standard_normal(csr.num_cols).astype(np.float32)
+    y = np.asarray(merge_spmv.spmv_merge(A, jnp.asarray(x)))
+    expect = csr.to_scipy().astype(np.float32) @ x
+    scale = np.abs(expect).max() + 1.0
+    np.testing.assert_allclose(y / scale, expect / scale, atol=2e-5)
+    return tiles
+
+
+@pytest.mark.parametrize(
+    "make",
+    [
+        lambda: generators.make_laplacian_grid2d(24).to_csr(),
+        lambda: generators.make_laplacian_grid3d(8).to_csr(),
+        lambda: generators.make_grid2d(20, self_loop=True).to_csr(),
+        lambda: generators.make_dense(50, 60).to_csr(),
+    ],
+)
+def test_banded_matrices_no_overflow(make, rng):
+    tiles = run_case(make(), rng)
+    assert tiles.overflow_fraction == 0.0
+
+
+def test_wheel_skew(rng):
+    # hub row with 3000 nonzeros: exercises long-row splitting and the
+    # merge-path load-balance guarantee
+    csr = generators.make_wheel(3000).to_csr()
+    run_case(csr, rng)
+
+
+def test_random_scattered_columns(rng):
+    coo_rows = rng.integers(0, 500, 4000).astype(np.int32)
+    coo_cols = rng.integers(0, 5000, 4000).astype(np.int32)
+    vals = rng.standard_normal(4000)
+    csr = CsrMatrix.from_coo(
+        CooMatrix(500, 5000, coo_rows, coo_cols, vals), sum_dups=True
+    )
+    tiles = run_case(csr, rng, col_window=1024)
+    assert tiles.overflow_nnz == 0  # bucketed partition is total
+
+
+def test_empty_rows_and_tail(rng):
+    # rows 1..3 empty; num_rows not a multiple of 128
+    coo = CooMatrix(
+        131, 131,
+        np.array([0, 4, 130], dtype=np.int32),
+        np.array([1, 2, 130], dtype=np.int32),
+        np.array([1.0, 2.0, 3.0]),
+    )
+    run_case(CsrMatrix.from_coo(coo), rng)
+
+
+def test_multiple_tiles_per_row_block(rng):
+    # dense-ish band: forces several tiles sharing a row window, carries
+    # accumulate across tiles through the combine kernel
+    csr = generators.make_random_spd(
+        2000, row_nnz=40, seed=7, bandwidth=100
+    ).to_csr()
+    run_case(csr, rng)
+
+
+def test_bigger_than_one_grid_step(rng):
+    # > TILES_PER_STEP tiles
+    csr = generators.make_laplacian_grid2d(64).to_csr()  # 4096 rows, 20k nnz
+    tiles = run_case(csr, rng)
+    assert tiles.ntiles > merge_spmv.TILES_PER_STEP

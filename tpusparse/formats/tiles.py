@@ -66,6 +66,10 @@ class MergeTiles:
     end_pos: np.ndarray      # (ntiles, Wr) int32
     row_block: np.ndarray    # (ntiles,) int32  (row_base // 128)
     col_block: np.ndarray    # (ntiles,) int32  (col_base // 128)
+    col_span: np.ndarray     # (ntiles,) int32  — number of 128-wide x
+                             # window rows the tile actually touches; the
+                             # kernel's gather loop runs this many
+                             # iterations (tight per-tile anchoring)
 
     # COO overflow stream (jnp fallback path)
     ovf_rows: np.ndarray
@@ -95,151 +99,191 @@ class MergeTiles:
 def build_merge_tiles(
     csr,
     tile_nnz: int = 1024,
-    row_window: int = 384,
-    col_window: int = 2048,
+    row_window: int = 1024,
+    col_window: int = 1024,
 ) -> MergeTiles:
     """Partition a host CsrMatrix into MergeTiles.
 
-    Greedy row-granular partitioner (rows longer than ``tile_nnz`` are
-    split across tiles): a tile closes when adding the next row chunk
-    would exceed the nnz capacity, leave the 128-aligned row window, or
-    leave the 128-aligned column window. Per-nonzero column-window
-    violations within an otherwise-fitting row go to the overflow stream.
+    Gap-split clustered partition, fully vectorized and *total* (no
+    overflow for any sparsity pattern). Nonzeros are grouped by
+
+        (row window = row // Wr,  column cluster,  sub-cell,  row, col)
+
+    where a *column cluster* is a maximal run of touched 128-wide column
+    blocks with no gaps (computed per row window), and wide clusters are
+    sub-split into cells of at most ``col_window`` columns. Groups are
+    lex-sorted and packed into fixed-capacity tiles of ``tile_nnz``.
+    Every tile then satisfies the kernel's invariants by construction:
+    all rows in one aligned Wr window, all columns within a
+    ``col_window`` span from the tile's aligned anchor, slots sorted by
+    row. Distinct diagonals of a banded matrix land in distinct
+    clusters, so the kernel's static gather loop only runs over genuine
+    contiguous band width (``col_span``), not the worst-case window.
+
+    A row's nonzeros may split across clusters or tiles — the
+    sequential-grid combine accumulates the partial sums, exactly like
+    the reference's carry fix-up (merge_based.hpp:138-149) but without
+    atomics. Equal-capacity tiles preserve the merge-path load-balance
+    guarantee; padding waste is reported as ``occupancy``.
     """
     assert tile_nnz % SUBLANES == 0
     assert row_window % LANES == 0 and col_window % LANES == 0
     T, Wr, Wc = tile_nnz, row_window, col_window
+    G = Wc // LANES  # max col blocks per cell
 
     ro = np.asarray(csr.row_offsets).astype(np.int64)
     ci = np.asarray(csr.col_indices).astype(np.int64)
     va = np.asarray(csr.values)
     M = csr.num_rows
+    nnz = int(ci.shape[0])
+    dtype = va.dtype
 
-    # Per-row in-window mask: a *short* row (len <= T) keeps entries with
-    # col < first_col + Wc - 128 (cols are sorted within a row); the rest
-    # overflow. The 128 slack covers base alignment. Long rows (len > T)
-    # are exempt — they are split into chunks in the tile walk below, and
-    # each chunk gets its own column window.
-    row_len = np.diff(ro)
-    nonempty = np.flatnonzero(row_len > 0)
-    first_col = np.zeros(M, dtype=np.int64)
-    first_col[nonempty] = ci[ro[nonempty]]
+    if nnz == 0:
+        return MergeTiles(
+            num_rows=M, num_cols=csr.num_cols, nnz=0, tile_nnz=T,
+            row_window=Wr, col_window=Wc,
+            vals=np.zeros((1, T), dtype=dtype),
+            local_cols=np.zeros((1, T), dtype=np.int32),
+            end_pos=np.full((1, Wr), -1, dtype=np.int32),
+            row_block=np.zeros(1, dtype=np.int32),
+            col_block=np.zeros(1, dtype=np.int32),
+            col_span=np.zeros(1, dtype=np.int32),
+            ovf_rows=np.zeros(0, dtype=np.int32),
+            ovf_cols=np.zeros(0, dtype=np.int32),
+            ovf_vals=np.zeros(0, dtype=dtype),
+        )
 
-    rows_all = np.repeat(np.arange(M, dtype=np.int64), row_len)
-    in_window = (ci < (first_col[rows_all] + (Wc - LANES))) | (
-        row_len[rows_all] > T
-    )
+    rows_all = np.repeat(np.arange(M, dtype=np.int64), np.diff(ro))
+    wid = rows_all // Wr
+    colblk = ci // LANES
 
-    ovf_rows = rows_all[~in_window].astype(np.int32)
-    ovf_cols = ci[~in_window].astype(np.int32)
-    ovf_vals = va[~in_window]
+    # --- pass 1: column clusters per row window --------------------------
+    # sort by (wid, colblk); a cluster break is a wid change or a gap of
+    # more than one untouched column block
+    o1 = np.lexsort((colblk, wid))
+    w1, cb1 = wid[o1], colblk[o1]
+    new_cluster = np.empty(nnz, dtype=bool)
+    new_cluster[0] = True
+    new_cluster[1:] = (w1[1:] != w1[:-1]) | (cb1[1:] - cb1[:-1] > 1)
+    clu1 = np.cumsum(new_cluster) - 1
+    ncl = int(clu1[-1]) + 1
+    first_blk = np.full(ncl, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(first_blk, clu1, cb1)
+    # scatter cluster id / anchor back to original order
+    cluster = np.empty(nnz, dtype=np.int64)
+    cluster[o1] = clu1
+    # sub-split wide clusters into cells of at most G col blocks
+    subcell = (colblk - first_blk[cluster]) // G
+    anchor_blk = first_blk[cluster] + subcell * G  # per-entry cell anchor
 
-    # Compact the in-window stream.
-    rows_w = rows_all[in_window]
-    cols_w = ci[in_window]
-    vals_w = va[in_window]
-    len_w = np.bincount(rows_w, minlength=M).astype(np.int64)
-    ro_w = np.zeros(M + 1, dtype=np.int64)
-    np.cumsum(len_w, out=ro_w[1:])
-    nnz_w = int(ro_w[-1])
+    # --- pass 2: group by (wid, cluster, subcell), order by (row, col) --
+    order = np.lexsort((ci, rows_all, subcell, cluster))
+    r_s, c_s, v_s = rows_all[order], ci[order], va[order]
+    wid_s = wid[order]
+    clu_s, sub_s = cluster[order], subcell[order]
 
-    # Per-row column range (over the windowed stream).
-    cmin = np.full(M, np.iinfo(np.int64).max, dtype=np.int64)
-    cmax = np.full(M, -1, dtype=np.int64)
-    if nnz_w:
-        np.minimum.at(cmin, rows_w, cols_w)
-        np.maximum.at(cmax, rows_w, cols_w)
+    new_group = np.empty(nnz, dtype=bool)
+    new_group[0] = True
+    new_group[1:] = (clu_s[1:] != clu_s[:-1]) | (sub_s[1:] != sub_s[:-1])
+    group_id = np.cumsum(new_group) - 1
+    group_start = np.flatnonzero(new_group)
+    offset_in_group = np.arange(nnz) - group_start[group_id]
 
-    # --- greedy tile walk (over rows; long rows split by nnz chunks) ----
-    tiles = []  # (nnz_start, nnz_end, row_start_aligned)
-    r = 0
-    p = 0  # position in windowed nnz stream
-    while p < nnz_w:
-        # skip empty rows
-        while r < M and len_w[r] == 0:
-            r += 1
-        if r >= M:
-            break
-        row_base = (r // LANES) * LANES
-        tile_cmin = cmin[r]
-        tile_cmax = cmax[r]
-        start = p
-        # Long-row chunk: consume up to T nnz of this row as its own tile,
-        # breaking also at column-window boundaries (cols ascend within a
-        # row, so a window break is a searchsorted on the chunk's cols).
-        if len_w[r] > T or (ro_w[r + 1] - p) > T:
-            row_end = int(ro_w[r + 1])
-            cbase = (cols_w[p] // LANES) * LANES
-            end = min(p + T, row_end)
-            # shrink to the column window anchored at the chunk start
-            end = p + int(
-                np.searchsorted(cols_w[p:end], cbase + Wc, side="left")
-            )
-            tiles.append((start, end, row_base, cbase))
-            p = end
-            if p >= row_end:
-                r += 1
-            continue
-        # Normal: greedily add whole rows.
-        while r < M:
-            if len_w[r] == 0:
-                r += 1
-                continue
-            row_end_nnz = ro_w[r + 1]
-            new_cmin = min(tile_cmin, cmin[r])
-            new_cmax = max(tile_cmax, cmax[r])
-            cbase = (new_cmin // LANES) * LANES
-            fits_nnz = (row_end_nnz - start) <= T
-            fits_rows = r < row_base + Wr
-            fits_cols = (new_cmax - cbase) < Wc
-            if fits_nnz and fits_rows and fits_cols:
-                tile_cmin, tile_cmax = new_cmin, new_cmax
-                p = int(row_end_nnz)
-                r += 1
-            else:
-                break
-        cbase = (tile_cmin // LANES) * LANES
-        tiles.append((start, p, row_base, cbase))
+    # tile breaks: every group start and every T-th slot within a group
+    new_tile = new_group | (offset_in_group % T == 0)
+    tile_id = np.cumsum(new_tile) - 1
+    ntiles = int(tile_id[-1]) + 1
+    slot = offset_in_group % T
 
-    ntiles = max(len(tiles), 1)
-    vals_t = np.zeros((ntiles, T), dtype=va.dtype)
+    tile_start = np.flatnonzero(new_tile)
+    rblk = (wid_s[tile_start] * (Wr // LANES)).astype(np.int32)
+
+    # Tight per-tile column anchor within the cell: col_span counts the
+    # 128-wide x rows actually touched — the kernel's static gather loop
+    # runs max(col_span) iterations.
+    cmin_t = np.full(ntiles, np.iinfo(np.int64).max, dtype=np.int64)
+    cmax_t = np.full(ntiles, -1, dtype=np.int64)
+    np.minimum.at(cmin_t, tile_id, c_s)
+    np.maximum.at(cmax_t, tile_id, c_s)
+    cbase_t = (cmin_t // LANES) * LANES
+    cblk = (cbase_t // LANES).astype(np.int32)
+    cspan = ((cmax_t - cbase_t) // LANES + 1).astype(np.int32)
+
+    vals_t = np.zeros((ntiles, T), dtype=dtype)
     lcols_t = np.zeros((ntiles, T), dtype=np.int32)
-    epos_t = np.full((ntiles, Wr), -1, dtype=np.int32)
-    rblk = np.zeros(ntiles, dtype=np.int32)
-    cblk = np.zeros(ntiles, dtype=np.int32)
+    vals_t[tile_id, slot] = v_s
+    lcols_t[tile_id, slot] = (c_s - cbase_t[tile_id]).astype(np.int32)
 
-    # Flattened order within a tile is column-major over (8, T//8):
-    # linear slot s (CSR order) sits at register position p = s, with
-    # (sublane, lane-col) = (p % 8, p // 8). end_pos stores p directly.
-    for t, (s0, s1, rbase, cbase) in enumerate(tiles):
-        n = s1 - s0
-        vals_t[t, :n] = vals_w[s0:s1]
-        lcols_t[t, :n] = cols_w[s0:s1] - cbase
-        rblk[t] = rbase // LANES
-        cblk[t] = cbase // LANES
-        # end_pos: last slot with local row <= w, running maximum.
-        lrows = rows_w[s0:s1] - rbase  # in [0, Wr)
-        # slots are CSR-ordered => lrows is non-decreasing
-        last_slot = np.full(Wr, -1, dtype=np.int64)
-        np.maximum.at(last_slot, lrows, np.arange(n))
-        epos_t[t] = np.maximum.accumulate(last_slot)
+    # end_pos[t, w] = last slot in tile t with local row <= w, else -1
+    lrow = (r_s - wid_s * Wr).astype(np.int64)  # in [0, Wr)
+    epos_t = np.full((ntiles, Wr), -1, dtype=np.int64)
+    np.maximum.at(epos_t, (tile_id, lrow), slot)
+    epos_t = np.maximum.accumulate(epos_t, axis=1)
 
     return MergeTiles(
-        num_rows=csr.num_rows,
+        num_rows=M,
         num_cols=csr.num_cols,
-        nnz=nnz_w,
+        nnz=nnz,
         tile_nnz=T,
         row_window=Wr,
         col_window=Wc,
         vals=vals_t,
         local_cols=lcols_t,
-        end_pos=epos_t,
+        end_pos=epos_t.astype(np.int32),
         row_block=rblk,
         col_block=cblk,
-        ovf_rows=ovf_rows,
-        ovf_cols=ovf_cols,
-        ovf_vals=ovf_vals,
+        col_span=cspan,
+        ovf_rows=np.zeros(0, dtype=np.int32),
+        ovf_cols=np.zeros(0, dtype=np.int32),
+        ovf_vals=np.zeros(0, dtype=dtype),
     )
+
+
+def tiling_efficiency(csr, tile_nnz: int, row_window: int,
+                      col_window: int) -> float:
+    """Occupancy a (row_window, col_window) tiling would achieve, without
+    building the payloads — used by :func:`choose_tiling`."""
+    ro = np.asarray(csr.row_offsets).astype(np.int64)
+    ci = np.asarray(csr.col_indices).astype(np.int64)
+    if ci.size == 0:
+        return 0.0
+    rows_all = np.repeat(
+        np.arange(csr.num_rows, dtype=np.int64), np.diff(ro)
+    )
+    nb = (csr.num_cols // col_window) + 1
+    key = (rows_all // row_window) * nb + ci // col_window
+    counts = np.bincount(key - key.min())
+    counts = counts[counts > 0]
+    ntiles = int(np.sum(-(-counts // tile_nnz)))
+    return ci.size / (ntiles * tile_nnz)
+
+
+def choose_tiling(
+    csr,
+    tile_nnz: int = 1024,
+    row_windows=(256, 384, 512, 1024),
+    col_windows=(1024, 2048, 4096, 8192),
+    gather_cost_per_128: float = 0.012,
+) -> tuple[int, int]:
+    """Pick (row_window, col_window) maximizing estimated throughput:
+    occupancy discounted by the kernel's per-tile gather-loop cost
+    (``col_window/128`` lane-gather select iterations) and the partial
+    window writeback (``row_window`` floats per tile)."""
+    best = (row_windows[0], col_windows[0])
+    best_score = -1.0
+    for wr in row_windows:
+        for wc in col_windows:
+            occ = tiling_efficiency(csr, tile_nnz, wr, wc)
+            if occ == 0.0:
+                continue
+            # relative cost of one tile: compute base 1.0 + gather loop
+            # + partials traffic (wr * 8 bytes vs 8 KB tile payload)
+            cost = 1.0 + gather_cost_per_128 * (wc // 128) + wr / 1024.0
+            score = occ / cost
+            if score > best_score:
+                best_score = score
+                best = (wr, wc)
+    return best
 
 
 def tiles_to_dense(tiles: MergeTiles) -> np.ndarray:

@@ -1,0 +1,336 @@
+"""Pallas merge-tile SpMV — the flagship TPU kernel.
+
+TPU re-design of the SC'16 merge-based CSR SpMV (reference CUDA pipeline:
+``DeviceSpmvSearchKernel`` -> ``DeviceSpmvKernel`` ->
+``DeviceSegmentFixupKernel``, ``cub/device/dispatch/dispatch_spmv_orig.cuh:
+104,158,199``; per-CTA state machine ``AgentSpmv::ConsumeTile``,
+``cub/agent/agent_spmv_orig.cuh:289-406``). The GPU version binary-searches
+merge-path coordinates at run time, stages tiles in shared memory, does a
+block-wide reduce-by-key scan, and fixes up inter-block carries with a
+third kernel. The TPU version restructures all of this around static
+shapes and the VPU/MXU register model:
+
+  1. The merge-path *search* happens on host at matrix-load time
+     (:func:`tpusparse.formats.tiles.build_merge_tiles`) — equal-nnz
+     tiles with 128-aligned row/column windows.
+  2. The *gather* of x becomes a bounded select-loop of intra-register
+     lane gathers (``take_along_axis`` on (8,128) tiles — the only
+     dynamic-gather shape the hardware supports) over the tile's column
+     window, read from a VMEM-resident x.
+  3. The *reduce-by-key scan* becomes an unsegmented register prefix-sum
+     (3 sublane steps + 7 lane steps) followed by a gather at
+     host-precomputed per-row end positions; row sums are differences of
+     the prefix sum at consecutive end positions — empty rows and
+     padding fall out automatically.
+  4. The *segment fixup* collapses into a second tiny kernel that
+     accumulates per-tile partial windows into y; TPU grid execution is
+     sequential on a core, so read-modify-write accumulation needs no
+     atomics or decoupled lookback at all.
+
+Constraints of this kernel (fallbacks handled by ops.spmv):
+  * tile_nnz == 1024 (an (8, 128) register tile), fp32 values;
+  * num_cols padded: x fits VMEM (N <= ~1.5M singles);
+  * num_rows <= ~1.5M (y window resident in the combine kernel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpusparse.formats.tiles import MergeTiles, LANES, SUBLANES
+
+TILE_NNZ = 1024  # (8, 128) register tile
+TILES_PER_STEP = 16  # tiles per grid step (amortizes DMA + step overhead;
+                     # measured optimum on v5e: 8 -> 145us, 16 -> 124us,
+                     # 32 -> 187us on the grid3d-48 Laplacian)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DeviceTiles:
+    """Device-resident MergeTiles plus overflow stream."""
+
+    num_rows: int
+    num_cols: int
+    nnz: int
+    row_window: int
+    col_window: int
+
+    vals: Any        # (ntiles_pad, 8, 128) — slot p -> [t, p % 8, p // 8]
+    local_cols: Any  # (ntiles_pad, 8, 128) int32
+    end_pos: Any     # (ntiles_pad, WrB, 128) int32, -1 sentinel
+    row_block: Any   # (ntiles_pad,) int32
+    col_block: Any   # (ntiles_pad,) int32
+    col_span: Any    # (ntiles_pad,) int32 — per-tile touched window rows
+    gather_rows: int # static gather loop trip count = max(col_span);
+                     # tight per-tile anchoring makes this 2-5 for banded
+                     # matrices vs col_window/128 for the naive anchor
+    x_pad_rows: int  # row padding of the x 2-D layout (static)
+
+    ovf_rows: Any
+    ovf_cols: Any
+    ovf_vals: Any
+
+    def tree_flatten(self):
+        return (
+            (self.vals, self.local_cols, self.end_pos, self.row_block,
+             self.col_block, self.col_span,
+             self.ovf_rows, self.ovf_cols, self.ovf_vals),
+            (self.num_rows, self.num_cols, self.nnz, self.row_window,
+             self.col_window, self.gather_rows, self.x_pad_rows),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (vals, lcols, epos, rblk, cblk, cspan, orow, ocol, oval) = children
+        (nr, nc, nnz, wr, wc, gr, xpr) = aux
+        return cls(nr, nc, nnz, wr, wc, vals, lcols, epos, rblk, cblk,
+                   cspan, gr, xpr, orow, ocol, oval)
+
+    @property
+    def ntiles(self) -> int:
+        return int(self.vals.shape[0])
+
+    @property
+    def dtype(self):
+        return self.vals.dtype
+
+
+def to_device_tiles(tiles: MergeTiles, dtype=np.float32) -> DeviceTiles:
+    """Upload a host MergeTiles partition, reshaping tile payloads into
+    the kernel's (8, 128) column-major register layout and padding the
+    tile count to a multiple of TILES_PER_STEP."""
+    if tiles.tile_nnz != TILE_NNZ:
+        raise ValueError(f"kernel requires tile_nnz={TILE_NNZ}")
+    nt = tiles.ntiles
+    ntp = -(-nt // TILES_PER_STEP) * TILES_PER_STEP
+    WrB = tiles.row_window // LANES
+
+    # slot p -> (p % 8, p // 8): Fortran-order reshape of the (T,) stream
+    vals = np.zeros((ntp, SUBLANES, TILE_NNZ // SUBLANES), dtype=dtype)
+    lcols = np.zeros((ntp, SUBLANES, TILE_NNZ // SUBLANES), dtype=np.int32)
+    vals[:nt] = np.asarray(tiles.vals, dtype=dtype).reshape(
+        nt, TILE_NNZ // SUBLANES, SUBLANES
+    ).transpose(0, 2, 1)
+    lcols[:nt] = tiles.local_cols.reshape(
+        nt, TILE_NNZ // SUBLANES, SUBLANES
+    ).transpose(0, 2, 1)
+
+    epos = np.full((ntp, WrB, LANES), -1, dtype=np.int32)
+    epos[:nt] = tiles.end_pos.reshape(nt, WrB, LANES)
+    rblk = np.zeros(ntp, dtype=np.int32)
+    cblk = np.zeros(ntp, dtype=np.int32)
+    cspan = np.zeros(ntp, dtype=np.int32)  # pad tiles: 0-trip gather
+    rblk[:nt] = tiles.row_block
+    cblk[:nt] = tiles.col_block
+    cspan[:nt] = tiles.col_span
+
+    return DeviceTiles(
+        num_rows=tiles.num_rows,
+        num_cols=tiles.num_cols,
+        nnz=tiles.nnz,
+        row_window=tiles.row_window,
+        col_window=tiles.col_window,
+        vals=jnp.asarray(vals),
+        local_cols=jnp.asarray(lcols),
+        end_pos=jnp.asarray(epos),
+        row_block=jnp.asarray(rblk),
+        col_block=jnp.asarray(cblk),
+        col_span=jnp.asarray(cspan),
+        gather_rows=int(max(tiles.col_span.max(), 1)),
+        x_pad_rows=tiles.col_window // LANES,
+        ovf_rows=jnp.asarray(tiles.ovf_rows.astype(np.int32)),
+        ovf_cols=jnp.asarray(tiles.ovf_cols.astype(np.int32)),
+        ovf_vals=jnp.asarray(tiles.ovf_vals.astype(dtype)),
+    )
+
+
+def _sublane_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+
+
+def _lane_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+
+def _prefix_sum_colmajor(p):
+    """Inclusive prefix sum of an (8, L) batch of column-major tiles,
+    L = k*128 — each 128-lane group is one independent tile (the scan is
+    vectorized across every tile of a grid step): 3 sublane shift-adds +
+    7 group-masked lane shift-adds — the register re-expression of the
+    reference's BlockScan reduce-by-key (agent_spmv_orig.cuh:370)."""
+    L = p.shape[1]
+    si = _sublane_iota((SUBLANES, L))
+    for d in (1, 2, 4):
+        p = p + jnp.where(si >= d, jnp.roll(p, d, axis=0), 0.0)
+    # lane-inclusive scan of the column totals, masked per 128-lane group
+    ct = p[SUBLANES - 1 : SUBLANES, :]  # (1, L)
+    lg = _lane_iota((1, L)) % LANES
+    for d in (1, 2, 4, 8, 16, 32, 64):
+        ct = ct + jnp.where(lg >= d, jnp.roll(ct, d, axis=1), 0.0)
+    excl = jnp.where(lg >= 1, jnp.roll(ct, 1, axis=1), 0.0)
+    return p + jnp.broadcast_to(excl, (SUBLANES, L))
+
+
+def _gather_window(x_ref, cblk, lc, gather_rows):
+    """g[i,j] = x[cblk*128 + lc[i,j]] via a static select-loop of lane
+    gathers over the tile's column window. Tight per-tile anchoring
+    (tiles.py) keeps the static trip count at max(col_span) over the
+    matrix — typically 2-5 window rows for banded matrices. (A dynamic
+    fori_loop bound measured 3.6x slower: Mosaic's scalar loops defeat
+    unrolling/pipelining, so static it is.)"""
+    b = lc % LANES
+    q = lc // LANES
+    g = jnp.zeros(lc.shape, x_ref.dtype)
+    for qq in range(gather_rows):
+        row = x_ref[pl.ds(cblk + qq, 1), :]            # (1, 128)
+        cand = jnp.take_along_axis(
+            jnp.broadcast_to(row, lc.shape), b, axis=1
+        )
+        g = jnp.where(q == qq, cand, g)
+    return g
+
+
+def _extract_rows(cs, epos):
+    """G[w] = CS[end_pos[w]] (0 where end_pos < 0), with end positions in
+    column-major slot coordinates: slot p -> (p % 8, p // 8).
+
+    Per 128-row window slice the 2-D gather decomposes into a lane
+    gather then a sublane gather: the lane index j_e is constant down
+    sublanes once broadcast, so V[i, w] = CS[i, j_e[w]] (lane gather),
+    then G[w] = V[i_e[w], w] (sublane gather, idx < 8) — two hardware
+    shuffles instead of an 8-way select loop."""
+    wrb = epos.shape[0]
+    ep = jnp.maximum(epos, 0)
+    i_e = ep % SUBLANES
+    j_e = ep // SUBLANES  # in [0, 128)
+    rows = []
+    for wb in range(wrb):
+        J = jnp.broadcast_to(j_e[wb : wb + 1, :], (SUBLANES, LANES))
+        V = jnp.take_along_axis(cs, J, axis=1)
+        I = jnp.broadcast_to(i_e[wb : wb + 1, :], (SUBLANES, LANES))
+        G = jnp.take_along_axis(V, I, axis=0)
+        rows.append(G[0:1, :])
+    G = jnp.concatenate(rows, axis=0) if wrb > 1 else rows[0]
+    return jnp.where(epos < 0, 0.0, G)
+
+
+def _row_diff(G):
+    """partial[w] = G[w] - G[w-1] in row-major (WrB, 128) order."""
+    si = _sublane_iota(G.shape)
+    li = _lane_iota(G.shape)
+    r1 = jnp.roll(G, 1, axis=1)
+    r2 = jnp.roll(r1, 1, axis=0)
+    Gprev = jnp.where(li >= 1, r1, jnp.where(si >= 1, r2, 0.0))
+    return G - Gprev
+
+
+def _fused_kernel(gather_rows: int, wrb: int,
+                  rblk_ref, cblk_ref, cspan_ref,
+                  vals_ref, lc_ref, ep_ref, x_ref, y_ref):
+    """Grid step: TILES_PER_STEP merge tiles -> gather, batched prefix
+    sum, per-tile row extraction, and in-VMEM accumulation directly into
+    y. The sequential TPU grid makes the read-modify-write safe without
+    atomics — the GPU pipeline's segment-fixup kernel
+    (dispatch_spmv_orig.cuh:199) disappears entirely."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    ps = []
+    for u in range(TILES_PER_STEP):
+        t = step * TILES_PER_STEP + u
+        g = _gather_window(x_ref, cblk_ref[t], lc_ref[u], gather_rows)
+        ps.append(vals_ref[u] * g)
+    cs = _prefix_sum_colmajor(jnp.concatenate(ps, axis=1))
+
+    for u in range(TILES_PER_STEP):
+        t = step * TILES_PER_STEP + u
+        csu = cs[:, u * LANES : (u + 1) * LANES]
+        G = _extract_rows(csu, ep_ref[u])
+        part = _row_diff(G)
+        rb = rblk_ref[t]
+        y_ref[pl.ds(rb, wrb), :] = y_ref[pl.ds(rb, wrb), :] + part
+
+
+@functools.partial(jax.jit, static_argnames=("nrows_out",))
+def _spmv_tiles(A: DeviceTiles, x2d, nrows_out: int):
+    ntiles = A.ntiles
+    steps = ntiles // TILES_PER_STEP
+    wrb = A.row_window // LANES
+    wcb = A.col_window // LANES
+    csize = TILE_NNZ // SUBLANES
+    mb = nrows_out // LANES
+
+    y2d = pl.pallas_call(
+        functools.partial(_fused_kernel, A.gather_rows, wrb),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # rblk, cblk, cspan
+            grid=(steps,),
+            in_specs=[
+                pl.BlockSpec(
+                    (TILES_PER_STEP, SUBLANES, csize),
+                    lambda i, rb, cb, cs: (i, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (TILES_PER_STEP, SUBLANES, csize),
+                    lambda i, rb, cb, cs: (i, 0, 0),
+                ),
+                pl.BlockSpec(
+                    (TILES_PER_STEP, wrb, LANES),
+                    lambda i, rb, cb, cs: (i, 0, 0),
+                ),
+                pl.BlockSpec(
+                    x2d.shape, lambda i, rb, cb, cs: (0, 0),
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (mb, LANES), lambda i, rb, cb, cs: (0, 0)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((mb, LANES), A.vals.dtype),
+        interpret=_interpret(),
+    )(A.row_block, A.col_block, A.col_span,
+      A.vals, A.local_cols, A.end_pos, x2d)
+    return y2d
+
+
+def _pad_x(A: DeviceTiles, x):
+    ncb = -(-A.num_cols // LANES) + A.x_pad_rows
+    xp = jnp.zeros((ncb * LANES,), dtype=x.dtype)
+    xp = xp.at[: A.num_cols].set(x)
+    return xp.reshape(ncb, LANES)
+
+
+def spmv_merge(A: DeviceTiles, x, alpha=1.0, beta=0.0, y=None):
+    """y = alpha * A @ x + beta * y via the merge-tile kernel (+ jnp
+    overflow stream)."""
+    x2d = _pad_x(A, x.astype(A.dtype))
+    mb = -(-A.num_rows // LANES) + A.row_window // LANES
+    y2d = _spmv_tiles(A, x2d, mb * LANES)
+    y_new = y2d.reshape(-1)[: A.num_rows]
+    if A.ovf_vals.shape[0] > 0:
+        from tpusparse.ops.reference import spmv_coo
+
+        y_new = y_new + spmv_coo(
+            A.ovf_rows, A.ovf_cols, A.ovf_vals, x.astype(A.dtype),
+            A.num_rows,
+        )
+    if beta == 0.0 or y is None:
+        return alpha * y_new
+    return alpha * y_new + beta * y
