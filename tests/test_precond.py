@@ -1,0 +1,157 @@
+"""Preconditioner tests: IC(0) vs direct Cholesky on the pattern,
+triangular solves vs scipy, SPAI properties, PCG / SPAI-CG convergence
+and iteration-count reduction."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+import scipy.sparse as sp
+
+from tpusparse.io import generators
+from tpusparse.precond.ic0 import ic0_factorize
+from tpusparse.precond.spai import spai_inverse
+from tpusparse.precond import trisolve
+from tpusparse.solvers.cg import cg_solve_multi
+from tpusparse.solvers.pcg import make_ic0_preconditioner, pcg_solve_multi
+from tpusparse.solvers.spai_cg import spai_cg_solve_multi
+
+
+@pytest.fixture(scope="module")
+def spd():
+    return generators.make_laplacian_grid2d(12).to_csr()
+
+
+class TestIc0:
+    def test_pattern_is_lower_triangle(self, spd):
+        L = ic0_factorize(spd)
+        rows = L.row_ids()
+        assert np.all(np.asarray(L.col_indices) <= rows)
+        # diagonal present and last in each row
+        ro = np.asarray(L.row_offsets)
+        diag_idx = ro[1:] - 1
+        np.testing.assert_array_equal(
+            np.asarray(L.col_indices)[diag_idx], np.arange(L.num_rows)
+        )
+
+    def test_exact_on_dense_band(self):
+        # For a tridiagonal SPD matrix IC(0) == exact Cholesky
+        n = 50
+        d = np.full(n, 2.0)
+        e = np.full(n - 1, -1.0)
+        A = sp.diags([e, d, e], [-1, 0, 1]).tocsr()
+        from tpusparse.formats.csr import CsrMatrix
+
+        L = ic0_factorize(CsrMatrix.from_scipy(A))
+        Lref = np.linalg.cholesky(A.toarray())
+        np.testing.assert_allclose(L.to_dense(), Lref, rtol=1e-12)
+
+    def test_residual_small_on_laplacian(self, spd):
+        L = ic0_factorize(spd)
+        Ld = L.to_dense()
+        A = spd.to_dense()
+        # IC(0) residual is restricted to fill-in positions; on the
+        # pattern itself A == (L L^T)
+        prod = Ld @ Ld.T
+        mask = A != 0
+        np.testing.assert_allclose(prod[mask], A[mask], rtol=1e-8,
+                                   atol=1e-8)
+
+    def test_shift_retry_on_indefinite(self):
+        # matrix with negative diagonal pivot forces shift retries
+        from tpusparse.formats.csr import CsrMatrix
+
+        A = sp.csr_matrix(
+            np.array([[1.0, 2.0], [2.0, 1.0]])  # indefinite
+        )
+        L = ic0_factorize(CsrMatrix.from_scipy(A))
+        assert np.all(np.isfinite(np.asarray(L.values)))
+
+
+class TestTrisolve:
+    def test_forward_host_vs_scipy(self, spd, rng):
+        L = ic0_factorize(spd)
+        b = rng.standard_normal(spd.num_rows)
+        x = trisolve.forward_solve_host(L, b)
+        xe = scipy.linalg.solve_triangular(L.to_dense(), b, lower=True)
+        np.testing.assert_allclose(x, xe, rtol=1e-10)
+
+    def test_backward_host_vs_scipy(self, spd, rng):
+        L = ic0_factorize(spd)
+        b = rng.standard_normal(spd.num_rows)
+        x = trisolve.backward_solve_host(L, b)
+        xe = scipy.linalg.solve_triangular(L.to_dense().T, b, lower=False)
+        np.testing.assert_allclose(x, xe, rtol=1e-10)
+
+    def test_jacobi_converges_to_exact(self, spd, rng):
+        L = ic0_factorize(spd)
+        b = rng.standard_normal((spd.num_rows, 3))
+        xe = trisolve.forward_solve_host(L, b)
+        solver = trisolve.jacobi_trisolve_lower(L, sweeps=200)
+        x = np.asarray(solver.solve(jnp.asarray(b)))
+        np.testing.assert_allclose(x, xe, rtol=1e-6, atol=1e-8)
+
+    def test_jacobi_upper(self, spd, rng):
+        L = ic0_factorize(spd)
+        b = rng.standard_normal((spd.num_rows, 2))
+        xe = trisolve.backward_solve_host(L, b)
+        solver = trisolve.jacobi_trisolve_upper(L, sweeps=200)
+        x = np.asarray(solver.solve(jnp.asarray(b)))
+        np.testing.assert_allclose(x, xe, rtol=1e-6, atol=1e-8)
+
+
+class TestSpai:
+    def test_pattern_and_symmetry(self, spd):
+        M = spai_inverse(spd, batched=False)
+        Md = M.to_dense()
+        np.testing.assert_allclose(Md, Md.T, rtol=1e-10, atol=1e-12)
+
+    def test_batched_matches_loop(self, spd):
+        M1 = spai_inverse(spd, batched=False)
+        M2 = spai_inverse(spd, batched=True)
+        np.testing.assert_allclose(
+            M1.to_dense(), M2.to_dense(), rtol=1e-6, atol=1e-8
+        )
+
+    def test_approximates_inverse(self, spd):
+        M = spai_inverse(spd, batched=False)
+        A = spd.to_dense()
+        # ||AM - I||_F should beat the trivial scaling preconditioner
+        resid = np.linalg.norm(A @ M.to_dense() - np.eye(spd.num_rows))
+        trivial = np.linalg.norm(
+            A * (1.0 / np.trace(A) * spd.num_rows) - np.eye(spd.num_rows)
+        )
+        assert resid < trivial
+
+
+class TestPreconditionedSolvers:
+    def test_pcg_converges_fewer_iterations(self, spd, rng):
+        B = rng.standard_normal((spd.num_rows, 4))
+        d = spd.to_device()
+        base = cg_solve_multi(d, jnp.asarray(B), max_iters=2000,
+                              tolerance=1e-8)
+        L = ic0_factorize(spd)
+        prec = make_ic0_preconditioner(L, sweeps=40)
+        res = pcg_solve_multi(d, jnp.asarray(B), prec, max_iters=2000,
+                              tolerance=1e-8)
+        assert bool(np.all(np.asarray(res.converged)))
+        X = np.asarray(res.x)
+        rel = np.linalg.norm(B - spd.to_scipy() @ X, axis=0)
+        rel /= np.linalg.norm(B, axis=0)
+        assert rel.max() < 1e-7
+        assert int(res.iterations) < int(base.iterations)
+
+    def test_spai_cg_converges(self, spd, rng):
+        B = rng.standard_normal((spd.num_rows, 4))
+        d = spd.to_device()
+        base = cg_solve_multi(d, jnp.asarray(B), max_iters=2000,
+                              tolerance=1e-8)
+        M = spai_inverse(spd, batched=False)
+        res = spai_cg_solve_multi(d, M.to_device(), jnp.asarray(B),
+                                  max_iters=2000, tolerance=1e-8)
+        assert bool(np.all(np.asarray(res.converged)))
+        X = np.asarray(res.x)
+        rel = np.linalg.norm(B - spd.to_scipy() @ X, axis=0)
+        rel /= np.linalg.norm(B, axis=0)
+        assert rel.max() < 1e-7
+        assert int(res.iterations) <= int(base.iterations)

@@ -1,0 +1,109 @@
+"""PCG — preconditioned conjugate gradient with IC(0).
+
+Capability parity with ``PCGSolveMultiple``
+(``/root/reference/work_2025/main/incomplete_cholesky.hpp:36-199``):
+CG with z = (L L^T)^{-1} r applied each iteration via two triangular
+solves, rho = r.z recurrences, per-lane convergence masks identical to
+the unpreconditioned solver. The preconditioner application is
+pluggable: a :class:`tpusparse.precond.trisolve.JacobiTriSolver` pair
+(fully jitted TPU path) or exact host solves (parity oracle).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from tpusparse.ops.blas import (
+    axpy_multiple,
+    dot_multiple,
+    update_p_multiple,
+)
+from tpusparse.ops.spmv import spmm
+from tpusparse.solvers.cg import CgResult
+
+
+def pcg_solve_multi(
+    A,
+    B,
+    apply_precond: Callable,
+    max_iters: int = 10000,
+    tolerance: float = 1e-5,
+    strategy: str = "auto",
+    matmat: Callable | None = None,
+    record_history: bool = True,
+) -> CgResult:
+    """Blocked multi-RHS PCG. ``apply_precond(R) -> Z`` applies
+    z = M^{-1} r column-wise (e.g. forward+backward Jacobi tri-solves
+    for IC(0), or an SpMM for SPAI — see spai_cg.py)."""
+    mm = matmat if matmat is not None else (
+        lambda V: spmm(A, V, strategy=strategy)
+    )
+    n, L = B.shape
+    X = jnp.zeros_like(B)
+    R = B
+    Z = apply_precond(R)
+    P = Z
+    b_norms = jnp.sqrt(dot_multiple(B, B))
+    b_norms = jnp.where(b_norms == 0.0, 1.0, b_norms)
+    rho_old = dot_multiple(R, Z)
+    converged0 = jnp.zeros((L,), dtype=bool)
+    hist0 = (
+        jnp.full((max_iters,), jnp.nan, dtype=B.dtype)
+        if record_history
+        else jnp.zeros((0,), dtype=B.dtype)
+    )
+
+    def cond(state):
+        i, X, R, P, rho_old, converged, hist = state
+        return (i < max_iters) & ~jnp.all(converged)
+
+    def body(state):
+        i, X, R, P, rho_old, converged, hist = state
+        AP = mm(P)
+        pAp = dot_multiple(P, AP)
+        alpha = jnp.where(converged | (pAp == 0), 0.0, rho_old / pAp)
+        X = axpy_multiple(X, alpha, P)
+        R = axpy_multiple(R, -alpha, AP)
+        r_norms = dot_multiple(R, R)
+        rel = jnp.sqrt(r_norms) / b_norms
+        converged = converged | (rel < tolerance)
+        if record_history:
+            hist = hist.at[i].set(jnp.max(rel))
+        Z = apply_precond(R)
+        rho_new = dot_multiple(R, Z)
+        beta = jnp.where(converged | (rho_old == 0), 0.0,
+                         rho_new / rho_old)
+        P = update_p_multiple(Z, beta, P)
+        return (i + 1, X, R, P, rho_new, converged, hist)
+
+    i, X, R, P, rho, converged, hist = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), X, R, P, rho_old, converged0, hist0)
+    )
+    rs = dot_multiple(R, R)
+    rel = jnp.sqrt(rs) / b_norms
+    return CgResult(
+        x=X, iterations=i, converged=converged, residual=rel, history=hist
+    )
+
+
+def make_ic0_preconditioner(L_host, sweeps: int = 16, to_plan=None):
+    """Build the z = (L L^T)^{-1} r application from a host IC(0) factor
+    using device Jacobi triangular solves (exact once ``sweeps`` reaches
+    the factor's dependency depth — strictly triangular iteration
+    matrices are nilpotent)."""
+    from tpusparse.precond.trisolve import (
+        jacobi_trisolve_lower,
+        jacobi_trisolve_upper,
+    )
+
+    fwd = jacobi_trisolve_lower(L_host, sweeps=sweeps, to_plan=to_plan)
+    bwd = jacobi_trisolve_upper(L_host, sweeps=sweeps, to_plan=to_plan)
+
+    def apply_precond(R):
+        Y = fwd.solve(R)
+        return bwd.solve(Y)
+
+    return apply_precond
