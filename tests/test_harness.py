@@ -1,0 +1,99 @@
+"""Benchmark harness / CLI tests (small matrices, reference strategy)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tpusparse.bench import models
+from tpusparse.bench.run import main as cli_main
+
+
+def test_flop_byte_models():
+    assert models.spmv_flops(100, 4) == 800
+    # fp64 byte model parity (cpu_spmv.cpp:721-727)
+    assert models.spmv_bytes(10, 5, L=1, value_bytes=8) == 10 * 20 + 5 * 12
+    assert models.cg_flops(100, 10, 2, 3) == (200 + 100) * 2 * 3
+
+
+def test_cli_stats(capsys):
+    cli_main(["stats", "--wheel", "64", "--quiet"])
+    out = capsys.readouterr().out.strip()
+    parts = out.split(",")
+    assert parts[0] == "wheel_64"
+    assert int(parts[3]) == 128  # nnz
+
+
+def test_cli_spmv_reference(capsys):
+    cli_main(["spmv", "--lap2d", "8", "--fp64",
+              "--strategy", "reference", "--quiet"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert "PASS" in out
+
+
+def test_cli_spmm(capsys):
+    cli_main(["spmm", "--lap2d", "8", "--fp64", "--num_vectors", "4",
+              "--strategy", "reference", "--quiet"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert "PASS" in out
+
+
+def test_cli_multicg(tmp_path, capsys):
+    out = str(tmp_path / "err")
+    cli_main(["multicg", "--lap2d", "8", "--fp64", "--num_vectors", "2",
+              "--strategy", "reference", "--tolerance", "1e-6",
+              "--output", out, "--quiet"])
+    printed = capsys.readouterr().out.strip().splitlines()[-1]
+    res = json.loads(printed)
+    assert res["cg"]["converged"]
+    assert res["pcg_ic0"]["converged"]
+    assert res["spai_cg"]["converged"]
+    assert res["pcg_ic0"]["iters"] <= res["cg"]["iters"]
+    assert os.path.exists(os.path.join(out, "lap2d_8_cg_errors.csv"))
+
+
+def test_plots(tmp_path):
+    from tpusparse.analysis import plots
+
+    # error plot
+    csv1 = tmp_path / "a_errors.csv"
+    csv1.write_text(
+        "iteration,max_relative_error\n0,1.0\n1,0.1\n2,0.01\n"
+    )
+    png = tmp_path / "err.png"
+    plots.plot_errors({"cg": str(csv1)}, str(png))
+    assert png.exists()
+
+    # efficiency plot
+    png2 = tmp_path / "eff.png"
+    plots.plot_efficiency([1, 2, 4, 8], [8.0, 4.2, 2.3, 1.4], str(png2))
+    assert png2.exists()
+
+    # pivot + precond summary
+    rows = [("m1", "merge", 32, 100, 1.0, 5.0, "PASS"),
+            ("m1", "reference", 32, 100, 9.0, 0.5, "PASS")]
+    out_csv = tmp_path / "pivot.csv"
+    plots.plot_gflops_pivot(rows, str(out_csv))
+    assert "merge" in out_csv.read_text()
+
+    summary = tmp_path / "precond.csv"
+    plots.plot_precond_summary(
+        {"m1": {"cg": dict(iters=10, prep_ms=0, solve_ms=10),
+                "pcg_ic0": dict(iters=4, prep_ms=2, solve_ms=3)}},
+        str(summary),
+    )
+    txt = summary.read_text()
+    assert "pcg_ic0" in txt
+
+
+def test_suitesparse_local_enumeration(tmp_path):
+    from tpusparse.io.suitesparse import local_mtx_files, matrix_url
+
+    (tmp_path / "a.mtx").write_text("x")
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "b.mtx").write_text("x")
+    files = local_mtx_files(str(tmp_path))
+    assert len(files) == 2
+    assert matrix_url("HB", "bcsstk01").endswith("/HB/bcsstk01.tar.gz")

@@ -1,0 +1,386 @@
+"""Benchmark / verification CLI — the driver layer (reference L8/L9).
+
+Capability parity with the reference driver executables and sweep
+scripts, re-targeted at one TPU process:
+
+  spmv      — ``cpu_spmv`` (``/root/reference/cpu_spmv.cpp:925-991``):
+              golden check then timed run per strategy, GFLOP/s +
+              effective bandwidth, ``--quiet`` CSV rows.
+  spmm      — ``cpu_spmm_v2`` (``cpu_spmm_v2.cpp:1115``): adds
+              ``--num_vectors`` (default 32).
+  cg        — ``cpu_singlecg`` (``cpu_singlecg.cpp:219``): single-RHS CG
+              over L vectors sequentially, CSV (matrix, kernel, L,
+              min_ms, gflops, iters).
+  multicg   — ``cpu_multicg`` (``cpu_multicg.cpp:293``): CG -> PCG-IC(0)
+              -> SPAI-CG comparison, per-iteration error CSVs to
+              ``data/error_data/``.
+  stats     — ``verification/matrix_stats`` tool.
+  sweep     — ``eval_csrmv.sh`` / ``eval_vectors.sh``: matrices x L
+              sweep emitting a CSV.
+
+Matrix sources mirror the reference CLI: ``--mtx file.mtx``,
+``--grid2d w``, ``--grid3d w``, ``--wheel s``, ``--dense n``, plus
+``--lap2d/--lap3d`` (built-in SPD fixtures for solver runs) and
+``--spd n`` (random SPD).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _load_matrix(args):
+    from tpusparse.io import generators
+    from tpusparse.io.market import read_market
+
+    dtype = np.float32 if args.fp32 else np.float64
+    if args.mtx:
+        coo = read_market(args.mtx, dtype=dtype)
+        name = os.path.basename(args.mtx)
+    elif args.grid2d:
+        coo = generators.make_grid2d(args.grid2d, self_loop=True,
+                                     dtype=dtype)
+        name = f"grid2d_{args.grid2d}"
+    elif args.grid3d:
+        coo = generators.make_grid3d(args.grid3d, self_loop=True,
+                                     dtype=dtype)
+        name = f"grid3d_{args.grid3d}"
+    elif args.wheel:
+        coo = generators.make_wheel(args.wheel, dtype=dtype)
+        name = f"wheel_{args.wheel}"
+    elif args.dense:
+        coo = generators.make_dense(args.dense, args.dense, dtype=dtype)
+        name = f"dense_{args.dense}"
+    elif args.lap2d:
+        coo = generators.make_laplacian_grid2d(args.lap2d, dtype=dtype)
+        name = f"lap2d_{args.lap2d}"
+    elif args.lap3d:
+        coo = generators.make_laplacian_grid3d(args.lap3d, dtype=dtype)
+        name = f"lap3d_{args.lap3d}"
+    elif args.spd:
+        coo = generators.make_random_spd(args.spd, dtype=dtype)
+        name = f"spd_{args.spd}"
+    else:
+        raise SystemExit("no matrix source given (--mtx/--grid2d/...)")
+    return coo.to_csr(), name
+
+
+def _plan(csr, strategy, dtype):
+    """Build the device operand for a strategy."""
+    from tpusparse.formats.tiles import build_merge_tiles
+    from tpusparse.kernels import merge_spmv
+    from tpusparse.ops.spmv import SpmvStrategy
+
+    s = SpmvStrategy.parse(strategy)
+    if s == SpmvStrategy.MERGE or (
+        s == SpmvStrategy.AUTO and dtype == np.float32
+    ):
+        tiles = build_merge_tiles(csr)
+        return merge_spmv.to_device_tiles(tiles, dtype=np.float32), "merge"
+    if s == SpmvStrategy.BSR:
+        from tpusparse.formats.bcsr import BcsrMatrix
+
+        return BcsrMatrix.from_csr(csr, 8, 128).to_device(dtype=dtype), "bsr"
+    return csr.to_device(dtype=dtype), "reference"
+
+
+def _chain_time(fn, x, iters=(5, 35)):
+    """Slope timing: per-op seconds via two chained iteration counts
+    (the tunneled platform has ~25 ms host round-trip latency)."""
+    import jax
+    import jax.numpy as jnp
+
+    def chain(K):
+        @jax.jit
+        def g(x):
+            def body(i, x):
+                y = fn(x)
+                denom = jnp.max(jnp.abs(y)) + 1.0
+                if y.shape == x.shape:
+                    return y / denom
+                return x * (1.0 + 0.0 * jnp.sum(y))
+            return jax.lax.fori_loop(0, K, body, x)
+        return g
+
+    def run(g):
+        r = g(x)
+        float(jnp.sum(r))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = g(x)
+            float(jnp.sum(r))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    K1, K2 = iters
+    return max((run(chain(K2)) - run(chain(K1))) / (K2 - K1), 1e-9)
+
+
+def cmd_spmv(args):
+    import jax.numpy as jnp
+
+    from tpusparse.bench import models
+    from tpusparse.ops.reference import spmv_numpy
+    from tpusparse.ops.spmv import spmv
+
+    csr, name = _load_matrix(args)
+    dtype = np.float32 if args.fp32 else np.float64
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(csr.num_cols).astype(dtype)
+    golden = spmv_numpy(csr, x, alpha=args.alpha, beta=args.beta)
+
+    strategies = (args.strategy.split(",") if args.strategy
+                  else (["merge", "reference"] if dtype == np.float32
+                        else ["reference"]))
+    rows = []
+    for strat in strategies:
+        A, kind = _plan(csr, strat, dtype)
+        xd = jnp.asarray(x)
+        y = np.asarray(spmv(A, xd, alpha=args.alpha, beta=args.beta))
+        scale = np.abs(golden).max() + 1.0
+        err = np.abs(y - golden).max() / scale
+        ok = err < (2e-5 if dtype == np.float32 else 1e-10)
+        if csr.num_rows == csr.num_cols:
+            per = _chain_time(lambda v: spmv(A, v), xd)
+        else:
+            per = float("nan")
+        gf = models.gflops(models.spmv_flops(csr.nnz), per)
+        bw = models.gbytes_per_s(
+            models.spmv_bytes(csr.nnz, csr.num_rows,
+                              value_bytes=np.dtype(dtype).itemsize),
+            per,
+        )
+        rows.append((name, kind, csr.num_rows, csr.nnz,
+                     per * 1e3, gf, bw, "PASS" if ok else "FAIL"))
+        if not args.quiet:
+            print(f"{name} [{kind}] {'fp32' if args.fp32 else 'fp64'}: "
+                  f"{per*1e3:.3f} ms, {gf:.2f} GFLOP/s, {bw:.1f} GB/s "
+                  f"eff, {'PASS' if ok else 'FAIL'} (err {err:.2e})")
+    if args.quiet:
+        for r in rows:
+            print(",".join(str(v) for v in r))
+    return rows
+
+
+def cmd_spmm(args):
+    import jax.numpy as jnp
+
+    from tpusparse.bench import models
+    from tpusparse.ops.spmv import spmm
+
+    csr, name = _load_matrix(args)
+    dtype = np.float32 if args.fp32 else np.float64
+    L = args.num_vectors
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((csr.num_cols, L)).astype(dtype)
+    golden = csr.to_scipy() @ X
+
+    strategies = (args.strategy.split(",") if args.strategy
+                  else (["merge", "reference"] if dtype == np.float32
+                        else ["reference"]))
+    rows = []
+    for strat in strategies:
+        A, kind = _plan(csr, strat, dtype)
+        Xd = jnp.asarray(X)
+        Y = np.asarray(spmm(A, Xd))
+        scale = np.abs(golden).max() + 1.0
+        err = np.abs(Y - golden).max() / scale
+        ok = err < (5e-5 if dtype == np.float32 else 1e-10)
+        if csr.num_rows == csr.num_cols:
+            per = _chain_time(lambda V: spmm(A, V), Xd, iters=(2, 10))
+        else:
+            per = float("nan")
+        gf = models.gflops(models.spmv_flops(csr.nnz, L), per)
+        rows.append((name, kind, L, csr.nnz, per * 1e3, gf,
+                     "PASS" if ok else "FAIL"))
+        if not args.quiet:
+            print(f"{name} [{kind}] L={L}: {per*1e3:.3f} ms, "
+                  f"{gf:.2f} GFLOP/s, {'PASS' if ok else 'FAIL'} "
+                  f"(err {err:.2e})")
+    if args.quiet:
+        for r in rows:
+            print(",".join(str(v) for v in r))
+    return rows
+
+
+def cmd_cg(args):
+    """Single-RHS CG over L vectors sequentially (cpu_singlecg parity:
+    FLOP model (2nnz + 10n) per iteration, cpu_singlecg.cpp:94)."""
+    import jax.numpy as jnp
+
+    from tpusparse.bench import models
+    from tpusparse.ops.spmv import spmv
+    from tpusparse.solvers.cg import cg_solve
+
+    csr, name = _load_matrix(args)
+    dtype = np.float32 if args.fp32 else np.float64
+    A, kind = _plan(csr, args.strategy or "auto", dtype)
+    rng = np.random.default_rng(0)
+    L = args.num_vectors
+    total_iters = 0
+    t0 = time.perf_counter()
+    for v in range(L):
+        b = jnp.asarray(rng.standard_normal(csr.num_rows).astype(dtype))
+        res = cg_solve(A, b, max_iters=args.max_iters,
+                       tolerance=args.tolerance)
+        total_iters += int(res.iterations)
+    t = time.perf_counter() - t0
+    gf = models.gflops(
+        (2.0 * csr.nnz + 10.0 * csr.num_rows) * total_iters, t
+    )
+    row = (name, kind, L, t * 1e3, gf, total_iters)
+    if args.quiet:
+        print(",".join(str(v) for v in row))
+    else:
+        print(f"{name} [{kind}]: {L} solves, {total_iters} total iters, "
+              f"{t*1e3:.1f} ms, {gf:.2f} GFLOP/s")
+    return row
+
+
+def cmd_multicg(args):
+    """Solver comparison CG / PCG-IC(0) / SPAI-CG with error-history
+    CSVs (cpu_multicg parity, cpu_multicg.cpp:109-290)."""
+    import jax.numpy as jnp
+
+    from tpusparse.bench import models
+    from tpusparse.precond.ic0 import ic0_factorize
+    from tpusparse.precond.spai import spai_inverse
+    from tpusparse.solvers.cg import cg_solve_multi
+    from tpusparse.solvers.pcg import make_ic0_preconditioner, \
+        pcg_solve_multi
+    from tpusparse.solvers.spai_cg import spai_cg_solve_multi
+
+    csr, name = _load_matrix(args)
+    dtype = np.float32 if args.fp32 else np.float64
+    A, kind = _plan(csr, args.strategy or "auto", dtype)
+    rng = np.random.default_rng(0)
+    L = args.num_vectors
+    n = csr.num_rows
+    B = jnp.asarray(rng.standard_normal((n, L)).astype(dtype))
+
+    outdir = args.output or "data/error_data"
+    os.makedirs(outdir, exist_ok=True)
+    results = {}
+
+    def record(solver_name, fn, prep_s=0.0):
+        t0 = time.perf_counter()
+        res = fn()
+        iters = int(res.iterations)
+        t = time.perf_counter() - t0
+        hist = np.asarray(res.history)[:iters]
+        csv = os.path.join(outdir, f"{name}_{solver_name}_errors.csv")
+        with open(csv, "w") as f:
+            f.write("iteration,max_relative_error\n")
+            for i, e in enumerate(hist):
+                f.write(f"{i},{e}\n")
+        results[solver_name] = dict(
+            iters=iters, solve_ms=t * 1e3, prep_ms=prep_s * 1e3,
+            converged=bool(np.all(np.asarray(res.converged))),
+        )
+        if not args.quiet:
+            print(f"{name} {solver_name}: {iters} iters, "
+                  f"prep {prep_s*1e3:.1f} ms, solve {t*1e3:.1f} ms, "
+                  f"converged={results[solver_name]['converged']}")
+
+    record("cg", lambda: cg_solve_multi(
+        A, B, max_iters=args.max_iters, tolerance=args.tolerance))
+
+    t0 = time.perf_counter()
+    Lfac = ic0_factorize(csr)
+    prec = make_ic0_preconditioner(Lfac, sweeps=args.jacobi_sweeps)
+    prep = time.perf_counter() - t0
+    record("pcg_ic0", lambda: pcg_solve_multi(
+        A, B, prec, max_iters=args.max_iters,
+        tolerance=args.tolerance), prep)
+
+    t0 = time.perf_counter()
+    M = spai_inverse(csr)
+    Md = M.to_device(dtype=dtype)
+    prep = time.perf_counter() - t0
+    record("spai_cg", lambda: spai_cg_solve_multi(
+        A, Md, B, max_iters=args.max_iters,
+        tolerance=args.tolerance), prep)
+
+    if args.quiet:
+        print(json.dumps({"matrix": name, "kernel": kind, **results}))
+    return results
+
+
+def cmd_stats(args):
+    """matrix_stats tool parity (verification/matrix_stats)."""
+    csr, name = _load_matrix(args)
+    st = csr.stats()
+    if args.quiet:
+        print(f"{name},{st.num_rows},{st.num_cols},{st.nnz},"
+              f"{st.row_length_mean},{st.row_length_std},"
+              f"{st.row_length_cv},{st.row_length_skew},"
+              f"{st.row_length_max}")
+    else:
+        print(f"{name}: {st.display()}")
+        bounds, counts = csr.degree_histogram()
+        for b, c in zip(bounds, counts):
+            if c:
+                print(f"  degree <= {b}: {c}")
+
+
+def cmd_sweep(args):
+    """RHS-count sweep (eval_vectors.sh parity: L in 1..1024)."""
+    Ls = [int(v) for v in args.vector_counts.split(",")]
+    print("matrix,kernel,L,nnz,ms,gflops,check")
+    for L in Ls:
+        args.num_vectors = L
+        args.quiet = True
+        cmd_spmm(args)
+
+
+def build_parser():
+    p = argparse.ArgumentParser(prog="tpusparse.bench.run")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def add_common(sp):
+        sp.add_argument("--mtx")
+        sp.add_argument("--grid2d", type=int)
+        sp.add_argument("--grid3d", type=int)
+        sp.add_argument("--wheel", type=int)
+        sp.add_argument("--dense", type=int)
+        sp.add_argument("--lap2d", type=int)
+        sp.add_argument("--lap3d", type=int)
+        sp.add_argument("--spd", type=int)
+        sp.add_argument("--fp32", action="store_true")
+        sp.add_argument("--fp64", action="store_true")
+        sp.add_argument("--alpha", type=float, default=1.0)
+        sp.add_argument("--beta", type=float, default=0.0)
+        sp.add_argument("--quiet", action="store_true")
+        sp.add_argument("--strategy")
+        sp.add_argument("--num_vectors", type=int, default=32)
+        sp.add_argument("--max_iters", type=int, default=10000)
+        sp.add_argument("--tolerance", type=float, default=1e-5)
+        sp.add_argument("--jacobi_sweeps", type=int, default=16)
+        sp.add_argument("--output")
+
+    for name, fn in [("spmv", cmd_spmv), ("spmm", cmd_spmm),
+                     ("cg", cmd_cg), ("multicg", cmd_multicg),
+                     ("stats", cmd_stats), ("sweep", cmd_sweep)]:
+        sp = sub.add_parser(name)
+        add_common(sp)
+        if name == "sweep":
+            sp.add_argument("--vector_counts",
+                            default="1,2,4,8,16,32,64,128")
+        sp.set_defaults(fn=fn)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
