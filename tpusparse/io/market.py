@@ -183,4 +183,4 @@ def write_market(path, m, comment: str = "") -> None:
                 f.write(f"% {line}\n")
         f.write(f"{coo.num_rows} {coo.num_cols} {coo.nnz}\n")
         for r, c, v in zip(coo.rows, coo.cols, coo.vals):
-            f.write(f"{int(r) + 1} {int(c) + 1} {v!r}\n")
+            f.write(f"{int(r) + 1} {int(c) + 1} {float(v)!r}\n")
