@@ -1,0 +1,122 @@
+"""Layered-ELL format and SpMM kernel tests (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpusparse.formats.ell import (
+    build_ell_tiles,
+    ell_occupancy_estimate,
+    ell_to_dense,
+)
+from tpusparse.io import generators
+from tpusparse.kernels import ell_spmm
+
+
+def random_vals(csr, rng):
+    v = np.asarray(csr.values)
+    csr.values = rng.standard_normal(v.shape)
+    return csr
+
+
+class TestEllFormat:
+    @pytest.mark.parametrize(
+        "make",
+        [
+            lambda: generators.make_laplacian_grid2d(20).to_csr(),
+            lambda: generators.make_laplacian_grid3d(7).to_csr(),
+            lambda: generators.make_grid2d(17, self_loop=True).to_csr(),
+        ],
+    )
+    def test_lossless(self, make, rng):
+        csr = random_vals(make(), rng)
+        t = build_ell_tiles(csr)
+        np.testing.assert_allclose(ell_to_dense(t), csr.to_dense())
+
+    def test_layering_long_rows(self, rng):
+        csr = random_vals(generators.make_dense(30, 40).to_csr(), rng)
+        t = build_ell_tiles(csr)  # 40 nnz/row -> 5 layers
+        assert t.ntiles == 5
+        np.testing.assert_allclose(ell_to_dense(t), csr.to_dense())
+
+    def test_occupancy_estimate_matches(self):
+        csr = generators.make_laplacian_grid3d(8).to_csr()
+        t = build_ell_tiles(csr)
+        est = ell_occupancy_estimate(csr)
+        assert abs(est - t.occupancy) < 1e-9
+
+    def test_wheel_skew_low_occupancy(self):
+        csr = generators.make_wheel(2000).to_csr()
+        assert ell_occupancy_estimate(csr) < 0.1  # triggers fallback
+
+
+class TestEllKernel:
+    @pytest.mark.parametrize("L", [1, 8, 32])
+    def test_spmm_matches_scipy(self, L, rng):
+        csr = random_vals(
+            generators.make_laplacian_grid2d(20).to_csr(), rng
+        )
+        A = ell_spmm.to_device_ell(build_ell_tiles(csr))
+        X = rng.standard_normal((csr.num_cols, L)).astype(np.float32)
+        Y = np.asarray(ell_spmm.spmm_ell(A, jnp.asarray(X)))
+        expect = csr.to_scipy().astype(np.float32) @ X
+        scale = np.abs(expect).max() + 1.0
+        np.testing.assert_allclose(Y / scale, expect / scale, atol=2e-5)
+
+    def test_spmv_1d(self, rng):
+        csr = random_vals(
+            generators.make_laplacian_grid3d(6).to_csr(), rng
+        )
+        A = ell_spmm.to_device_ell(build_ell_tiles(csr))
+        x = rng.standard_normal(csr.num_cols).astype(np.float32)
+        y = np.asarray(ell_spmm.spmv_ell(A, jnp.asarray(x)))
+        expect = csr.to_scipy().astype(np.float32) @ x
+        scale = np.abs(expect).max() + 1.0
+        np.testing.assert_allclose(y / scale, expect / scale, atol=2e-5)
+
+    def test_multi_layer_accumulation(self, rng):
+        # dense-ish rows -> several layers per row block
+        csr = random_vals(
+            generators.make_random_spd(400, row_nnz=30, seed=5,
+                                       bandwidth=64).to_csr(), rng
+        )
+        A = ell_spmm.to_device_ell(build_ell_tiles(csr))
+        assert A.ntiles > -(-csr.num_rows // 128)
+        X = rng.standard_normal((csr.num_cols, 4)).astype(np.float32)
+        Y = np.asarray(ell_spmm.spmm_ell(A, jnp.asarray(X)))
+        expect = csr.to_scipy().astype(np.float32) @ X
+        scale = np.abs(expect).max() + 1.0
+        np.testing.assert_allclose(Y / scale, expect / scale, atol=2e-5)
+
+    def test_empty_row_blocks(self, rng):
+        from tpusparse.formats.coo import CooMatrix
+        from tpusparse.formats.csr import CsrMatrix
+
+        coo = CooMatrix(
+            300, 300,
+            np.array([0, 299], dtype=np.int32),
+            np.array([5, 250], dtype=np.int32),
+            np.array([2.0, 3.0]),
+        )
+        csr = CsrMatrix.from_coo(coo)
+        A = ell_spmm.to_device_ell(build_ell_tiles(csr))
+        x = np.ones(300, dtype=np.float32)
+        y = np.asarray(ell_spmm.spmv_ell(A, jnp.asarray(x)))
+        expect = np.zeros(300)
+        expect[0], expect[299] = 2.0, 3.0
+        np.testing.assert_allclose(y, expect, atol=1e-6)
+
+    def test_alpha_beta(self, rng):
+        csr = random_vals(
+            generators.make_laplacian_grid2d(10).to_csr(), rng
+        )
+        A = ell_spmm.to_device_ell(build_ell_tiles(csr))
+        X = rng.standard_normal((csr.num_cols, 4)).astype(np.float32)
+        Y0 = rng.standard_normal((csr.num_rows, 4)).astype(np.float32)
+        got = np.asarray(
+            ell_spmm.spmm_ell(A, jnp.asarray(X), alpha=2.0, beta=-0.5,
+                              Y=jnp.asarray(Y0))
+        )
+        expect = 2.0 * (csr.to_scipy().astype(np.float32) @ X) - 0.5 * Y0
+        scale = np.abs(expect).max() + 1.0
+        np.testing.assert_allclose(got / scale, expect / scale, atol=3e-5)

@@ -73,10 +73,30 @@ def test_spmv_public_dispatch(rng):
 
 
 def test_strategy_aliases():
-    assert SpmvStrategy.parse("simple") == SpmvStrategy.REFERENCE
-    assert SpmvStrategy.parse("nonzero_split") == SpmvStrategy.REFERENCE
+    # reference driver kernel names map onto their TPU analogues
+    assert SpmvStrategy.parse("simple") == SpmvStrategy.ROW_SPLIT
+    assert SpmvStrategy.parse("nonzero_split") == SpmvStrategy.MERGE
     assert SpmvStrategy.parse("merge") == SpmvStrategy.MERGE
+    assert SpmvStrategy.parse("mkl") == SpmvStrategy.REFERENCE
     assert SpmvStrategy.parse(SpmvStrategy.BSR) == SpmvStrategy.BSR
+
+
+def test_plan_matrix_auto(rng):
+    from tpusparse.ops.spmv import plan_matrix
+    from tpusparse.kernels.ell_spmm import DeviceEll
+    from tpusparse.kernels.merge_spmv import DeviceTiles
+
+    # regular stencil -> ELL
+    csr = generators.make_laplacian_grid2d(16).to_csr()
+    A = plan_matrix(csr, dtype=np.float32)
+    assert isinstance(A, DeviceEll)
+    # skewed wheel -> merge tiles
+    wheel = generators.make_wheel(2000).to_csr()
+    A2 = plan_matrix(wheel, dtype=np.float32)
+    assert isinstance(A2, DeviceTiles)
+    # fp64 -> reference CSR
+    A3 = plan_matrix(csr, dtype=np.float64)
+    assert isinstance(A3, CsrMatrix)
 
 
 def test_empty_rows_produce_zeros():

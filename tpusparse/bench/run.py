@@ -71,23 +71,20 @@ def _load_matrix(args):
     return coo.to_csr(), name
 
 
-def _plan(csr, strategy, dtype):
-    """Build the device operand for a strategy."""
-    from tpusparse.formats.tiles import build_merge_tiles
-    from tpusparse.kernels import merge_spmv
-    from tpusparse.ops.spmv import SpmvStrategy
+def _plan(csr, strategy, dtype, L=1):
+    """Build the device operand for a strategy; returns (operand, kind)."""
+    from tpusparse.formats.csr import CsrMatrix
+    from tpusparse.kernels.ell_spmm import DeviceEll
+    from tpusparse.ops.spmv import plan_matrix
 
-    s = SpmvStrategy.parse(strategy)
-    if s == SpmvStrategy.MERGE or (
-        s == SpmvStrategy.AUTO and dtype == np.float32
-    ):
-        tiles = build_merge_tiles(csr)
-        return merge_spmv.to_device_tiles(tiles, dtype=np.float32), "merge"
-    if s == SpmvStrategy.BSR:
-        from tpusparse.formats.bcsr import BcsrMatrix
-
-        return BcsrMatrix.from_csr(csr, 8, 128).to_device(dtype=dtype), "bsr"
-    return csr.to_device(dtype=dtype), "reference"
+    A = plan_matrix(csr, strategy=strategy, dtype=dtype, L=L)
+    if isinstance(A, CsrMatrix):
+        kind = "reference"
+    elif isinstance(A, DeviceEll):
+        kind = "row_split"
+    else:
+        kind = type(A).__name__ == "BcsrMatrix" and "bsr" or "merge"
+    return A, kind
 
 
 def _chain_time(fn, x, iters=(5, 35)):
@@ -137,8 +134,8 @@ def cmd_spmv(args):
     golden = spmv_numpy(csr, x, alpha=args.alpha, beta=args.beta)
 
     strategies = (args.strategy.split(",") if args.strategy
-                  else (["merge", "reference"] if dtype == np.float32
-                        else ["reference"]))
+                  else (["merge", "row_split", "reference"]
+                        if dtype == np.float32 else ["reference"]))
     rows = []
     for strat in strategies:
         A, kind = _plan(csr, strat, dtype)
@@ -183,11 +180,11 @@ def cmd_spmm(args):
     golden = csr.to_scipy() @ X
 
     strategies = (args.strategy.split(",") if args.strategy
-                  else (["merge", "reference"] if dtype == np.float32
-                        else ["reference"]))
+                  else (["row_split", "merge", "reference"]
+                        if dtype == np.float32 else ["reference"]))
     rows = []
     for strat in strategies:
-        A, kind = _plan(csr, strat, dtype)
+        A, kind = _plan(csr, strat, dtype, L=L)
         Xd = jnp.asarray(X)
         Y = np.asarray(spmm(A, Xd))
         scale = np.abs(golden).max() + 1.0
@@ -259,9 +256,9 @@ def cmd_multicg(args):
 
     csr, name = _load_matrix(args)
     dtype = np.float32 if args.fp32 else np.float64
-    A, kind = _plan(csr, args.strategy or "auto", dtype)
-    rng = np.random.default_rng(0)
     L = args.num_vectors
+    A, kind = _plan(csr, args.strategy or "auto", dtype, L=L)
+    rng = np.random.default_rng(0)
     n = csr.num_rows
     B = jnp.asarray(rng.standard_normal((n, L)).astype(dtype))
 

@@ -6,18 +6,21 @@ MKL baseline, selected by the ``SpmmKernel`` enum
 NONZERO_SPLIT) and benchmarked against each other
 (``cpu_spmv.cpp:750-923``). The TPU-native strategy set is:
 
-  REFERENCE  — pure-XLA gather + segment_sum (the golden model; also the
-               analogue of the reference's row/nonzero-splitting OpenMP
-               kernels, which XLA parallelizes internally).
-  MERGE      — the Pallas merge-tile kernel (flagship; TPU re-design of
-               the SC'16 merge-path GPU pipeline).
+  REFERENCE  — pure-XLA gather + segment_sum (the golden model).
+  MERGE      — the Pallas merge-tile kernel (skew-insensitive flagship;
+               TPU re-design of the SC'16 merge-path GPU pipeline —
+               the reference's MERGE / NONZERO_SPLIT strategies).
+  ROW_SPLIT  — the Pallas layered-ELL kernel (one vector lane per row;
+               TPU re-design of the reference's SIMPLE row-splitting
+               strategy; the fastest multi-RHS path for regular rows).
   BSR        — blocked-CSR panels on the MXU (for block-structured
                matrices; the TPU answer to the reference's BCSR format).
-  AUTO       — picks MERGE when a merge-tile plan is available and the
-               dtype/shape fits, else REFERENCE.
+  AUTO       — plan-time selection by occupancy / gather-span / VMEM
+               fit, mirroring the reference's benchmarked-strategy
+               selection.
 
-Reference-enum aliases (simple / nonzero_split) map onto REFERENCE for
-CLI/driver parity.
+``plan_matrix`` builds the device operand for a host CsrMatrix under a
+strategy; ``spmv``/``spmm`` dispatch on the operand type.
 """
 
 from __future__ import annotations
@@ -35,6 +38,7 @@ from tpusparse.ops import reference as ref
 class SpmvStrategy(enum.Enum):
     REFERENCE = "reference"
     MERGE = "merge"
+    ROW_SPLIT = "row_split"
     BSR = "bsr"
     AUTO = "auto"
 
@@ -45,12 +49,63 @@ class SpmvStrategy(enum.Enum):
         s = str(s).lower()
         aliases = {
             # reference driver kernel names (work_2025/types.hpp)
-            "simple": "reference",
-            "row_split": "reference",
-            "nonzero_split": "reference",
+            "simple": "row_split",
+            "ell": "row_split",
+            "nonzero_split": "merge",
             "mkl": "reference",
         }
         return cls(aliases.get(s, s))
+
+
+def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1):
+    """Build the device operand for a host CsrMatrix.
+
+    AUTO policy: fp64 -> reference CSR (Mosaic has no 64-bit types);
+    fp32 -> layered-ELL when the packing is efficient (occupancy >=
+    0.4, per-chunk gather span <= 32) and the RHS block fits VMEM,
+    else merge tiles.
+    """
+    import numpy as np
+
+    strategy = SpmvStrategy.parse(strategy)
+    if dtype is None:
+        dtype = np.asarray(csr.values).dtype
+    if strategy == SpmvStrategy.REFERENCE or np.dtype(dtype).itemsize > 4:
+        return csr.to_device(dtype=dtype)
+    if strategy == SpmvStrategy.BSR:
+        from tpusparse.formats.bcsr import BcsrMatrix
+
+        return BcsrMatrix.from_csr(csr, 8, 128).to_device(dtype=dtype)
+    if strategy == SpmvStrategy.ROW_SPLIT:
+        from tpusparse.formats.ell import build_ell_tiles
+        from tpusparse.kernels import ell_spmm
+
+        return ell_spmm.to_device_ell(build_ell_tiles(csr), dtype=dtype)
+    if strategy == SpmvStrategy.MERGE:
+        from tpusparse.formats.tiles import build_merge_tiles
+        from tpusparse.kernels import merge_spmv
+
+        return merge_spmv.to_device_tiles(
+            build_merge_tiles(csr), dtype=dtype
+        )
+    # AUTO
+    from tpusparse.formats.ell import (
+        build_ell_tiles,
+        ell_occupancy_estimate,
+    )
+    from tpusparse.kernels import ell_spmm
+
+    if (
+        ell_occupancy_estimate(csr) >= 0.4
+        and ell_spmm.ell_fits(csr.num_cols, max(L, 1))
+    ):
+        ell = build_ell_tiles(csr)
+        if ell.gather_rows <= 32:
+            return ell_spmm.to_device_ell(ell, dtype=dtype)
+    from tpusparse.formats.tiles import build_merge_tiles
+    from tpusparse.kernels import merge_spmv
+
+    return merge_spmv.to_device_tiles(build_merge_tiles(csr), dtype=dtype)
 
 
 def spmv(A, x, alpha=1.0, beta=0.0, y=None, strategy="auto"):
@@ -68,7 +123,10 @@ def spmv(A, x, alpha=1.0, beta=0.0, y=None, strategy="auto"):
         from tpusparse.kernels import bsr as bsr_kernel
 
         return bsr_kernel.bsr_spmv(A, x, alpha=alpha, beta=beta, y=y)
-    # MergeTilesDevice
+    from tpusparse.kernels import ell_spmm
+
+    if isinstance(A, ell_spmm.DeviceEll):
+        return ell_spmm.spmv_ell(A, x, alpha=alpha, beta=beta, y=y)
     from tpusparse.kernels import merge_spmv
 
     return merge_spmv.spmv_merge(A, x, alpha=alpha, beta=beta, y=y)
@@ -85,6 +143,10 @@ def spmm(A, X, alpha=1.0, beta=0.0, Y=None, strategy="auto"):
         from tpusparse.kernels import bsr as bsr_kernel
 
         return bsr_kernel.bsr_spmm(A, X, alpha=alpha, beta=beta, Y=Y)
+    from tpusparse.kernels import ell_spmm
+
+    if isinstance(A, ell_spmm.DeviceEll):
+        return ell_spmm.spmm_ell(A, X, alpha=alpha, beta=beta, Y=Y)
     from tpusparse.kernels import spmm_tiles
 
     return spmm_tiles.spmm_merge(A, X, alpha=alpha, beta=beta, Y=Y)
