@@ -86,13 +86,16 @@ def test_plan_matrix_auto(rng):
     from tpusparse.kernels.ell_spmm import DeviceEll
     from tpusparse.kernels.merge_spmv import DeviceTiles
 
-    # regular stencil -> ELL
+    # regular stencil, multi-RHS -> gather-job ELL
     csr = generators.make_laplacian_grid2d(16).to_csr()
-    A = plan_matrix(csr, dtype=np.float32)
+    A = plan_matrix(csr, dtype=np.float32, L=16)
     assert isinstance(A, DeviceEll)
-    # skewed wheel -> merge tiles
+    # single RHS -> merge tiles
+    A1 = plan_matrix(csr, dtype=np.float32, L=1)
+    assert isinstance(A1, DeviceTiles)
+    # skewed wheel -> merge tiles even for multi-RHS
     wheel = generators.make_wheel(2000).to_csr()
-    A2 = plan_matrix(wheel, dtype=np.float32)
+    A2 = plan_matrix(wheel, dtype=np.float32, L=16)
     assert isinstance(A2, DeviceTiles)
     # fp64 -> reference CSR
     A3 = plan_matrix(csr, dtype=np.float64)

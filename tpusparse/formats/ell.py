@@ -1,28 +1,26 @@
-"""EllTiles — layered padded-row tile format (the row-splitting analogue).
+"""EllTiles — gather-job tile format (the row-splitting analogue).
 
 TPU re-design of the reference's row-splitting decomposition
 (``OmpCsrSpmmT``, ``/root/reference/work_2025/spmm/row_splitting.hpp:18-56``:
 one OpenMP thread per row, SIMD over the RHS lanes). On TPU the "thread
-per row" becomes "vector lane per row":
+per row" becomes "vector lane per row", and the irregular per-row
+column streams are regularized into *gather jobs*:
 
-  * rows are grouped into aligned blocks of 128 (the lane dimension);
-  * each row's nonzeros (column-sorted) are sliced into *layers* of 8
-    slots; tile = (row block, layer) holds an (8 slots x 128 rows)
-    register tile: element [i, j] is slot i of row rb*128 + j;
-  * for regular sparsity patterns, slot position i across the 128 rows
-    of a block follows a single (sub-)diagonal, so each of the 8 chunks
-    has a *tight per-chunk column anchor* — the gather select-loop runs
-    over genuine per-diagonal spans;
-  * row sums need **no scan and no scatter at all**: summing the 8
-    chunks yields the 128 per-row partials in lane order, and layers of
-    the same row block accumulate into the same (revisited) output
-    block.
+  a job = the entries of one aligned 128-row block that fall in one
+  128-wide column block, at one per-(row, column-block) occurrence
+  rank — i.e. at most ONE entry per lane.
 
-Trade-off vs MergeTiles: padding grows with row-length variance within
-a block (the wheel hub row is pathological), so ``ell_occupancy`` is
-checked at plan time and skewed matrices route to the merge kernel —
-the same multi-strategy philosophy as the reference's SIMPLE / MERGE /
-NONZERO_SPLIT selection.
+Each job therefore needs exactly one (L, 128) x-block read, one
+hardware lane-gather, one multiply and one accumulate — no select
+loops, no spans, no scans, no scatters. Jobs of a row block are packed
+into fixed-capacity tiles (J jobs per tile) kept consecutive so the
+output block is revisited and accumulated in VMEM.
+
+Trade-off vs MergeTiles: the job count grows with row-length variance
+and column scatter (a wheel-hub row or uniformly random columns produce
+mostly-empty jobs), so ``ell_occupancy_estimate`` gates the strategy at
+plan time — the same multi-strategy philosophy as the reference's
+SIMPLE / MERGE / NONZERO_SPLIT selection.
 """
 
 from __future__ import annotations
@@ -33,24 +31,25 @@ import numpy as np
 
 SUBLANES = 8
 LANES = 128
+JOBS_PER_TILE = 8
 
 
 @dataclasses.dataclass
 class EllTiles:
-    """Host-side layered-ELL partition of a CSR matrix."""
+    """Host-side gather-job partition of a CSR matrix."""
 
     num_rows: int
     num_cols: int
     nnz: int
-    gather_rows: int          # static per-chunk gather span (col blocks)
+    jobs_per_tile: int
 
-    vals: np.ndarray          # (ntiles, 8, 128)
-    local_cols: np.ndarray    # (ntiles, 8, 128) int32, relative to the
-                              # chunk anchor: in [0, gather_rows*128)
+    vals: np.ndarray          # (ntiles, J, 128); [t, j, lane] = value of
+                              # job j's entry in row rb*128+lane (0 pad)
+    local_cols: np.ndarray    # (ntiles, J, 128) int32 in [0, 128)
     row_block: np.ndarray     # (ntiles,) int32 — output block index
-    new_block: np.ndarray     # (ntiles,) int32 — 1 on the first layer
-                              # of each row block (zero the out block)
-    chunk_cblk: np.ndarray    # (ntiles*8,) int32 — per-chunk x anchor
+    new_block: np.ndarray     # (ntiles,) int32 — 1 on the first tile of
+                              # each row block (zero the out block)
+    job_cblk: np.ndarray      # (ntiles*J,) int32 — x block per job
 
     @property
     def ntiles(self) -> int:
@@ -62,80 +61,107 @@ class EllTiles:
         return self.nnz / total if total else 0.0
 
 
-def ell_occupancy_estimate(csr) -> float:
-    """Occupancy the layered-ELL packing would achieve — cheap plan-time
-    check (slots = 8 * sum over row blocks of max ceil(len/8))."""
-    lengths = np.diff(np.asarray(csr.row_offsets)).astype(np.int64)
-    nb = -(-csr.num_rows // LANES)
-    pad = np.zeros(nb * LANES, dtype=np.int64)
-    pad[: csr.num_rows] = -(-lengths // SUBLANES)  # layers per row
-    layers = pad.reshape(nb, LANES).max(axis=1)
-    total_slots = int(layers.sum()) * SUBLANES * LANES
-    return csr.nnz / total_slots if total_slots else 0.0
-
-
-def build_ell_tiles(csr, max_span: int = 64) -> EllTiles:
-    """Partition a host CsrMatrix into EllTiles.
-
-    ``max_span`` caps the static gather span; matrices whose chunks
-    exceed it should use the merge kernel instead (ops.spmv AUTO
-    policy checks ``gather_rows``)."""
+def _job_structure(csr):
+    """Shared by the builder and the estimator: per-entry (rb, cblk,
+    rank) job keys, sorted; returns (order, rb_s, job ids, lanes,
+    njobs_per_rowblock)."""
     ro = np.asarray(csr.row_offsets).astype(np.int64)
     ci = np.asarray(csr.col_indices).astype(np.int64)
-    va = np.asarray(csr.values)
     M = csr.num_rows
     nnz = int(ci.shape[0])
+    rows = np.repeat(np.arange(M, dtype=np.int64), np.diff(ro))
+    rb = rows // LANES
+    cblk = ci // LANES
+
+    # rank of the entry within its (row, column-block)
+    o1 = np.lexsort((ci, cblk, rows))
+    r1, cb1 = rows[o1], cblk[o1]
+    new_rc = np.empty(nnz, dtype=bool)
+    new_rc[0] = True
+    new_rc[1:] = (r1[1:] != r1[:-1]) | (cb1[1:] != cb1[:-1])
+    seg = np.cumsum(new_rc) - 1
+    seg_start = np.flatnonzero(new_rc)
+    rank1 = np.arange(nnz) - seg_start[seg]
+    rank = np.empty(nnz, dtype=np.int64)
+    rank[o1] = rank1
+
+    # enumerate jobs sorted by (rb, cblk, rank)
+    o2 = np.lexsort((rank, cblk, rb))
+    rb2, cb2, rk2 = rb[o2], cblk[o2], rank[o2]
+    new_job = np.empty(nnz, dtype=bool)
+    new_job[0] = True
+    new_job[1:] = (
+        (rb2[1:] != rb2[:-1]) | (cb2[1:] != cb2[:-1])
+        | (rk2[1:] != rk2[:-1])
+    )
+    job_id = np.cumsum(new_job) - 1
+    njobs = int(job_id[-1]) + 1
+    nb = max(-(-M // LANES), 1)
+    jobs_rb = np.bincount(rb2[new_job], minlength=nb).astype(np.int64)
+    return o2, rb2, cb2, job_id, rows[o2] % LANES, ci[o2] % LANES, \
+        new_job, jobs_rb, nb
+
+
+def ell_occupancy_estimate(csr) -> float:
+    """Occupancy the gather-job packing would achieve (jobs counted
+    without building payloads)."""
+    if csr.nnz == 0:
+        return 0.0
+    *_, jobs_rb, _nb = _job_structure(csr)
+    tiles = np.maximum(-(-jobs_rb // JOBS_PER_TILE), 1)
+    total = int(tiles.sum()) * JOBS_PER_TILE * LANES
+    return csr.nnz / total if total else 0.0
+
+
+def build_ell_tiles(csr, jobs_per_tile: int = JOBS_PER_TILE) -> EllTiles:
+    """Partition a host CsrMatrix into gather-job EllTiles."""
+    va = np.asarray(csr.values)
+    M = csr.num_rows
+    nnz = int(va.shape[0])
     dtype = va.dtype
+    J = jobs_per_tile
     nb = max(-(-M // LANES), 1)
 
     if nnz == 0:
         return EllTiles(
-            num_rows=M, num_cols=csr.num_cols, nnz=0, gather_rows=1,
-            vals=np.zeros((nb, SUBLANES, LANES), dtype=dtype),
-            local_cols=np.zeros((nb, SUBLANES, LANES), dtype=np.int32),
+            num_rows=M, num_cols=csr.num_cols, nnz=0, jobs_per_tile=J,
+            vals=np.zeros((nb, J, LANES), dtype=dtype),
+            local_cols=np.zeros((nb, J, LANES), dtype=np.int32),
             row_block=np.arange(nb, dtype=np.int32),
             new_block=np.ones(nb, dtype=np.int32),
-            chunk_cblk=np.zeros(nb * SUBLANES, dtype=np.int32),
+            job_cblk=np.zeros(nb * J, dtype=np.int32),
         )
 
-    rows = np.repeat(np.arange(M, dtype=np.int64), np.diff(ro))
-    k = np.arange(nnz, dtype=np.int64) - ro[rows]  # slot within row
-    rb = rows // LANES
-    lane = rows % LANES
-    layer = k // SUBLANES
-    sub = k % SUBLANES
+    (o2, rb2, cb2, job_id, lane2, lcol2, new_job, jobs_rb, nb) = (
+        _job_structure(csr)
+    )
+    v2 = va[o2]
 
-    # layers per row block
-    nlayers = np.zeros(nb, dtype=np.int64)
-    np.maximum.at(nlayers, rb, layer + 1)
-    nlayers = np.maximum(nlayers, 1)  # empty blocks still get one tile
+    ntiles_rb = np.maximum(-(-jobs_rb // J), 1)
     tile_base = np.zeros(nb + 1, dtype=np.int64)
-    np.cumsum(nlayers, out=tile_base[1:])
+    np.cumsum(ntiles_rb, out=tile_base[1:])
     ntiles = int(tile_base[-1])
 
-    tile_id = tile_base[rb] + layer
+    # job -> (tile, slot): within-rowblock job index
+    job_start_rb = np.zeros(nb + 1, dtype=np.int64)
+    np.cumsum(jobs_rb, out=job_start_rb[1:])
+    job_rb = rb2[new_job]          # (njobs,) row block of each job
+    job_local = np.arange(job_rb.size) - job_start_rb[job_rb]
+    job_tile = tile_base[job_rb] + job_local // J
+    job_slot = job_local % J
+    job_cblk_arr = cb2[new_job]
 
-    # per-(tile, chunk) column anchor
-    key = tile_id * SUBLANES + sub
-    cmin = np.full(ntiles * SUBLANES, np.iinfo(np.int64).max,
-                   dtype=np.int64)
-    cmax = np.full(ntiles * SUBLANES, -1, dtype=np.int64)
-    np.minimum.at(cmin, key, ci)
-    np.maximum.at(cmax, key, ci)
-    touched = cmax >= 0
-    anchor = np.zeros(ntiles * SUBLANES, dtype=np.int64)
-    anchor[touched] = (cmin[touched] // LANES)
-    span = np.ones(ntiles * SUBLANES, dtype=np.int64)
-    span[touched] = cmax[touched] // LANES - anchor[touched] + 1
-    gather_rows = int(span.max())
+    vals = np.zeros((ntiles, J, LANES), dtype=dtype)
+    lcols = np.zeros((ntiles, J, LANES), dtype=np.int32)
+    t_e = job_tile[job_id]
+    s_e = job_slot[job_id]
+    vals[t_e, s_e, lane2] = v2
+    lcols[t_e, s_e, lane2] = lcol2.astype(np.int32)
 
-    vals = np.zeros((ntiles, SUBLANES, LANES), dtype=dtype)
-    lcols = np.zeros((ntiles, SUBLANES, LANES), dtype=np.int32)
-    vals[tile_id, sub, lane] = va
-    lcols[tile_id, sub, lane] = (ci - anchor[key] * LANES).astype(np.int32)
+    job_cblk = np.zeros(ntiles * J, dtype=np.int32)
+    job_cblk[job_tile * J + job_slot] = job_cblk_arr.astype(np.int32)
 
-    row_block = np.repeat(np.arange(nb, dtype=np.int32),
-                          nlayers.astype(np.int64))
+    row_block = np.repeat(np.arange(nb, dtype=np.int32), ntiles_rb)
     new_block = np.zeros(ntiles, dtype=np.int32)
     new_block[tile_base[:-1]] = 1
 
@@ -143,26 +169,27 @@ def build_ell_tiles(csr, max_span: int = 64) -> EllTiles:
         num_rows=M,
         num_cols=csr.num_cols,
         nnz=nnz,
-        gather_rows=gather_rows,
+        jobs_per_tile=J,
         vals=vals,
         local_cols=lcols,
         row_block=row_block,
         new_block=new_block,
-        chunk_cblk=anchor.astype(np.int32),
+        job_cblk=job_cblk,
     )
 
 
 def ell_to_dense(t: EllTiles) -> np.ndarray:
     """Test oracle: reconstruct the dense matrix from EllTiles."""
-    d = np.zeros((t.row_block.max() * LANES + LANES, t.num_cols),
+    d = np.zeros((int(t.row_block.max()) * LANES + LANES, t.num_cols),
                  dtype=t.vals.dtype)
+    J = t.jobs_per_tile
     for tile in range(t.ntiles):
         rb = int(t.row_block[tile])
-        for i in range(SUBLANES):
-            cblk = int(t.chunk_cblk[tile * SUBLANES + i])
-            for j in range(LANES):
-                v = t.vals[tile, i, j]
+        for j in range(J):
+            cblk = int(t.job_cblk[tile * J + j])
+            for lane in range(LANES):
+                v = t.vals[tile, j, lane]
                 if v != 0:
-                    c = cblk * LANES + int(t.local_cols[tile, i, j])
-                    d[rb * LANES + j, c] += v
+                    c = cblk * LANES + int(t.local_cols[tile, j, lane])
+                    d[rb * LANES + lane, c] += v
     return d[: t.num_rows]

@@ -1,24 +1,25 @@
-"""Pallas layered-ELL SpMM — the multi-RHS flagship kernel.
+"""Pallas gather-job SpMM — the multi-RHS flagship kernel.
 
 Replaces the reference's SIMD-over-RHS SpMM kernels
 (``OmpCsrSpmmT`` row_splitting.hpp:18, ``OmpMergeCsrmm``
 merge_based.hpp:49): the RHS block rides the VPU lanes as dense
 (L, 128) register tiles, one lane per matrix row.
 
-Per grid step (one EllTiles tile = 8 slots x 128 rows):
-  * for each slot position i: lane-gather the (L, 128) X values of the
-    chunk's columns from the VMEM-resident X (select-loop over the
-    chunk's static span — per-diagonal anchors keep it at 1-3);
-  * multiply by the chunk's values (broadcast over L) and accumulate —
-    the 128 per-row partial sums emerge in lane order with NO scan,
-    extraction, or scatter;
-  * the output block (1, L, 128) is revisited by consecutive layers of
-    the same row block (zeroed on the first), so layer accumulation is
-    free and write-back happens once per row block.
+Per grid step (one EllTiles tile = J gather jobs x 128 rows), for each
+job:
+
+    acc += take_along_axis(X[job_cblk], local_cols) * vals
+
+— one x-block read, one hardware lane-gather, one FMA. Row sums emerge
+in lane order (a job holds at most one entry per row), so there is no
+scan, no extraction, and no scatter; tiles of a row block are
+consecutive and accumulate into a revisited (1, L, 128) output block
+(zeroed on first visit, written back once per row block).
 
 Requires X resident in VMEM: num_cols * L * 4B <= ~10 MB. ops.spmm's
-AUTO policy falls back to the merge kernel otherwise or when the ELL
-occupancy / gather span says the pattern is too irregular (skewed rows).
+AUTO policy falls back to the merge kernel otherwise or when the
+job-packing occupancy says the pattern is too irregular (skewed rows /
+scattered columns).
 """
 
 from __future__ import annotations
@@ -34,7 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpusparse.formats.ell import EllTiles, LANES, SUBLANES
+from tpusparse.formats.ell import EllTiles, LANES
 
 X_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
@@ -49,19 +50,19 @@ class DeviceEll:
     num_rows: int
     num_cols: int
     nnz: int
-    gather_rows: int
+    jobs_per_tile: int
 
-    vals: Any         # (ntiles, 8, 128)
-    local_cols: Any   # (ntiles, 8, 128) int32
+    vals: Any         # (ntiles, J, 128)
+    local_cols: Any   # (ntiles, J, 128) int32
     row_block: Any    # (ntiles,) int32
     new_block: Any    # (ntiles,) int32
-    chunk_cblk: Any   # (ntiles*8,) int32
+    job_cblk: Any     # (ntiles*J,) int32
 
     def tree_flatten(self):
         return (
             (self.vals, self.local_cols, self.row_block, self.new_block,
-             self.chunk_cblk),
-            (self.num_rows, self.num_cols, self.nnz, self.gather_rows),
+             self.job_cblk),
+            (self.num_rows, self.num_cols, self.nnz, self.jobs_per_tile),
         )
 
     @classmethod
@@ -82,16 +83,16 @@ def to_device_ell(tiles: EllTiles, dtype=np.float32) -> DeviceEll:
         num_rows=tiles.num_rows,
         num_cols=tiles.num_cols,
         nnz=tiles.nnz,
-        gather_rows=tiles.gather_rows,
+        jobs_per_tile=tiles.jobs_per_tile,
         vals=jnp.asarray(np.asarray(tiles.vals, dtype=dtype)),
         local_cols=jnp.asarray(tiles.local_cols),
         row_block=jnp.asarray(tiles.row_block),
         new_block=jnp.asarray(tiles.new_block),
-        chunk_cblk=jnp.asarray(tiles.chunk_cblk),
+        job_cblk=jnp.asarray(tiles.job_cblk),
     )
 
 
-def _ell_kernel(gather_rows: int, L: int,
+def _ell_kernel(J: int, L: int,
                 rb_ref, new_ref, cblk_ref, vals_ref, lc_ref, x_ref,
                 y_ref):
     t = pl.program_id(0)
@@ -101,18 +102,12 @@ def _ell_kernel(gather_rows: int, L: int,
         y_ref[:] = jnp.zeros_like(y_ref)
 
     acc = jnp.zeros((L, LANES), x_ref.dtype)
-    for i in range(SUBLANES):
-        lc = lc_ref[0, i, :]                      # (128,) int32
-        b = jnp.broadcast_to((lc % LANES)[None, :], (L, LANES))
-        q = jnp.broadcast_to((lc // LANES)[None, :], (L, LANES))
-        cblk = cblk_ref[t * SUBLANES + i]
-        g = jnp.zeros((L, LANES), x_ref.dtype)
-        for qq in range(gather_rows):
-            xq = x_ref[cblk + qq]                 # (L, 128)
-            cand = jnp.take_along_axis(xq, b, axis=1)
-            g = jnp.where(q == qq, cand, g)
-        v = jnp.broadcast_to(vals_ref[0, i, :][None, :], (L, LANES))
-        acc = acc + g * v
+    for j in range(J):
+        xq = x_ref[cblk_ref[t * J + j]]           # (L, 128)
+        b = jnp.broadcast_to(lc_ref[0, j, :][None, :], (L, LANES))
+        cand = jnp.take_along_axis(xq, b, axis=1)
+        v = jnp.broadcast_to(vals_ref[0, j, :][None, :], (L, LANES))
+        acc = acc + cand * v
     y_ref[0] = y_ref[0] + acc
 
 
@@ -121,14 +116,14 @@ def _spmm_ell(A: DeviceEll, x3, mb: int):
     """x3: (Nb, L, 128) VMEM-resident RHS; returns (mb, L, 128)."""
     L = x3.shape[1]
     y3 = pl.pallas_call(
-        functools.partial(_ell_kernel, A.gather_rows, L),
+        functools.partial(_ell_kernel, A.jobs_per_tile, L),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # rb, new, cblk
             grid=(A.ntiles,),
             in_specs=[
-                pl.BlockSpec((1, SUBLANES, LANES),
+                pl.BlockSpec((1, A.jobs_per_tile, LANES),
                              lambda i, rb, nw, cb: (i, 0, 0)),
-                pl.BlockSpec((1, SUBLANES, LANES),
+                pl.BlockSpec((1, A.jobs_per_tile, LANES),
                              lambda i, rb, nw, cb: (i, 0, 0)),
                 pl.BlockSpec(x3.shape,
                              lambda i, rb, nw, cb: (0, 0, 0)),
@@ -139,16 +134,15 @@ def _spmm_ell(A: DeviceEll, x3, mb: int):
         ),
         out_shape=jax.ShapeDtypeStruct((mb, L, LANES), A.vals.dtype),
         interpret=_interpret(),
-    )(A.row_block, A.new_block, A.chunk_cblk,
+    )(A.row_block, A.new_block, A.job_cblk,
       A.vals, A.local_cols, x3)
     return y3
 
 
 def _to_x3(A: DeviceEll, X):
-    """(num_cols, L) -> (Nb, L, 128) with column padding to the gather
-    slack."""
+    """(num_cols, L) -> (Nb, L, 128), one pad block for padding jobs."""
     L = X.shape[1]
-    nb = -(-A.num_cols // LANES) + A.gather_rows
+    nb = -(-A.num_cols // LANES) + 1
     Xp = jnp.zeros((nb * LANES, L), dtype=A.dtype)
     Xp = Xp.at[: A.num_cols].set(X.astype(A.dtype))
     return jnp.transpose(Xp.reshape(nb, LANES, L), (0, 2, 1))
@@ -160,11 +154,19 @@ def spmm_ell(A: DeviceEll, X, alpha=1.0, beta=0.0, Y=None):
     if X.ndim == 1:
         X = X[:, None]
         squeeze = True
+    L = X.shape[1]
+    # Mosaic's lane gather needs a full (>=8, 128) register tile; pad
+    # narrow RHS blocks up to 8 lanes.
+    Lp = max(L, 8)
+    if Lp != L:
+        X = jnp.concatenate(
+            [X, jnp.zeros((X.shape[0], Lp - L), X.dtype)], axis=1
+        )
     x3 = _to_x3(A, X)
     mb = -(-A.num_rows // LANES)
     y3 = _spmm_ell(A, x3, mb)
-    Y_new = jnp.transpose(y3, (0, 2, 1)).reshape(-1, X.shape[1])
-    Y_new = Y_new[: A.num_rows]
+    Y_new = jnp.transpose(y3, (0, 2, 1)).reshape(-1, Lp)
+    Y_new = Y_new[: A.num_rows, :L]
     if squeeze:
         Y_new = Y_new[:, 0]
     if beta == 0.0 or Y is None:

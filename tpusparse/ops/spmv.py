@@ -96,12 +96,11 @@ def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1):
     from tpusparse.kernels import ell_spmm
 
     if (
-        ell_occupancy_estimate(csr) >= 0.4
-        and ell_spmm.ell_fits(csr.num_cols, max(L, 1))
+        L >= 8  # multi-RHS: the gather-job kernel fills its (L,128) regs
+        and ell_occupancy_estimate(csr) >= 0.4
+        and ell_spmm.ell_fits(csr.num_cols, L)
     ):
-        ell = build_ell_tiles(csr)
-        if ell.gather_rows <= 32:
-            return ell_spmm.to_device_ell(ell, dtype=dtype)
+        return ell_spmm.to_device_ell(build_ell_tiles(csr), dtype=dtype)
     from tpusparse.formats.tiles import build_merge_tiles
     from tpusparse.kernels import merge_spmv
 
