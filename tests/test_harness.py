@@ -97,3 +97,33 @@ def test_suitesparse_local_enumeration(tmp_path):
     files = local_mtx_files(str(tmp_path))
     assert len(files) == 2
     assert matrix_url("HB", "bcsstk01").endswith("/HB/bcsstk01.tar.gz")
+
+
+def test_ulp_comparator():
+    from tpusparse.utils.compare import compare_results, ulp_distance
+
+    a = np.array([1.0, 2.0, 3.0], dtype=np.float32)
+    ok, _ = compare_results(a, a.copy())
+    assert ok
+    # tiny fp difference passes the length-scaled tolerance
+    b = a * (1 + 1e-7)
+    ok, _ = compare_results(b, a)
+    assert ok
+    # gross difference fails
+    c = a.copy()
+    c[1] = 5.0
+    ok, worst = compare_results(c, a)
+    assert not ok and worst == 1
+    # integers compare exactly
+    ok, _ = compare_results(np.array([1, 2]), np.array([1, 3]))
+    assert not ok
+    assert ulp_distance(np.float32(1.0), np.float32(1.0))[()] == 0
+
+
+def test_graph_stats():
+    from tpusparse.io import generators
+
+    csr = generators.make_laplacian_grid2d(10).to_csr()
+    gs = csr.graph_stats()
+    # symmetric matrix: row and col degrees identical -> r == 1
+    assert abs(gs["row_col_pearson_r"] - 1.0) < 1e-12

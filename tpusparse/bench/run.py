@@ -327,6 +327,27 @@ def cmd_stats(args):
                 print(f"  degree <= {b}: {c}")
 
 
+def cmd_axpy(args):
+    """STREAM-like axpy microbenchmark (parity: axpy.cpp:37-99 — MKL
+    daxpy vs memcpy vs scalar loop over sizes 2^2..2^17 doubles;
+    here: fused jnp axpy vs copy, per-size effective GB/s)."""
+    import jax
+    import jax.numpy as jnp
+
+    print("size_doubles,op,ms,gbs")
+    for p2 in range(8, 25, 2):
+        n = 2 ** p2
+        x = jnp.ones((n,), jnp.float64)
+        y = jnp.ones((n,), jnp.float64)
+
+        per = _chain_time(lambda v: v + 2.5 * x, y, iters=(10, 110))
+        gbs = 3 * n * 8 / per / 1e9
+        print(f"{n},axpy,{per*1e3:.4f},{gbs:.1f}")
+        per = _chain_time(lambda v: v * 1.0, y, iters=(10, 110))
+        gbs = 2 * n * 8 / per / 1e9
+        print(f"{n},copy,{per*1e3:.4f},{gbs:.1f}")
+
+
 def cmd_sweep(args):
     """RHS-count sweep (eval_vectors.sh parity: L in 1..1024)."""
     Ls = [int(v) for v in args.vector_counts.split(",")]
@@ -364,7 +385,8 @@ def build_parser():
 
     for name, fn in [("spmv", cmd_spmv), ("spmm", cmd_spmm),
                      ("cg", cmd_cg), ("multicg", cmd_multicg),
-                     ("stats", cmd_stats), ("sweep", cmd_sweep)]:
+                     ("stats", cmd_stats), ("sweep", cmd_sweep),
+                     ("axpy", cmd_axpy)]:
         sp = sub.add_parser(name)
         add_common(sp)
         if name == "sweep":

@@ -223,6 +223,26 @@ class CsrMatrix:
             row_length_min=int(lengths.min()) if lengths.size else 0,
         )
 
+    def graph_stats(self) -> dict:
+        """Row/column-degree structure statistics (parity:
+        ``CsrMatrix::GraphStats``, sparse_matrix.h:59-107: row-vs-col
+        degree Pearson correlation; the reference fits a Deming
+        regression, of which the Pearson r is the symmetric core)."""
+        row_deg = self.row_lengths().astype(np.float64)
+        col_deg = np.bincount(
+            np.asarray(self.col_indices), minlength=self.num_cols
+        ).astype(np.float64)
+        n = min(self.num_rows, self.num_cols)
+        r, c = row_deg[:n], col_deg[:n]
+        denom = r.std() * c.std()
+        pearson = float(((r - r.mean()) * (c - c.mean())).mean() / denom) \
+            if denom > 0 else 0.0
+        return {
+            "row_degree_mean": float(row_deg.mean()) if row_deg.size else 0,
+            "col_degree_mean": float(col_deg.mean()) if col_deg.size else 0,
+            "row_col_pearson_r": pearson,
+        }
+
     def degree_histogram(self) -> tuple[np.ndarray, np.ndarray]:
         """Log2-bucketed row-degree histogram (parity with
         ``DisplayHistogram``, ``sparse_matrix.h:929``). Returns

@@ -194,9 +194,10 @@ def _gather_window(x_ref, cblk, lc, gather_rows):
     unrolling/pipelining, so static it is.)"""
     b = lc % LANES
     q = lc // LANES
+    win = x_ref[pl.ds(cblk, gather_rows), :]           # one dynamic slice
     g = jnp.zeros(lc.shape, x_ref.dtype)
     for qq in range(gather_rows):
-        row = x_ref[pl.ds(cblk + qq, 1), :]            # (1, 128)
+        row = win[qq : qq + 1, :]                      # static (1, 128)
         cand = jnp.take_along_axis(
             jnp.broadcast_to(row, lc.shape), b, axis=1
         )
