@@ -291,7 +291,8 @@ def cmd_multicg(args):
 
     t0 = time.perf_counter()
     Lfac = ic0_factorize(csr)
-    prec = make_ic0_preconditioner(Lfac, sweeps=args.jacobi_sweeps)
+    prec = make_ic0_preconditioner(Lfac, sweeps=args.jacobi_sweeps,
+                                   num_rhs=L)
     prep = time.perf_counter() - t0
     record("pcg_ic0", lambda: pcg_solve_multi(
         A, B, prec, max_iters=args.max_iters,
@@ -299,7 +300,7 @@ def cmd_multicg(args):
 
     t0 = time.perf_counter()
     M = spai_inverse(csr)
-    Md = M.to_device(dtype=dtype)
+    Md, _ = _plan(M.astype(dtype), args.strategy or "auto", dtype, L=L)
     prep = time.perf_counter() - t0
     record("spai_cg", lambda: spai_cg_solve_multi(
         A, Md, B, max_iters=args.max_iters,

@@ -241,21 +241,35 @@ def build_merge_tiles(
 
 def tiling_efficiency(csr, tile_nnz: int, row_window: int,
                       col_window: int) -> float:
-    """Occupancy a (row_window, col_window) tiling would achieve, without
-    building the payloads — used by :func:`choose_tiling`."""
+    """Occupancy a (row_window, col_window) tiling would achieve, using
+    the same gap-split clustering as :func:`build_merge_tiles` but
+    without building the payloads — used by :func:`choose_tiling`."""
     ro = np.asarray(csr.row_offsets).astype(np.int64)
     ci = np.asarray(csr.col_indices).astype(np.int64)
-    if ci.size == 0:
+    nnz = int(ci.size)
+    if nnz == 0:
         return 0.0
+    G = col_window // LANES
     rows_all = np.repeat(
         np.arange(csr.num_rows, dtype=np.int64), np.diff(ro)
     )
-    nb = (csr.num_cols // col_window) + 1
-    key = (rows_all // row_window) * nb + ci // col_window
-    counts = np.bincount(key - key.min())
+    wid = rows_all // row_window
+    colblk = ci // LANES
+    o1 = np.lexsort((colblk, wid))
+    w1, cb1 = wid[o1], colblk[o1]
+    new_cluster = np.empty(nnz, dtype=bool)
+    new_cluster[0] = True
+    new_cluster[1:] = (w1[1:] != w1[:-1]) | (cb1[1:] - cb1[:-1] > 1)
+    clu1 = np.cumsum(new_cluster) - 1
+    ncl = int(clu1[-1]) + 1
+    first_blk = np.full(ncl, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(first_blk, clu1, cb1)
+    subcell = (cb1 - first_blk[clu1]) // G
+    key = clu1 * (subcell.max() + 1) + subcell
+    counts = np.bincount(key)
     counts = counts[counts > 0]
     ntiles = int(np.sum(-(-counts // tile_nnz)))
-    return ci.size / (ntiles * tile_nnz)
+    return nnz / (ntiles * tile_nnz)
 
 
 def choose_tiling(

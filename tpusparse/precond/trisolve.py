@@ -113,17 +113,30 @@ class JacobiTriSolver:
         return x
 
 
-def jacobi_trisolve_lower(L_host, sweeps: int = 12, to_plan=None):
+def _default_plan(strict, num_rhs):
+    """Route the strict triangular part through the kernel planner so
+    every Jacobi sweep runs on the Pallas SpMM path (fp32); fp64 falls
+    back to the reference ops inside plan_matrix."""
+    from tpusparse.ops.spmv import plan_matrix
+
+    return plan_matrix(strict, strategy="auto", L=num_rhs)
+
+
+def jacobi_trisolve_lower(L_host, sweeps: int = 12, to_plan=None,
+                          num_rhs: int = 16):
     """Build a JacobiTriSolver for L x = b from a host lower CSR.
-    ``to_plan`` optionally converts the strict part to a device plan
-    (e.g. merge tiles)."""
+    ``to_plan`` overrides the device plan builder (default: the AUTO
+    kernel planner, sized for ``num_rhs`` right-hand sides)."""
     strict, diag = split_diag(L_host)
-    dev = to_plan(strict) if to_plan else strict.to_device()
+    dev = (to_plan(strict) if to_plan
+           else _default_plan(strict, num_rhs))
     return JacobiTriSolver(dev, jnp.asarray(1.0 / diag), sweeps)
 
 
-def jacobi_trisolve_upper(L_host, sweeps: int = 12, to_plan=None):
+def jacobi_trisolve_upper(L_host, sweeps: int = 12, to_plan=None,
+                          num_rhs: int = 16):
     """Build a JacobiTriSolver for L^T x = b."""
     strict, diag = split_diag(L_host.transpose())
-    dev = to_plan(strict) if to_plan else strict.to_device()
+    dev = (to_plan(strict) if to_plan
+           else _default_plan(strict, num_rhs))
     return JacobiTriSolver(dev, jnp.asarray(1.0 / diag), sweeps)

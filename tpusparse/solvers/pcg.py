@@ -89,7 +89,8 @@ def pcg_solve_multi(
     )
 
 
-def make_ic0_preconditioner(L_host, sweeps: int = 16, to_plan=None):
+def make_ic0_preconditioner(L_host, sweeps: int = 16, to_plan=None,
+                            num_rhs: int = 16):
     """Build the z = (L L^T)^{-1} r application from a host IC(0) factor
     using device Jacobi triangular solves (exact once ``sweeps`` reaches
     the factor's dependency depth — strictly triangular iteration
@@ -99,8 +100,10 @@ def make_ic0_preconditioner(L_host, sweeps: int = 16, to_plan=None):
         jacobi_trisolve_upper,
     )
 
-    fwd = jacobi_trisolve_lower(L_host, sweeps=sweeps, to_plan=to_plan)
-    bwd = jacobi_trisolve_upper(L_host, sweeps=sweeps, to_plan=to_plan)
+    fwd = jacobi_trisolve_lower(L_host, sweeps=sweeps, to_plan=to_plan,
+                                num_rhs=num_rhs)
+    bwd = jacobi_trisolve_upper(L_host, sweeps=sweeps, to_plan=to_plan,
+                                num_rhs=num_rhs)
 
     def apply_precond(R):
         Y = fwd.solve(R)
