@@ -70,7 +70,16 @@ def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1):
     strategy = SpmvStrategy.parse(strategy)
     if dtype is None:
         dtype = np.asarray(csr.values).dtype
-    if strategy == SpmvStrategy.REFERENCE or np.dtype(dtype).itemsize > 4:
+    # The Pallas kernels keep x (and the merge kernel also y) resident
+    # in VMEM; beyond ~1.2M rows/cols fall back to the reference ops
+    # (windowed-output large-matrix variants: see ROADMAP.md).
+    VMEM_DIM_LIMIT = 1_200_000
+    too_big = max(csr.num_rows, csr.num_cols) > VMEM_DIM_LIMIT
+    if (
+        strategy == SpmvStrategy.REFERENCE
+        or np.dtype(dtype).itemsize > 4
+        or too_big
+    ):
         return csr.to_device(dtype=dtype)
     if strategy == SpmvStrategy.BSR:
         from tpusparse.formats.bcsr import BcsrMatrix
