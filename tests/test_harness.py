@@ -127,3 +127,15 @@ def test_graph_stats():
     gs = csr.graph_stats()
     # symmetric matrix: row and col degrees identical -> r == 1
     assert abs(gs["row_col_pearson_r"] - 1.0) < 1e-12
+
+
+def test_cli_efficiency(tmp_path, capsys):
+    from tpusparse.bench.run import main as cli
+
+    out = str(tmp_path / "eff")
+    res = cli(["efficiency", "--lap2d", "16", "--fp64",
+               "--num_vectors", "2", "--output", out, "--quiet",
+               "--max_iters", "1000"])
+    counts = [c for c, _ in res]
+    assert counts == [1, 2, 4, 8]
+    assert os.path.exists(os.path.join(out, "lap2d_16_efficiency.csv"))

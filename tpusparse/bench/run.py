@@ -349,6 +349,67 @@ def cmd_axpy(args):
         print(f"{n},copy,{per*1e3:.4f},{gbs:.1f}")
 
 
+def cmd_efficiency(args):
+    """Multi-device scaling study (parity: verification/efficiency/
+    parallel_efficiency.cpp:293-395 — thread counts become device
+    counts): times the sharded multi-RHS CG step over 1..D devices and
+    emits speedup/efficiency CSV + plot."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpusparse.parallel import sharded as sh
+
+    csr, name = _load_matrix(args)
+    dtype = np.float32 if args.fp32 else np.float64
+    L = args.num_vectors
+    rng = np.random.default_rng(0)
+    B = rng.standard_normal((csr.num_rows, L)).astype(dtype)
+
+    devs = jax.devices()
+    counts = [d for d in (1, 2, 4, 8, 16) if d <= len(devs)]
+    times = []
+    for nd in counts:
+        mesh = sh.make_mesh(nd)
+        A = sh.shard_csr(csr, nd)
+        Ad = sh.device_put_sharded(A, mesh)
+        Bp = jnp.asarray(sh.to_padded_layout(B, A))
+        X, R, Pd = jnp.zeros_like(Bp), Bp, Bp
+        rs = jnp.sum(jnp.asarray(B) ** 2, axis=0)
+        step = jax.jit(
+            lambda X, R, Pd, rs, Ad=Ad, mesh=mesh: sh.cg_step_sharded(
+                Ad, (X, R, Pd, rs), mesh
+            )
+        )
+        X, R, Pd, rs = step(X, R, Pd, rs)  # compile + warm
+        float(jnp.sum(rs))
+        reps = max(args.max_iters // 100, 10)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            X, R, Pd, rs = step(X, R, Pd, rs)
+        float(jnp.sum(rs))
+        t = (time.perf_counter() - t0) / reps
+        times.append(t)
+        if not args.quiet:
+            print(f"{name} devices={nd}: {t*1e3:.3f} ms/step, "
+                  f"speedup {times[0]/t:.2f}, "
+                  f"efficiency {times[0]/t/nd:.2f}")
+    out = args.output or "data/efficiency"
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, f"{name}_efficiency.csv"), "w") as f:
+        f.write("devices,ms_per_step,speedup,efficiency\n")
+        for nd, t in zip(counts, times):
+            f.write(f"{nd},{t*1e3:.4f},{times[0]/t:.3f},"
+                    f"{times[0]/t/nd:.3f}\n")
+    try:
+        from tpusparse.analysis.plots import plot_efficiency
+
+        plot_efficiency(counts, times,
+                        os.path.join(out, f"{name}_efficiency.png"))
+    except Exception as e:  # noqa: BLE001 — plotting is best-effort
+        print(f"plot failed: {e}")
+    return list(zip(counts, times))
+
+
 def cmd_sweep(args):
     """RHS-count sweep (eval_vectors.sh parity: L in 1..1024)."""
     Ls = [int(v) for v in args.vector_counts.split(",")]
@@ -387,7 +448,8 @@ def build_parser():
     for name, fn in [("spmv", cmd_spmv), ("spmm", cmd_spmm),
                      ("cg", cmd_cg), ("multicg", cmd_multicg),
                      ("stats", cmd_stats), ("sweep", cmd_sweep),
-                     ("axpy", cmd_axpy)]:
+                     ("axpy", cmd_axpy),
+                     ("efficiency", cmd_efficiency)]:
         sp = sub.add_parser(name)
         add_common(sp)
         if name == "sweep":
