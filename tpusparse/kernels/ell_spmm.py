@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpusparse.kernels._util import kernel_no_x64, tala32
 from tpusparse.formats.ell import EllTiles, LANES
 
 X_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
@@ -92,6 +93,7 @@ def to_device_ell(tiles: EllTiles, dtype=np.float32) -> DeviceEll:
     )
 
 
+@kernel_no_x64
 def _ell_kernel(J: int, L: int,
                 rb_ref, new_ref, cblk_ref, vals_ref, lc_ref, x_ref,
                 y_ref):
@@ -105,13 +107,14 @@ def _ell_kernel(J: int, L: int,
     for j in range(J):
         xq = x_ref[cblk_ref[t * J + j]]           # (L, 128)
         b = jnp.broadcast_to(lc_ref[0, j, :][None, :], (L, LANES))
-        cand = jnp.take_along_axis(xq, b, axis=1)
+        cand = tala32(xq, b, axis=1)
         v = jnp.broadcast_to(vals_ref[0, j, :][None, :], (L, LANES))
         acc = acc + cand * v
     y_ref[0] = y_ref[0] + acc
 
 
 @functools.partial(jax.jit, static_argnames=("mb",))
+@kernel_no_x64
 def _spmm_ell(A: DeviceEll, x3, mb: int):
     """x3: (Nb, L, 128) VMEM-resident RHS; returns (mb, L, 128)."""
     L = x3.shape[1]

@@ -46,6 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpusparse.kernels._util import kernel_no_x64, tala32
 from tpusparse.formats.tiles import MergeTiles, LANES, SUBLANES
 
 TILE_NNZ = 1024  # (8, 128) register tile
@@ -198,7 +199,7 @@ def _gather_window(x_ref, cblk, lc, gather_rows):
     g = jnp.zeros(lc.shape, x_ref.dtype)
     for qq in range(gather_rows):
         row = win[qq : qq + 1, :]                      # static (1, 128)
-        cand = jnp.take_along_axis(
+        cand = tala32(
             jnp.broadcast_to(row, lc.shape), b, axis=1
         )
         g = jnp.where(q == qq, cand, g)
@@ -221,9 +222,9 @@ def _extract_rows(cs, epos):
     rows = []
     for wb in range(wrb):
         J = jnp.broadcast_to(j_e[wb : wb + 1, :], (SUBLANES, LANES))
-        V = jnp.take_along_axis(cs, J, axis=1)
+        V = tala32(cs, J, axis=1)
         I = jnp.broadcast_to(i_e[wb : wb + 1, :], (SUBLANES, LANES))
-        G = jnp.take_along_axis(V, I, axis=0)
+        G = tala32(V, I, axis=0)
         rows.append(G[0:1, :])
     G = jnp.concatenate(rows, axis=0) if wrb > 1 else rows[0]
     return jnp.where(epos < 0, 0.0, G)
@@ -239,6 +240,7 @@ def _row_diff(G):
     return G - Gprev
 
 
+@kernel_no_x64
 def _fused_kernel(gather_rows: int, wrb: int,
                   rblk_ref, cblk_ref, cspan_ref,
                   vals_ref, lc_ref, ep_ref, x_ref, y_ref):
@@ -270,6 +272,7 @@ def _fused_kernel(gather_rows: int, wrb: int,
 
 
 @functools.partial(jax.jit, static_argnames=("nrows_out",))
+@kernel_no_x64
 def _spmv_tiles(A: DeviceTiles, x2d, nrows_out: int):
     ntiles = A.ntiles
     steps = ntiles // TILES_PER_STEP
