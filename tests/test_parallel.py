@@ -115,3 +115,22 @@ def test_cg_full_solve_sharded(mesh, rng):
     Xh = sh.from_padded_layout(np.asarray(X), A)
     err = np.linalg.norm(B - csr.to_scipy() @ Xh) / np.linalg.norm(B)
     assert err < 1e-8
+
+
+def test_spmv_sharded_pallas_tiles(mesh, rng):
+    """The flagship Pallas kernel running per shard under shard_map
+    (interpret mode on the virtual CPU mesh)."""
+    from tpusparse.parallel import sharded_tiles as stm
+
+    csr = generators.make_laplacian_grid2d(24, dtype=np.float64).to_csr()
+    csr = csr.astype(np.float32)
+    st = stm.shard_tiles(csr, mesh.devices.size)
+    std = stm.device_put_sharded_tiles(st, mesh)
+    x = rng.standard_normal(csr.num_cols).astype(np.float32)
+    y_pad = np.asarray(stm.spmv_sharded_tiles(std, jnp.asarray(x), mesh))
+
+    A = sh.shard_csr(csr, mesh.devices.size)
+    y = sh.from_padded_layout(y_pad, A)
+    expect = csr.to_scipy() @ x
+    scale = np.abs(expect).max() + 1.0
+    np.testing.assert_allclose(y / scale, expect / scale, atol=3e-5)

@@ -1,0 +1,174 @@
+"""Row-sharded merge-tile SpMV — the Pallas kernel under shard_map.
+
+Extends :mod:`tpusparse.parallel.sharded` (which runs the reference ops
+per shard) to the flagship Pallas path: each device holds the merge-tile
+partition of its row slab (local row space, global column space), x is
+replicated, and the per-device kernel is exactly the single-chip
+merge-tile kernel. Shards are padded to a common tile count so shapes
+are uniform under ``shard_map``.
+
+CG dot products on top of this compose exactly as in
+``sharded.cg_step_sharded`` (psum-reduced partials); this module focuses
+on the SpMV building block and its validation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpusparse.formats.csr import CsrMatrix
+from tpusparse.formats.tiles import build_merge_tiles, LANES
+from tpusparse.kernels import merge_spmv
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ShardedTiles:
+    """Stacked per-shard DeviceTiles (leading axis = shard)."""
+
+    num_rows: int
+    num_cols: int
+    rows_per_shard: int     # padded local row count (uniform)
+    row_window: int
+    col_window: int
+    gather_rows: int
+    x_pad_rows: int
+
+    vals: Any               # (D, ntp, 8, 128)
+    local_cols: Any
+    end_pos: Any
+    row_block: Any          # (D, ntp)
+    col_block: Any
+    col_span: Any
+    row_start: Any          # (D,) global first row per shard
+
+    def tree_flatten(self):
+        return (
+            (self.vals, self.local_cols, self.end_pos, self.row_block,
+             self.col_block, self.col_span, self.row_start),
+            (self.num_rows, self.num_cols, self.rows_per_shard,
+             self.row_window, self.col_window, self.gather_rows,
+             self.x_pad_rows),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*aux, *children)
+
+    @property
+    def num_shards(self) -> int:
+        return int(self.vals.shape[0])
+
+
+def shard_tiles(csr: CsrMatrix, n_shards: int, **tile_kwargs
+                ) -> ShardedTiles:
+    """Split rows into nnz-balanced slabs and merge-tile each slab."""
+    from tpusparse.parallel.sharded import shard_csr
+
+    slabs = shard_csr(csr, n_shards)
+    rps = slabs.rows_per_shard
+
+    per_shard = []
+    for i in range(n_shards):
+        ro = np.asarray(slabs.row_offsets[i])
+        nnz_i = int(ro[-1])
+        local = CsrMatrix(
+            rps, csr.num_cols, ro,
+            np.asarray(slabs.col_indices[i][:nnz_i]),
+            np.asarray(slabs.values[i][:nnz_i]),
+        )
+        tiles = build_merge_tiles(local, **tile_kwargs)
+        per_shard.append(merge_spmv.to_device_tiles(tiles))
+
+    ntp = max(t.ntiles for t in per_shard)
+    ntp = -(-ntp // merge_spmv.TILES_PER_STEP) * merge_spmv.TILES_PER_STEP
+
+    def pad(x, fill, n):
+        x = np.asarray(x)
+        out = np.full((n,) + x.shape[1:], fill, dtype=x.dtype)
+        out[: x.shape[0]] = x
+        return out
+
+    vals = np.stack([pad(t.vals, 0, ntp) for t in per_shard])
+    lcols = np.stack([pad(t.local_cols, 0, ntp) for t in per_shard])
+    epos = np.stack([pad(t.end_pos, -1, ntp) for t in per_shard])
+    rblk = np.stack([pad(t.row_block, 0, ntp) for t in per_shard])
+    cblk = np.stack([pad(t.col_block, 0, ntp) for t in per_shard])
+    cspan = np.stack([pad(t.col_span, 0, ntp) for t in per_shard])
+
+    return ShardedTiles(
+        num_rows=csr.num_rows,
+        num_cols=csr.num_cols,
+        rows_per_shard=rps,
+        row_window=per_shard[0].row_window,
+        col_window=per_shard[0].col_window,
+        gather_rows=max(t.gather_rows for t in per_shard),
+        x_pad_rows=per_shard[0].x_pad_rows,
+        vals=jnp.asarray(vals),
+        local_cols=jnp.asarray(lcols),
+        end_pos=jnp.asarray(epos),
+        row_block=jnp.asarray(rblk),
+        col_block=jnp.asarray(cblk),
+        col_span=jnp.asarray(cspan),
+        row_start=jnp.asarray(np.asarray(slabs.row_start)),
+    )
+
+
+def device_put_sharded_tiles(st: ShardedTiles, mesh: Mesh,
+                             axis: str = "rows") -> ShardedTiles:
+    spec = NamedSharding(mesh, P(axis))
+    put = lambda v: jax.device_put(v, spec)
+    return ShardedTiles(
+        st.num_rows, st.num_cols, st.rows_per_shard, st.row_window,
+        st.col_window, st.gather_rows, st.x_pad_rows,
+        put(st.vals), put(st.local_cols), put(st.end_pos),
+        put(st.row_block), put(st.col_block), put(st.col_span),
+        put(st.row_start),
+    )
+
+
+def spmv_sharded_tiles(st: ShardedTiles, x, mesh: Mesh,
+                       axis: str = "rows"):
+    """y = A @ x with the Pallas merge-tile kernel running per shard
+    under shard_map; x replicated, y in the padded shard row layout
+    (D * rows_per_shard,)."""
+    empty_i = jnp.zeros((0,), jnp.int32)
+    empty_f = jnp.zeros((0,), st.vals.dtype)
+
+    def shard_fn(vals, lcols, epos, rblk, cblk, cspan, x):
+        A = merge_spmv.DeviceTiles(
+            num_rows=st.rows_per_shard,
+            num_cols=st.num_cols,
+            nnz=0,  # informational only
+            row_window=st.row_window,
+            col_window=st.col_window,
+            vals=vals[0],
+            local_cols=lcols[0],
+            end_pos=epos[0],
+            row_block=rblk[0],
+            col_block=cblk[0],
+            col_span=cspan[0],
+            gather_rows=st.gather_rows,
+            x_pad_rows=st.x_pad_rows,
+            ovf_rows=empty_i,
+            ovf_cols=empty_i,
+            ovf_vals=empty_f,
+        )
+        return merge_spmv.spmv_merge(A, x)
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P()),
+        out_specs=P(axis),
+        check_vma=False,  # pallas_call has no varying-mesh-axes info
+    )(st.vals, st.local_cols, st.end_pos, st.row_block, st.col_block,
+      st.col_span, x)
