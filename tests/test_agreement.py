@@ -41,10 +41,9 @@ def test_all_strategies_agree_spmv(name, make, rng):
         results[strat] = y
 
     # double-float agrees with the fp64 reference to ~1e-13
-    from tpusparse.formats.ell import build_ell_tiles
     from tpusparse.kernels import ell_df
 
-    A_df = ell_df.to_device_ell_df(build_ell_tiles(csr))
+    A_df = ell_df.to_device_ell_df(ell_df.build_df_tiles(csr))
     y_df = np.asarray(ell_df.spmv_ell_df(A_df, jnp.asarray(x)))
     assert np.abs(y_df - golden).max() / scale < 1e-12
 

@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from tpusparse.formats.ell import build_ell_tiles
+from tpusparse.kernels.ell_df import build_df_tiles
 from tpusparse.io import generators
 from tpusparse.kernels import ell_df
 
@@ -23,7 +23,7 @@ def test_df_spmm_fp64_precision(L, rng):
     csr = generators.make_laplacian_grid2d(16).to_csr()
     v = np.asarray(csr.values)
     csr.values = v * (1.0 + rng.standard_normal(v.shape) * 0.1)
-    A = ell_df.to_device_ell_df(build_ell_tiles(csr))
+    A = ell_df.to_device_ell_df(build_df_tiles(csr))
     X = rng.standard_normal((csr.num_cols, L))
     Y = np.asarray(ell_df.spmm_ell_df(A, jnp.asarray(X)))
     expect = csr.to_scipy() @ X
@@ -38,7 +38,7 @@ def test_df_beats_fp32(rng):
     csr = generators.make_laplacian_grid3d(6).to_csr()
     v = np.asarray(csr.values)
     csr.values = v * (1.0 + rng.standard_normal(v.shape) * 0.3)
-    tiles = build_ell_tiles(csr)
+    tiles = build_df_tiles(csr)
     x = rng.standard_normal(csr.num_cols)
     expect = csr.to_scipy() @ x
 
@@ -57,7 +57,7 @@ def test_df_beats_fp32(rng):
 
 def test_df_alpha_beta(rng):
     csr = generators.make_laplacian_grid2d(10).to_csr()
-    A = ell_df.to_device_ell_df(build_ell_tiles(csr))
+    A = ell_df.to_device_ell_df(build_df_tiles(csr))
     X = rng.standard_normal((csr.num_cols, 4))
     Y0 = rng.standard_normal((csr.num_rows, 4))
     got = np.asarray(

@@ -35,8 +35,8 @@ class TestEllFormat:
 
     def test_layering_long_rows(self, rng):
         csr = random_vals(generators.make_dense(30, 40).to_csr(), rng)
-        t = build_ell_tiles(csr)  # 40 nnz/row -> 5 layers
-        assert t.ntiles == 5
+        t = build_ell_tiles(csr)  # 40 jobs/row-block, 16 per tile
+        assert t.ntiles == 3
         np.testing.assert_allclose(ell_to_dense(t), csr.to_dense())
 
     def test_occupancy_estimate_matches(self):

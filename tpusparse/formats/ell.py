@@ -31,7 +31,7 @@ import numpy as np
 
 SUBLANES = 8
 LANES = 128
-JOBS_PER_TILE = 8
+JOBS_PER_TILE = 16  # measured optimum on v5e (J=8: 140 GF, J=16: 182 GF, J=32: 108 GF at L=32)
 
 
 @dataclasses.dataclass
@@ -102,14 +102,15 @@ def _job_structure(csr):
         new_job, jobs_rb, nb
 
 
-def ell_occupancy_estimate(csr) -> float:
+def ell_occupancy_estimate(csr, jobs_per_tile: int = JOBS_PER_TILE
+                           ) -> float:
     """Occupancy the gather-job packing would achieve (jobs counted
     without building payloads)."""
     if csr.nnz == 0:
         return 0.0
     *_, jobs_rb, _nb = _job_structure(csr)
-    tiles = np.maximum(-(-jobs_rb // JOBS_PER_TILE), 1)
-    total = int(tiles.sum()) * JOBS_PER_TILE * LANES
+    tiles = np.maximum(-(-jobs_rb // jobs_per_tile), 1)
+    total = int(tiles.sum()) * jobs_per_tile * LANES
     return csr.nnz / total if total else 0.0
 
 

@@ -32,6 +32,17 @@ from tpusparse.formats.ell import EllTiles, LANES
 
 _SPLIT = np.float32(4097.0)  # 2^12 + 1 Veltkamp constant for f32
 
+# The double-float arithmetic inflates the unrolled kernel body ~30x;
+# J=16 sends XLA-CPU (interpret-mode) compile time past 6 minutes while
+# J=8 compiles in seconds and measures equally fast on the chip.
+DF_JOBS_PER_TILE = 8
+
+
+def build_df_tiles(csr):
+    from tpusparse.formats.ell import build_ell_tiles
+
+    return build_ell_tiles(csr, jobs_per_tile=DF_JOBS_PER_TILE)
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"

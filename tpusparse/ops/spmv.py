@@ -89,10 +89,11 @@ def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1):
 
         if (
             L >= 8
-            and ell_occupancy_estimate(csr) >= 0.4
+            and ell_occupancy_estimate(
+                csr, ell_df.DF_JOBS_PER_TILE) >= 0.4
             and ell_spmm.ell_fits(csr.num_cols, 2 * L)  # hi+lo planes
         ):
-            return ell_df.to_device_ell_df(build_ell_tiles(csr))
+            return ell_df.to_device_ell_df(ell_df.build_df_tiles(csr))
     if (
         strategy == SpmvStrategy.REFERENCE
         or np.dtype(dtype).itemsize > 4
