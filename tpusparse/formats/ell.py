@@ -114,6 +114,25 @@ def ell_occupancy_estimate(csr, jobs_per_tile: int = JOBS_PER_TILE
     return csr.nnz / total if total else 0.0
 
 
+def choose_jobs_per_tile(csr, candidates=(8, 16)) -> tuple[int, float]:
+    """Pick the tile job capacity maximizing estimated throughput:
+    larger J amortizes per-grid-step overhead but wastes slots when row
+    blocks have few jobs. Model: time ~ ntiles * (c0 + J), c0 ~ 4
+    (measured step overhead relative to per-job work on v5e). Returns
+    (J, occupancy at J)."""
+    if csr.nnz == 0:
+        return candidates[0], 0.0
+    *_, jobs_rb, _nb = _job_structure(csr)
+    best = (candidates[0], 0.0, float("inf"))
+    for J in candidates:
+        tiles = int(np.maximum(-(-jobs_rb // J), 1).sum())
+        occ = csr.nnz / (tiles * J * LANES)
+        cost = tiles * (4.0 + J)
+        if cost < best[2]:
+            best = (J, occ, cost)
+    return best[0], best[1]
+
+
 def build_ell_tiles(csr, jobs_per_tile: int = JOBS_PER_TILE) -> EllTiles:
     """Partition a host CsrMatrix into gather-job EllTiles."""
     va = np.asarray(csr.values)

@@ -117,18 +117,17 @@ def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1):
             build_merge_tiles(csr), dtype=dtype
         )
     # AUTO
-    from tpusparse.formats.ell import (
-        build_ell_tiles,
-        ell_occupancy_estimate,
-    )
+    from tpusparse.formats.ell import build_ell_tiles, choose_jobs_per_tile
     from tpusparse.kernels import ell_spmm
 
-    if (
-        L >= 8  # multi-RHS: the gather-job kernel fills its (L,128) regs
-        and ell_occupancy_estimate(csr) >= 0.4
-        and ell_spmm.ell_fits(csr.num_cols, L)
-    ):
-        return ell_spmm.to_device_ell(build_ell_tiles(csr), dtype=dtype)
+    if L >= 8 and ell_spmm.ell_fits(csr.num_cols, L):
+        # multi-RHS: the gather-job kernel fills its (L,128) registers;
+        # pick the tile job capacity per matrix, gate on packing waste
+        J, occ = choose_jobs_per_tile(csr)
+        if occ >= 0.35:
+            return ell_spmm.to_device_ell(
+                build_ell_tiles(csr, jobs_per_tile=J), dtype=dtype
+            )
     from tpusparse.formats.tiles import build_merge_tiles
     from tpusparse.kernels import merge_spmv
 
