@@ -64,3 +64,16 @@ def test_all_strategies_agree_spmm(name, make, rng):
         Y = np.asarray(spmm(A, jnp.asarray(X.astype(dtype))))
         err = np.abs(Y - golden).max() / scale
         assert err < tol, f"{name}/{strat}: err {err:.2e}"
+
+
+def test_bcoo_baseline_agrees(rng):
+    """jax.experimental.sparse (the JAX vendor baseline, analogous to
+    the reference's MKL checks) agrees with our kernels."""
+    from tpusparse.ops.reference import to_bcoo
+
+    csr = generators.make_laplacian_grid2d(16).to_csr()
+    x = rng.standard_normal(csr.num_cols)
+    golden = spmv_numpy(csr, x)
+    m = to_bcoo(csr)
+    y = np.asarray(m @ jnp.asarray(x))
+    np.testing.assert_allclose(y, golden, rtol=1e-12)

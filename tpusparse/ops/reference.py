@@ -70,6 +70,28 @@ def spmm_coo(rows, cols, vals, X, num_rows: int):
     )
 
 
+def to_bcoo(csr):
+    """Convert to jax.experimental.sparse BCOO — the JAX ecosystem's
+    built-in sparse type, benchmarked as the vendor-baseline analogue of
+    the reference's MKL comparisons (cpu_spmv.cpp:631-664)."""
+    import jax.experimental.sparse as jsparse
+
+    rows = jnp.asarray(
+        np.repeat(
+            np.arange(csr.num_rows, dtype=np.int32),
+            np.diff(np.asarray(csr.row_offsets)),
+        )
+    )
+    idx = jnp.stack(
+        [rows, jnp.asarray(np.asarray(csr.col_indices), dtype=jnp.int32)],
+        axis=1,
+    )
+    return jsparse.BCOO(
+        (jnp.asarray(np.asarray(csr.values)), idx),
+        shape=(csr.num_rows, csr.num_cols),
+    )
+
+
 def spmv_numpy(csr, x, alpha=1.0, beta=0.0, y=None):
     """Pure-numpy golden model (host oracle, independent of XLA)."""
     ro = np.asarray(csr.row_offsets)
