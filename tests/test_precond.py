@@ -155,3 +155,22 @@ class TestPreconditionedSolvers:
         rel /= np.linalg.norm(B, axis=0)
         assert rel.max() < 1e-7
         assert int(res.iterations) <= int(base.iterations)
+
+
+def test_spai_batched_lap3d_regression(rng):
+    """Regression: bucket padding must keep the padded least-squares
+    systems nonsingular when |I| lands exactly on a power of two
+    (produced NaN columns and a diverging SPAI-CG on 3-D Laplacians)."""
+    csr = generators.make_laplacian_grid3d(8).to_csr()
+    M_l = spai_inverse(csr, batched=False)
+    M_b = spai_inverse(csr, batched=True)
+    assert np.isfinite(np.asarray(M_b.values)).all()
+    np.testing.assert_allclose(
+        M_b.to_dense(), M_l.to_dense(), rtol=1e-10, atol=1e-12
+    )
+    B = rng.standard_normal((csr.num_rows, 2))
+    res = spai_cg_solve_multi(
+        csr.to_device(), M_b.to_device(), jnp.asarray(B),
+        max_iters=2000, tolerance=1e-8,
+    )
+    assert bool(np.all(np.asarray(res.converged)))

@@ -267,10 +267,17 @@ def cmd_multicg(args):
     results = {}
 
     def record(solver_name, fn, prep_s=0.0):
-        t0 = time.perf_counter()
+        # reference methodology: warmup run (includes jit compile), then
+        # min-of-reps timing (no_pretreatment.hpp:232-255)
         res = fn()
         iters = int(res.iterations)
-        t = time.perf_counter() - t0
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            res = fn()
+            int(res.iterations)  # sync
+            times.append(time.perf_counter() - t0)
+        t = min(times)
         hist = np.asarray(res.history)[:iters]
         csv = os.path.join(outdir, f"{name}_{solver_name}_errors.csv")
         with open(csv, "w") as f:

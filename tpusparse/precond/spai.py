@@ -99,8 +99,11 @@ def _solve_batched(S, problems, out):
     for k, (J, I) in enumerate(problems):
         if J.size == 0:
             continue
-        mi = 1 << max(int(np.ceil(np.log2(max(I.size, 1)))), 2)
         mj = 1 << max(int(np.ceil(np.log2(max(J.size, 1)))), 1)
+        # rows must hold |I| real equations PLUS one identity row per
+        # padded unknown, or the padded system goes singular
+        need_rows = I.size + (mj - J.size)
+        mi = 1 << max(int(np.ceil(np.log2(max(need_rows, 1)))), 2)
         buckets.setdefault((mi, mj), []).append(k)
 
     Sc = S.tocsc()
