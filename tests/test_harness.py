@@ -139,3 +139,27 @@ def test_cli_efficiency(tmp_path, capsys):
     counts = [c for c, _ in res]
     assert counts == [1, 2, 4, 8]
     assert os.path.exists(os.path.join(out, "lap2d_16_efficiency.csv"))
+
+
+def test_rng_parity_utils():
+    from tpusparse.utils.rng import mersenne, random_bits, random_values
+
+    g = mersenne(7)
+    b = random_bits(g, (100,), entropy_reduction=2)
+    b0 = random_bits(mersenne(7), (100,), entropy_reduction=0)
+    # entropy reduction biases bits low: fewer set bits on average
+    assert np.unpackbits(b.view(np.uint8)).mean() < \
+        np.unpackbits(b0.view(np.uint8)).mean()
+    assert random_bits(g, (4,), entropy_reduction=-1).tolist() == \
+        [0xFFFFFFFF] * 4
+    v = random_values(g, (50,), np.float32)
+    assert v.dtype == np.float32 and (0 <= v).all() and (v < 1).all()
+
+
+def test_bandwidth_plot(tmp_path):
+    from tpusparse.analysis.plots import plot_bandwidth_curve
+
+    p = tmp_path / "bw.png"
+    plot_bandwidth_curve([1e3, 1e6, 1e9], [100, 400, 600], str(p),
+                         annotations={"VMEM": 1.6e7})
+    assert p.exists()

@@ -102,3 +102,23 @@ def plot_precond_summary(results: dict[str, dict], out_csv: str) -> None:
                         f"{d.get('prep_ms', 0):.2f},"
                         f"{d.get('solve_ms', 0):.2f},{total:.2f},"
                         f"{sp:.3f}\n")
+
+
+def plot_bandwidth_curve(sizes_bytes, gbs, out_png: str,
+                         annotations=None) -> None:
+    """Memory-bandwidth curve over working-set size (parity:
+    verification/ram_speed/ram_speed_plot.py — the cache-hierarchy
+    annotated STREAM plot; on TPU the annotations are VMEM/HBM
+    capacities instead of L1/L2/L3)."""
+    plt = _mpl()
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.semilogx(sizes_bytes, gbs, "o-")
+    for label, x in (annotations or {}).items():
+        ax.axvline(x, color="gray", ls="--", alpha=0.5)
+        ax.text(x, max(gbs) * 0.95, label, rotation=90, va="top",
+                fontsize=8)
+    ax.set_xlabel("working set (bytes)")
+    ax.set_ylabel("effective GB/s")
+    ax.grid(alpha=0.3, which="both")
+    fig.tight_layout()
+    fig.savefig(out_png, dpi=120)
