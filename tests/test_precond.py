@@ -174,3 +174,77 @@ def test_spai_batched_lap3d_regression(rng):
         max_iters=2000, tolerance=1e-8,
     )
     assert bool(np.all(np.asarray(res.converged)))
+
+
+class TestLevelScheduled:
+    def test_lower_exact(self, spd, rng):
+        L = ic0_factorize(spd)
+        solver = trisolve.level_trisolve_lower(L)
+        b = rng.standard_normal((spd.num_rows, 3))
+        x = np.asarray(solver.solve(jnp.asarray(b)))
+        xe = trisolve.forward_solve_host(L, b)
+        np.testing.assert_allclose(x, xe, rtol=1e-10, atol=1e-12)
+
+    def test_upper_exact(self, spd, rng):
+        L = ic0_factorize(spd)
+        solver = trisolve.level_trisolve_upper(L)
+        b = rng.standard_normal(spd.num_rows)
+        x = np.asarray(solver.solve(jnp.asarray(b)))
+        xe = trisolve.backward_solve_host(L, b)
+        np.testing.assert_allclose(x, xe, rtol=1e-10, atol=1e-12)
+
+    def test_jits(self, spd, rng):
+        import jax
+
+        L = ic0_factorize(spd)
+        solver = trisolve.level_trisolve_lower(L)
+        f = jax.jit(solver.solve)
+        b = jnp.asarray(rng.standard_normal(spd.num_rows))
+        np.testing.assert_allclose(
+            np.asarray(f(b)), np.asarray(solver.solve(b)), rtol=1e-12
+        )
+
+    def test_exact_pcg_preconditioner(self, spd, rng):
+        """PCG with exact level-scheduled tri-solves: iteration parity
+        with the host-oracle preconditioner application."""
+        L = ic0_factorize(spd)
+        fwd = trisolve.level_trisolve_lower(L)
+        bwd = trisolve.level_trisolve_upper(L)
+        B = rng.standard_normal((spd.num_rows, 2))
+        res = pcg_solve_multi(
+            spd.to_device(), jnp.asarray(B),
+            apply_precond=lambda R: bwd.solve(fwd.solve(R)),
+            max_iters=500, tolerance=1e-8,
+        )
+        assert bool(np.all(np.asarray(res.converged)))
+
+        def host_prec(Rn):
+            return trisolve.backward_solve_host(
+                L, trisolve.forward_solve_host(L, Rn)
+            )
+
+        # host-oracle PCG loop for iteration parity
+        import numpy as np_
+        X = np.zeros_like(B)
+        R = B.copy()
+        Z = host_prec(R)
+        P = Z.copy()
+        bn = np.linalg.norm(B, axis=0)
+        rho = (R * Z).sum(0)
+        S = spd.to_scipy()
+        it = 0
+        conv = np.zeros(B.shape[1], bool)
+        while it < 500 and not conv.all():
+            AP = S @ P
+            alpha = np.where(conv, 0, rho / (P * AP).sum(0))
+            X += alpha * P
+            R -= alpha * AP
+            rel = np.linalg.norm(R, axis=0) / bn
+            conv |= rel < 1e-8
+            Z = host_prec(R)
+            rho_new = (R * Z).sum(0)
+            beta = np.where(conv, 0, rho_new / rho)
+            P = Z + beta * P
+            rho = rho_new
+            it += 1
+        assert abs(int(res.iterations) - it) <= 1

@@ -140,3 +140,115 @@ def jacobi_trisolve_upper(L_host, sweeps: int = 12, to_plan=None,
     dev = (to_plan(strict) if to_plan
            else _default_plan(strict, num_rhs))
     return JacobiTriSolver(dev, jnp.asarray(1.0 / diag), sweeps)
+
+
+# ---------------------------------------------------------------------------
+# Level-scheduled exact triangular solve
+# ---------------------------------------------------------------------------
+
+class LevelScheduledSolver:
+    """Exact triangular solve via dependency levels — the classic
+    parallel re-expression of the reference's row-sequential
+    substitution (incomplete_cholesky_decomp.hpp:246-345): rows within
+    a level have no mutual dependencies and solve simultaneously;
+    levels run as a sequential `lax.fori_loop`. Host precomputes the
+    level schedule and pads it to static shapes (rows per level x
+    slots per row), so the solve jits.
+
+    Exact in exactly `nlevels` steps (vs the Jacobi solver's
+    nilpotency-bound sweeps); best when the factor's dependency depth
+    is small."""
+
+    def __init__(self, T, lower: bool = True):
+        import jax.numpy as jnp
+
+        ro = np.asarray(T.row_offsets)
+        ci = np.asarray(T.col_indices)
+        va = np.asarray(T.values)
+        n = T.num_rows
+        rows = T.row_ids()
+        is_diag = ci == rows
+        diag = np.zeros(n, dtype=np.float64)
+        diag[rows[is_diag]] = va[is_diag]
+
+        # host: topological levels over the strict part
+        level = np.zeros(n, dtype=np.int64)
+        order = range(n) if lower else range(n - 1, -1, -1)
+        for i in order:
+            s0, s1 = ro[i], ro[i + 1]
+            deps = ci[s0:s1]
+            deps = deps[deps != i]
+            level[i] = 1 + (level[deps].max() if deps.size else -1)
+        nlev = int(level.max()) + 1 if n else 1
+
+        # pad levels to (nlev, R) rows and (K,) strict slots per row
+        strict_counts = np.zeros(n, dtype=np.int64)
+        np.add.at(strict_counts, rows[~is_diag], 1)
+        R = max(int(np.bincount(level, minlength=nlev).max()), 1)
+        K = max(int(strict_counts.max()), 1)
+
+        rows_of_level = np.full((nlev, R), n, dtype=np.int32)  # pad -> n
+        for lv in range(nlev):
+            members = np.flatnonzero(level == lv)
+            rows_of_level[lv, : members.size] = members
+
+        cols_pad = np.full((n + 1, K), n, dtype=np.int32)
+        vals_pad = np.zeros((n + 1, K), dtype=va.dtype)
+        k_fill = np.zeros(n, dtype=np.int64)
+        for idx in range(ci.size):
+            i, c = int(rows[idx]), int(ci[idx])
+            if c == i:
+                continue
+            cols_pad[i, k_fill[i]] = c
+            vals_pad[i, k_fill[i]] = va[idx]
+            k_fill[i] += 1
+
+        self.n = n
+        self.nlev = nlev
+        self.rows_of_level = jnp.asarray(rows_of_level)
+        self.cols_pad = jnp.asarray(cols_pad)
+        self.vals_pad = jnp.asarray(vals_pad)
+        self.inv_diag = jnp.asarray(
+            np.concatenate([1.0 / diag, [0.0]]).astype(va.dtype)
+        )
+
+    def solve(self, b):
+        import jax
+        import jax.numpy as jnp
+
+        n = self.n
+        single = b.ndim == 1
+        B = b[:, None] if single else b
+        L = B.shape[1]
+        # x padded with a zero sentinel row n
+        x0 = jnp.zeros((n + 1, L), dtype=B.dtype)
+        Bp = jnp.concatenate(
+            [B, jnp.zeros((1, L), dtype=B.dtype)], axis=0
+        )
+
+        def body(lv, x):
+            r = self.rows_of_level[lv]                 # (R,) row ids
+            cols = jnp.take(self.cols_pad, r, axis=0)  # (R, K)
+            vals = jnp.take(self.vals_pad, r, axis=0)
+            gathered = jnp.take(x, cols.reshape(-1), axis=0).reshape(
+                cols.shape + (L,)
+            )
+            s = jnp.einsum("rk,rkl->rl", vals, gathered)
+            xr = (jnp.take(Bp, r, axis=0) - s) * jnp.take(
+                self.inv_diag, r
+            )[:, None]
+            return x.at[r].set(xr)
+
+        x = jax.lax.fori_loop(0, self.nlev, body, x0)
+        x = x[:n]
+        return x[:, 0] if single else x
+
+
+def level_trisolve_lower(L_host):
+    """Exact lower solve L x = b with level scheduling."""
+    return LevelScheduledSolver(L_host, lower=True)
+
+
+def level_trisolve_upper(L_host):
+    """Exact upper solve L^T x = b with level scheduling."""
+    return LevelScheduledSolver(L_host.transpose(), lower=False)
