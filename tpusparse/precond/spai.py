@@ -32,8 +32,8 @@ from tpusparse.formats.csr import CsrMatrix
 
 def _build_problems(csr: CsrMatrix):
     """For each column k: J = rows of M column k (= pattern of A column
-    k), I = union of rows touched by A columns in J. Returns per-column
-    index lists (host)."""
+    k), I = union of rows touched by A columns in J. Returns the CSC
+    arrays and per-column index lists (host)."""
     S = csr.to_scipy().tocsc()
     n = csr.num_cols
     indptr, indices = S.indptr, S.indices
@@ -50,6 +50,16 @@ def _build_problems(csr: CsrMatrix):
     return S, problems
 
 
+def _dense_problem(indptr, indices, data, J, I, out):
+    """Fill the |I| x |J| least-squares matrix directly from CSC arrays
+    (the scipy fancy-slicing this replaces costs O(n) per column and
+    made SPAI construction quadratic)."""
+    for j_local, c in enumerate(J):
+        s0, s1 = indptr[c], indptr[c + 1]
+        local = np.searchsorted(I, indices[s0:s1])
+        out[local, j_local] = data[s0:s1]
+
+
 def spai_inverse(csr: CsrMatrix, batched: bool = True) -> CsrMatrix:
     """Compute the SPAI approximate inverse M of A (static pattern) and
     symmetrize it. Returns a host CsrMatrix."""
@@ -60,10 +70,12 @@ def spai_inverse(csr: CsrMatrix, batched: bool = True) -> CsrMatrix:
     if batched:
         _solve_batched(S, problems, dense_cols)
     else:
+        indptr, indices, data = S.indptr, S.indices, S.data
         for k, (J, I) in enumerate(problems):
             if J.size == 0:
                 continue
-            A_hat = np.asarray(S[I][:, J].todense())
+            A_hat = np.zeros((I.size, J.size))
+            _dense_problem(indptr, indices, data, J, I, A_hat)
             e = np.zeros(I.size)
             pos = np.searchsorted(I, k)
             if pos < I.size and I[pos] == k:
@@ -106,14 +118,13 @@ def _solve_batched(S, problems, out):
         mi = 1 << max(int(np.ceil(np.log2(max(need_rows, 1)))), 2)
         buckets.setdefault((mi, mj), []).append(k)
 
-    Sc = S.tocsc()
+    indptr, indices, data = S.indptr, S.indices, S.data
     for (mi, mj), ks in buckets.items():
         A_b = np.zeros((len(ks), mi, mj))
         e_b = np.zeros((len(ks), mi))
         for b, k in enumerate(ks):
             J, I = problems[k]
-            A_hat = np.asarray(Sc[I][:, J].todense())
-            A_b[b, : I.size, : J.size] = A_hat
+            _dense_problem(indptr, indices, data, J, I, A_b[b])
             # pad the unused diagonal so the padded problem stays
             # full-rank and does not perturb the real unknowns
             for d in range(J.size, mj):
