@@ -120,3 +120,16 @@ class TestEllKernel:
         expect = 2.0 * (csr.to_scipy().astype(np.float32) @ X) - 0.5 * Y0
         scale = np.abs(expect).max() + 1.0
         np.testing.assert_allclose(got / scale, expect / scale, atol=3e-5)
+
+    def test_rhs_chunking(self, rng, monkeypatch):
+        """RHS blocks beyond the VMEM budget split into lane chunks."""
+        monkeypatch.setattr(ell_spmm, "X_VMEM_BUDGET_BYTES", 8 * 1024)
+        csr = random_vals(
+            generators.make_laplacian_grid2d(12).to_csr(), rng
+        )
+        A = ell_spmm.to_device_ell(build_ell_tiles(csr))
+        X = rng.standard_normal((csr.num_cols, 24)).astype(np.float32)
+        Y = np.asarray(ell_spmm.spmm_ell(A, jnp.asarray(X)))
+        expect = csr.to_scipy().astype(np.float32) @ X
+        scale = np.abs(expect).max() + 1.0
+        np.testing.assert_allclose(Y / scale, expect / scale, atol=2e-5)

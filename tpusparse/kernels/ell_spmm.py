@@ -152,7 +152,11 @@ def _to_x3(A: DeviceEll, X):
 
 
 def spmm_ell(A: DeviceEll, X, alpha=1.0, beta=0.0, Y=None):
-    """Y = alpha * A @ X + beta * Y, X (num_cols, L)."""
+    """Y = alpha * A @ X + beta * Y, X (num_cols, L).
+
+    When the full RHS block exceeds the VMEM budget, the lane dimension
+    is split into chunks that fit (the matrix tile stream is re-read
+    per chunk — amortized over L/chunk lanes)."""
     squeeze = False
     if X.ndim == 1:
         X = X[:, None]
@@ -160,15 +164,26 @@ def spmm_ell(A: DeviceEll, X, alpha=1.0, beta=0.0, Y=None):
     L = X.shape[1]
     # Mosaic's lane gather needs a full (>=8, 128) register tile; pad
     # narrow RHS blocks up to 8 lanes.
-    Lp = max(L, 8)
+    Lp = max(-(-L // 8) * 8, 8)
     if Lp != L:
         X = jnp.concatenate(
             [X, jnp.zeros((X.shape[0], Lp - L), X.dtype)], axis=1
         )
-    x3 = _to_x3(A, X)
+    # chunk the lane dimension to the VMEM budget
+    itemsize = np.dtype(A.dtype).itemsize
+    max_lanes = max(
+        (X_VMEM_BUDGET_BYTES // (A.num_cols * itemsize)) // 8 * 8, 8
+    )
     mb = -(-A.num_rows // LANES)
-    y3 = _spmm_ell(A, x3, mb)
-    Y_new = jnp.transpose(y3, (0, 2, 1)).reshape(-1, Lp)
+    outs = []
+    for s in range(0, Lp, max_lanes):
+        chunk = X[:, s : s + max_lanes]
+        x3 = _to_x3(A, chunk)
+        y3 = _spmm_ell(A, x3, mb)
+        outs.append(
+            jnp.transpose(y3, (0, 2, 1)).reshape(-1, chunk.shape[1])
+        )
+    Y_new = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
     Y_new = Y_new[: A.num_rows, :L]
     if squeeze:
         Y_new = Y_new[:, 0]
