@@ -198,3 +198,37 @@ def spmv_ell(A: DeviceEll, x, alpha=1.0, beta=0.0, y=None):
 
 def ell_fits(num_cols: int, L: int, itemsize: int = 4) -> bool:
     return num_cols * L * itemsize <= X_VMEM_BUDGET_BYTES
+
+
+# ---------------------------------------------------------------------------
+# Padded-layout helpers for solvers that keep state in kernel layout
+# ---------------------------------------------------------------------------
+
+def pack_rows(A: DeviceEll, V):
+    """(num_rows, L) -> (mb, L, 128) row-space kernel layout."""
+    L = V.shape[1]
+    mb = -(-A.num_rows // LANES)
+    Vp = jnp.zeros((mb * LANES, L), dtype=A.dtype)
+    Vp = Vp.at[: A.num_rows].set(V.astype(A.dtype))
+    return jnp.transpose(Vp.reshape(mb, LANES, L), (0, 2, 1))
+
+
+def unpack_rows(A: DeviceEll, V3):
+    """(mb, L, 128) -> (num_rows, L)."""
+    L = V3.shape[1]
+    return jnp.transpose(V3, (0, 2, 1)).reshape(-1, L)[: A.num_rows]
+
+
+def spmm_ell_packed(A: DeviceEll, P3):
+    """Y3 = A @ P3 with both operands in (blocks, L, 128) layout —
+    square matrices only (row space == column space). Skips the per-call
+    pack/transpose passes; used by the layout-native CG driver."""
+    L = P3.shape[1]
+    mb = -(-A.num_rows // LANES)
+    # one zero pad block for padding jobs (cblk sentinel)
+    x3 = jnp.concatenate(
+        [P3, jnp.zeros((1 + max(-(-A.num_cols // LANES) - mb, 0), L,
+                        LANES), dtype=P3.dtype)],
+        axis=0,
+    )
+    return _spmm_ell(A, x3, mb)
