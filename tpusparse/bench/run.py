@@ -117,7 +117,11 @@ def _chain_time(fn, x, iters=(5, 35)):
         return min(ts)
 
     K1, K2 = iters
-    return max((run(chain(K2)) - run(chain(K1))) / (K2 - K1), 1e-9)
+    per = max((run(chain(K2)) - run(chain(K1))) / (K2 - K1), 1e-9)
+    if per < 2e-5:  # tiny op: slope noise dominates — amplify K
+        K1, K2 = K1 * 20, K2 * 20
+        per = max((run(chain(K2)) - run(chain(K1))) / (K2 - K1), 1e-9)
+    return per
 
 
 def cmd_spmv(args):
