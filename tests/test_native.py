@@ -81,3 +81,9 @@ def test_native_ic0_matches_python(rng):
     np.testing.assert_allclose(
         np.asarray(L_native.values), vals, rtol=1e-14
     )
+
+
+def test_native_argsort_u64(rng):
+    keys = rng.integers(0, 2**50, 100000).astype(np.uint64)
+    order = native.argsort_u64(keys)
+    assert np.array_equal(keys[order], np.sort(keys))

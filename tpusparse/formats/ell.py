@@ -31,6 +31,24 @@ import numpy as np
 
 SUBLANES = 8
 LANES = 128
+
+
+def _argsort_u64(keys):
+    """Argsort of packed u64 keys. numpy's introsort wins on this
+    machine (1 CPU, nearly-sorted keys); the native parallel radix sort
+    (utils.native.argsort_u64) wins on multi-core hosts — opt in via
+    TPUSPARSE_NATIVE_SORT=1."""
+    import os
+
+    if os.environ.get("TPUSPARSE_NATIVE_SORT"):
+        try:
+            from tpusparse.utils import native
+
+            if native.available():
+                return native.argsort_u64(keys)
+        except ImportError:
+            pass
+    return np.argsort(keys)
 JOBS_PER_TILE = 16  # measured optimum on v5e (J=8: 140 GF, J=16: 182 GF, J=32: 108 GF at L=32)
 
 
@@ -73,8 +91,9 @@ def _job_structure(csr):
     rb = rows // LANES
     cblk = ci // LANES
 
-    # rank of the entry within its (row, column-block)
-    o1 = np.lexsort((ci, cblk, rows))
+    # rank of the entry within its (row, column-block); cblk is a
+    # function of ci, so sorting the packed (row, col) key is equivalent
+    o1 = _argsort_u64((rows * np.int64(csr.num_cols) + ci).astype(np.uint64))
     r1, cb1 = rows[o1], cblk[o1]
     new_rc = np.empty(nnz, dtype=bool)
     new_rc[0] = True
@@ -85,8 +104,15 @@ def _job_structure(csr):
     rank = np.empty(nnz, dtype=np.int64)
     rank[o1] = rank1
 
-    # enumerate jobs sorted by (rb, cblk, rank)
-    o2 = np.lexsort((rank, cblk, rb))
+    # enumerate jobs sorted by (rb, cblk, rank) — packed key when the
+    # rank fits 12 bits (it exceeds 128 only with duplicate entries)
+    if int(rank.max()) < 4096:
+        nbc2 = int(cblk.max()) + 2
+        o2 = _argsort_u64(
+            (((rb * nbc2 + cblk) << 12) | rank).astype(np.uint64)
+        )
+    else:
+        o2 = np.lexsort((rank, cblk, rb))
     rb2, cb2, rk2 = rb[o2], cblk[o2], rank[o2]
     new_job = np.empty(nnz, dtype=bool)
     new_job[0] = True

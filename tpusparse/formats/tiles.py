@@ -50,6 +50,24 @@ SUBLANES = 8
 LANES = 128
 
 
+def _argsort_u64(keys):
+    """Argsort of packed u64 keys. numpy's introsort wins on this
+    machine (1 CPU, nearly-sorted keys); the native parallel radix sort
+    (utils.native.argsort_u64) wins on multi-core hosts — opt in via
+    TPUSPARSE_NATIVE_SORT=1."""
+    import os
+
+    if os.environ.get("TPUSPARSE_NATIVE_SORT"):
+        try:
+            from tpusparse.utils import native
+
+            if native.available():
+                return native.argsort_u64(keys)
+        except ImportError:
+            pass
+    return np.argsort(keys)
+
+
 @dataclasses.dataclass
 class MergeTiles:
     """Host-side merge-path tile partition of a CSR matrix."""
@@ -158,9 +176,11 @@ def build_merge_tiles(
     colblk = ci // LANES
 
     # --- pass 1: column clusters per row window --------------------------
-    # sort by (wid, colblk); a cluster break is a wid change or a gap of
-    # more than one untouched column block
-    o1 = np.lexsort((colblk, wid))
+    # sort by (wid, colblk) — packed into one u64 key for the parallel
+    # native argsort; a cluster break is a wid change or a gap of more
+    # than one untouched column block
+    nbc = int(colblk.max()) + 2
+    o1 = _argsort_u64((wid * nbc + colblk).astype(np.uint64))
     w1, cb1 = wid[o1], colblk[o1]
     new_cluster = np.empty(nnz, dtype=bool)
     new_cluster[0] = True
@@ -177,7 +197,15 @@ def build_merge_tiles(
     anchor_blk = first_blk[cluster] + subcell * G  # per-entry cell anchor
 
     # --- pass 2: group by (wid, cluster, subcell), order by (row, col) --
-    order = np.lexsort((ci, rows_all, subcell, cluster))
+    # packed key: ((cluster, subcell), local row, local col) — local
+    # coordinates fit the window bounds, keeping the key within 64 bits
+    lrow = rows_all - wid * Wr
+    lcol = ci - (first_blk[cluster] + subcell * G) * LANES
+    nsub = int(subcell.max()) + 2
+    key2 = (
+        ((cluster * nsub + subcell) * Wr + lrow) * Wc + lcol
+    ).astype(np.uint64)
+    order = _argsort_u64(key2)
     r_s, c_s, v_s = rows_all[order], ci[order], va[order]
     wid_s = wid[order]
     clu_s, sub_s = cluster[order], subcell[order]

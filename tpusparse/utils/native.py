@@ -68,6 +68,12 @@ def _load():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_double),
         ]
+        lib.argsort_u64.restype = None
+        lib.argsort_u64.argtypes = [
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint64, flags="C"),
+            np.ctypeslib.ndpointer(np.int64, flags="C"),
+        ]
         lib.ic0_factorize.restype = ctypes.c_int
         lib.ic0_factorize.argtypes = [
             ctypes.c_int64,
@@ -85,6 +91,19 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def argsort_u64(keys: np.ndarray) -> np.ndarray:
+    """Parallel argsort of packed uint64 keys (not stable — pack full
+    disambiguation into the key). Falls back to numpy when the native
+    library is unavailable."""
+    lib = _load()
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    if lib is None:
+        return np.argsort(keys)
+    out = np.empty(keys.shape[0], dtype=np.int64)
+    lib.argsort_u64(keys.shape[0], keys, out)
+    return out
 
 
 def read_market(path, default_value=1.0, dtype=np.float64):
