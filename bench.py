@@ -64,7 +64,7 @@ def main():
     K1, K2 = 5, 55
     g1, g2 = chain(K1), chain(K2)
     per_op = min(
-        (run(g2) - run(g1)) / (K2 - K1) for _ in range(3)
+        (run(g2) - run(g1)) / (K2 - K1) for _ in range(6)
     )
     gf = 2.0 * csr.nnz / max(per_op, 1e-9) / 1e9
     print(
