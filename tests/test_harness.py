@@ -163,3 +163,14 @@ def test_bandwidth_plot(tmp_path):
     plot_bandwidth_curve([1e3, 1e6, 1e9], [100, 400, 600], str(p),
                          annotations={"VMEM": 1.6e7})
     assert p.exists()
+
+
+def test_cli_cg(capsys):
+    from tpusparse.bench.run import main as cli
+
+    cli(["cg", "--lap2d", "8", "--fp64", "--num_vectors", "2",
+         "--strategy", "reference", "--tolerance", "1e-6", "--quiet"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    parts = out.split(",")
+    assert parts[0] == "lap2d_8"
+    assert int(parts[5]) > 0  # total iterations
