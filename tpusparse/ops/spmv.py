@@ -94,6 +94,13 @@ def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1):
             and ell_spmm.ell_fits(csr.num_cols, 2 * L)  # hi+lo planes
         ):
             return ell_df.to_device_ell_df(ell_df.build_df_tiles(csr))
+    if too_big and np.dtype(dtype).itemsize <= 4 and (
+        strategy in (SpmvStrategy.AUTO, SpmvStrategy.MERGE)
+    ):
+        # beyond VMEM residency: block-grid of merge plans
+        from tpusparse.ops.chunked import build_chunked_merge
+
+        return build_chunked_merge(csr, dtype=dtype)
     if (
         strategy == SpmvStrategy.REFERENCE
         or np.dtype(dtype).itemsize > 4
@@ -155,6 +162,10 @@ def spmv(A, x, alpha=1.0, beta=0.0, y=None, strategy="auto"):
         return ell_spmm.spmv_ell(A, x, alpha=alpha, beta=beta, y=y)
     if isinstance(A, ell_df.DeviceEllDF):
         return ell_df.spmv_ell_df(A, x, alpha=alpha, beta=beta, y=y)
+    from tpusparse.ops.chunked import ChunkedMerge, spmv_chunked
+
+    if isinstance(A, ChunkedMerge):
+        return spmv_chunked(A, x, alpha=alpha, beta=beta, y=y)
     from tpusparse.kernels import merge_spmv
 
     return merge_spmv.spmv_merge(A, x, alpha=alpha, beta=beta, y=y)
@@ -177,6 +188,10 @@ def spmm(A, X, alpha=1.0, beta=0.0, Y=None, strategy="auto"):
         return ell_spmm.spmm_ell(A, X, alpha=alpha, beta=beta, Y=Y)
     if isinstance(A, ell_df.DeviceEllDF):
         return ell_df.spmm_ell_df(A, X, alpha=alpha, beta=beta, Y=Y)
+    from tpusparse.ops.chunked import ChunkedMerge, spmm_chunked
+
+    if isinstance(A, ChunkedMerge):
+        return spmm_chunked(A, X, alpha=alpha, beta=beta, Y=Y)
     from tpusparse.kernels import spmm_tiles
 
     return spmm_tiles.spmm_merge(A, X, alpha=alpha, beta=beta, Y=Y)
