@@ -14,7 +14,6 @@
 from __future__ import annotations
 
 import csv
-import os
 
 
 def _mpl():

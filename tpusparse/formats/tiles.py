@@ -42,7 +42,6 @@ Tile payload layout (all host-precomputed numpy):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import numpy as np
 

@@ -26,10 +26,7 @@ strategy; ``spmv``/``spmm`` dispatch on the operand type.
 from __future__ import annotations
 
 import enum
-from functools import partial
-
 import jax
-import jax.numpy as jnp
 
 from tpusparse.formats.csr import CsrMatrix
 from tpusparse.ops import reference as ref

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpusparse.formats.csr import CsrMatrix
-from tpusparse.formats.tiles import build_merge_tiles, LANES
+from tpusparse.formats.tiles import build_merge_tiles
 from tpusparse.kernels import merge_spmv
 
 

@@ -10,8 +10,6 @@ TPU-friendly preconditioner of the three.
 
 from __future__ import annotations
 
-from typing import Callable
-
 from tpusparse.ops.spmv import spmm
 from tpusparse.solvers.cg import CgResult
 from tpusparse.solvers.pcg import pcg_solve_multi
