@@ -299,22 +299,35 @@ def cmd_multicg(args):
     record("cg", lambda: cg_solve_multi(
         A, B, max_iters=args.max_iters, tolerance=args.tolerance))
 
-    t0 = time.perf_counter()
-    Lfac = ic0_factorize(csr)
-    prec = make_ic0_preconditioner(Lfac, sweeps=args.jacobi_sweeps,
-                                   num_rhs=L)
-    prep = time.perf_counter() - t0
-    record("pcg_ic0", lambda: pcg_solve_multi(
-        A, B, prec, max_iters=args.max_iters,
-        tolerance=args.tolerance), prep)
+    # Preconditioner failures skip the dependent solver, mirroring the
+    # reference drivers (cpu_multicg.cpp:226-230, 275-279).
+    try:
+        t0 = time.perf_counter()
+        Lfac = ic0_factorize(csr)
+        prec = make_ic0_preconditioner(Lfac, sweeps=args.jacobi_sweeps,
+                                       num_rhs=L)
+        prep = time.perf_counter() - t0
+        record("pcg_ic0", lambda: pcg_solve_multi(
+            A, B, prec, max_iters=args.max_iters,
+            tolerance=args.tolerance), prep)
+    except RuntimeError as e:
+        results["pcg_ic0"] = dict(skipped=str(e))
+        if not args.quiet:
+            print(f"{name} pcg_ic0: SKIPPED ({e})")
 
-    t0 = time.perf_counter()
-    M = spai_inverse(csr)
-    Md, _ = _plan(M.astype(dtype), args.strategy or "auto", dtype, L=L)
-    prep = time.perf_counter() - t0
-    record("spai_cg", lambda: spai_cg_solve_multi(
-        A, Md, B, max_iters=args.max_iters,
-        tolerance=args.tolerance), prep)
+    try:
+        t0 = time.perf_counter()
+        M = spai_inverse(csr)
+        Md, _ = _plan(M.astype(dtype), args.strategy or "auto", dtype,
+                      L=L)
+        prep = time.perf_counter() - t0
+        record("spai_cg", lambda: spai_cg_solve_multi(
+            A, Md, B, max_iters=args.max_iters,
+            tolerance=args.tolerance), prep)
+    except RuntimeError as e:
+        results["spai_cg"] = dict(skipped=str(e))
+        if not args.quiet:
+            print(f"{name} spai_cg: SKIPPED ({e})")
 
     if args.quiet:
         print(json.dumps({"matrix": name, "kernel": kind, **results}))
