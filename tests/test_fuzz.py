@@ -1,0 +1,85 @@
+"""Randomized cross-strategy fuzzing — many small random matrices with
+assorted shapes/densities through every kernel against the numpy
+oracle (the property-test layer SURVEY §4 calls for)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpusparse.formats.coo import CooMatrix
+from tpusparse.formats.csr import CsrMatrix
+from tpusparse.formats.ell import build_ell_tiles
+from tpusparse.formats.tiles import build_merge_tiles, tiles_to_dense
+from tpusparse.io import generators
+from tpusparse.kernels import ell_spmm, merge_spmv
+from tpusparse.ops.reference import spmv_numpy
+
+
+def random_matrix(rng, seed):
+    r = np.random.default_rng(seed)
+    m = int(r.integers(1, 400))
+    n = int(r.integers(1, 400))
+    nnz = int(r.integers(1, max(m * n // 4, 2)))
+    shape_kind = seed % 4
+    rows = r.integers(0, m, nnz).astype(np.int32)
+    if shape_kind == 0:      # uniform random
+        cols = r.integers(0, n, nnz).astype(np.int32)
+    elif shape_kind == 1:    # banded
+        cols = np.clip(rows * n // m + r.integers(-8, 9, nnz), 0,
+                       n - 1).astype(np.int32)
+    elif shape_kind == 2:    # few hot columns
+        cols = r.choice(
+            r.integers(0, n, max(n // 16, 1)), nnz
+        ).astype(np.int32)
+    else:                    # skewed rows (one hub)
+        rows[: nnz // 2] = 0
+        cols = r.integers(0, n, nnz).astype(np.int32)
+    vals = r.standard_normal(nnz)
+    return CsrMatrix.from_coo(
+        CooMatrix(m, n, rows, cols, vals), sum_dups=True
+    )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_kernels_vs_oracle(seed, rng):
+    csr = random_matrix(rng, seed)
+    x = np.random.default_rng(seed + 999).standard_normal(csr.num_cols)
+    golden = spmv_numpy(csr, x)
+    scale = np.abs(golden).max() + 1.0
+
+    # partition losslessness
+    t = build_merge_tiles(csr)
+    np.testing.assert_allclose(
+        tiles_to_dense(t), csr.to_dense(), rtol=1e-12, atol=1e-12
+    )
+
+    # merge kernel
+    Am = merge_spmv.to_device_tiles(t, dtype=np.float32)
+    ym = np.asarray(
+        merge_spmv.spmv_merge(Am, jnp.asarray(x.astype(np.float32)))
+    )
+    np.testing.assert_allclose(ym / scale, golden / scale, atol=5e-5)
+
+    # gather-job kernel (as SpMM with L=8)
+    Ae = ell_spmm.to_device_ell(build_ell_tiles(csr), dtype=np.float32)
+    X = np.tile(x[:, None], (1, 8)).astype(np.float32)
+    Ye = np.asarray(ell_spmm.spmm_ell(Ae, jnp.asarray(X)))
+    np.testing.assert_allclose(
+        Ye[:, 0] / scale, golden / scale, atol=5e-5
+    )
+
+
+def test_cg_single_merge_plan(rng):
+    """Single-RHS CG on the Pallas merge plan (cpu_singlecg parity on
+    the fast path): converges to the fp32-appropriate tolerance."""
+    from tpusparse.ops.spmv import plan_matrix
+    from tpusparse.solvers.cg import cg_solve
+
+    csr = generators.make_laplacian_grid2d(16).to_csr()
+    A = plan_matrix(csr, strategy="merge", dtype=np.float32)
+    b = rng.standard_normal(csr.num_rows).astype(np.float32)
+    res = cg_solve(A, jnp.asarray(b), max_iters=1000, tolerance=1e-5)
+    assert bool(res.converged)
+    x = np.asarray(res.x)
+    rel = np.linalg.norm(b - csr.to_scipy() @ x) / np.linalg.norm(b)
+    assert rel < 1e-4
