@@ -61,10 +61,10 @@ def main():
 
     # The shared chip shows large run-to-run variance; take the best of
     # several interleaved slope measurements.
-    K1, K2 = 5, 55
+    K1, K2 = 10, 110
     g1, g2 = chain(K1), chain(K2)
     per_op = min(
-        (run(g2) - run(g1)) / (K2 - K1) for _ in range(6)
+        (run(g2) - run(g1)) / (K2 - K1) for _ in range(8)
     )
     gf = 2.0 * csr.nnz / max(per_op, 1e-9) / 1e9
     print(
