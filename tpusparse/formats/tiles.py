@@ -16,14 +16,15 @@ structure once and emits fixed-capacity tiles with
   * a 128-aligned **row window** per tile (all rows of a tile fall in
     ``[row_base, row_base + row_window)``) so the scatter side of the
     kernel is a dense aligned read-modify-write,
-  * a 128-aligned **column window** per tile (all gathered x entries fall
-    in ``[col_base, col_base + col_window)``) so the gather side is a
-    bounded number of vector-register lane-gathers.
+  * a tight 128-aligned **column anchor** per tile: nonzeros are
+    grouped by gap-split column clusters (see ``build_merge_tiles``),
+    so every tile's gathered x entries fall within a small span from
+    the anchor — the gather side is a *bounded* number of
+    vector-register lane-gathers over genuine band width.
 
-Entries that cannot satisfy the column window (long-range couplings in
-non-banded matrices) go to a COO *overflow stream* processed by the
-jnp fallback — the classic hybrid-format split. For banded / RCM-ordered
-SPD matrices (the CG workload) the overflow is empty.
+The partition is total for any sparsity pattern (no overflow stream);
+padding waste is reported as ``occupancy`` and the ops-layer planner
+compares it against the gather-job alternative.
 
 Tile payload layout (all host-precomputed numpy):
   vals       (ntiles, T)        values, zero-padded; flattened order is
@@ -37,6 +38,7 @@ Tile payload layout (all host-precomputed numpy):
                                 CS[end_pos[w]] - CS[end_pos[w-1]].
   row_block  (ntiles,)          row_base / 128 (scalar-prefetch).
   col_block  (ntiles,)          col_base / 128 (scalar-prefetch).
+  col_span   (ntiles,)          128-blocks the tile's columns touch.
 """
 
 from __future__ import annotations
@@ -73,7 +75,7 @@ class MergeTiles:
 
     num_rows: int
     num_cols: int
-    nnz: int                 # in-window nonzeros (excl. overflow)
+    nnz: int                 # nonzeros held in tiles
     tile_nnz: int            # T — nnz capacity per tile
     row_window: int          # Wr — aligned row window per tile (multiple of 128)
     col_window: int          # Wc — aligned col window per tile (multiple of 128)
@@ -88,7 +90,8 @@ class MergeTiles:
                              # kernel's gather loop runs this many
                              # iterations (tight per-tile anchoring)
 
-    # COO overflow stream (jnp fallback path)
+    # COO overflow stream — always empty with the cluster
+    # partitioner; retained so hybrid splits stay expressible
     ovf_rows: np.ndarray
     ovf_cols: np.ndarray
     ovf_vals: np.ndarray
