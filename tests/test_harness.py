@@ -174,3 +174,13 @@ def test_cli_cg(capsys):
     parts = out.split(",")
     assert parts[0] == "lap2d_8"
     assert int(parts[5]) > 0  # total iterations
+
+
+def test_cli_sweep(capsys):
+    from tpusparse.bench.run import main as cli
+
+    cli(["sweep", "--lap2d", "8", "--fp64",
+         "--strategy", "reference", "--vector_counts", "1,2"])
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].startswith("matrix,kernel,L")
+    assert len(out) >= 3  # header + 2 sweep rows
