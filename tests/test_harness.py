@@ -184,3 +184,27 @@ def test_cli_sweep(capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert out[0].startswith("matrix,kernel,L")
     assert len(out) >= 3  # header + 2 sweep rows
+
+
+def test_cli_mtx_file_roundtrip(tmp_path, capsys):
+    """The most user-visible path: write an .mtx, benchmark it through
+    the CLI --mtx flag (golden check included)."""
+    from tpusparse.bench.run import main as cli
+    from tpusparse.io import generators
+    from tpusparse.io.market import write_market
+
+    p = tmp_path / "m.mtx"
+    write_market(p, generators.make_laplacian_grid2d(8))
+    cli(["spmv", "--mtx", str(p), "--fp64",
+         "--strategy", "reference", "--quiet"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert "PASS" in out and "m.mtx" in out
+
+
+def test_cli_bsr_strategy(capsys):
+    from tpusparse.bench.run import main as cli
+
+    cli(["spmv", "--lap2d", "8", "--fp32", "--strategy", "bsr",
+         "--quiet"])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert "PASS" in out and "bsr" in out
