@@ -142,3 +142,14 @@ class TestMergeTiles:
                                   col_window=2048)
         assert tiles.overflow_fraction == 0.0
         assert tiles.occupancy > 0.5
+
+
+def test_tiling_efficiency_and_choice():
+    from tpusparse.formats.tiles import choose_tiling, tiling_efficiency
+
+    csr = generators.make_laplacian_grid3d(10).to_csr()
+    est = tiling_efficiency(csr, 1024, 1024, 1024)
+    actual = build_merge_tiles(csr, 1024, 1024, 1024).occupancy
+    assert abs(est - actual) < 1e-9
+    wr, wc = choose_tiling(csr)
+    assert wr in (256, 384, 512, 1024) and wc in (1024, 2048, 4096, 8192)
