@@ -27,10 +27,11 @@ shapes and the VPU/MXU register model:
      sequential on a core, so read-modify-write accumulation needs no
      atomics or decoupled lookback at all.
 
-Constraints of this kernel (fallbacks handled by ops.spmv):
+Constraints of this kernel (handled by ops.spmv / ops.chunked):
   * tile_nnz == 1024 (an (8, 128) register tile), fp32 values;
-  * num_cols padded: x fits VMEM (N <= ~1.5M singles);
-  * num_rows <= ~1.5M (y window resident in the combine kernel).
+  * x and y resident in VMEM: single call limited to ~1.2M rows/cols —
+    larger matrices run as a block grid of these calls
+    (tpusparse.ops.chunked).
 """
 
 from __future__ import annotations
