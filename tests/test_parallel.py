@@ -134,3 +134,34 @@ def test_spmv_sharded_pallas_tiles(mesh, rng):
     expect = csr.to_scipy() @ x
     scale = np.abs(expect).max() + 1.0
     np.testing.assert_allclose(y / scale, expect / scale, atol=3e-5)
+
+
+def test_cg_sharded_pallas_tiles_converges(mesh, rng):
+    """Single-RHS CG with the Pallas merge kernel as the per-shard SpMV
+    (padded-layout column remap) converges to the true solution."""
+    from tpusparse.parallel import sharded_tiles as stm
+
+    csr = generators.make_laplacian_grid2d(12, dtype=np.float64).to_csr()
+    csr32 = csr.astype(np.float32)
+    D = mesh.devices.size
+    st = stm.shard_tiles(csr32, D, pad_layout_cols=True)
+    std = stm.device_put_sharded_tiles(st, mesh)
+
+    A = sh.shard_csr(csr32, D)
+    b = rng.standard_normal(csr.num_rows).astype(np.float32)
+    bp = jnp.asarray(sh.to_padded_layout(b, A))
+    X, R, Pd = jnp.zeros_like(bp), bp, bp
+    rs = jnp.sum(jnp.asarray(b) ** 2)
+
+    step = jax.jit(
+        lambda X, R, Pd, rs: stm.cg_step_sharded_tiles(
+            std, (X, R, Pd, rs), mesh
+        )
+    )
+    for _ in range(250):
+        X, R, Pd, rs = step(X, R, Pd, rs)
+        if float(rs) < 1e-10:
+            break
+    Xh = sh.from_padded_layout(np.asarray(X), A)
+    err = np.linalg.norm(b - csr.to_scipy() @ Xh) / np.linalg.norm(b)
+    assert err < 1e-4  # fp32 kernel path

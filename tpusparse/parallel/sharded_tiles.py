@@ -67,21 +67,48 @@ class ShardedTiles:
         return int(self.vals.shape[0])
 
 
-def shard_tiles(csr: CsrMatrix, n_shards: int, **tile_kwargs
+def shard_tiles(csr: CsrMatrix, n_shards: int,
+                pad_layout_cols: bool = False, **tile_kwargs
                 ) -> ShardedTiles:
-    """Split rows into nnz-balanced slabs and merge-tile each slab."""
+    """Split rows into nnz-balanced slabs and merge-tile each slab.
+
+    ``pad_layout_cols=True`` (square matrices only) remaps each slab's
+    global column indices into the padded shard row layout (global
+    column c owned by shard s sits at s*rows_per_shard + c -
+    row_start[s]), the same remap as ``ShardedCsr.col_padded``. The
+    per-shard kernel then gathers directly from an all-gathered
+    row-sharded vector of length D*rows_per_shard — what the sharded CG
+    step needs."""
     from tpusparse.parallel.sharded import shard_csr
 
     slabs = shard_csr(csr, n_shards)
     rps = slabs.rows_per_shard
 
+    pos = None
+    gather_cols = csr.num_cols
+    if pad_layout_cols:
+        if csr.num_cols != csr.num_rows:
+            raise ValueError("pad_layout_cols requires a square matrix")
+        rstart = np.asarray(slabs.row_start).astype(np.int64)
+        bounds = np.concatenate([rstart, [csr.num_rows]])
+        shard_of = np.searchsorted(
+            bounds[1:], np.arange(csr.num_rows), side="right"
+        )
+        pos = (
+            shard_of * rps + np.arange(csr.num_rows) - bounds[shard_of]
+        ).astype(np.int32)
+        gather_cols = n_shards * rps
+
     per_shard = []
     for i in range(n_shards):
         ro = np.asarray(slabs.row_offsets[i])
         nnz_i = int(ro[-1])
+        ci = np.asarray(slabs.col_indices[i][:nnz_i])
+        if pos is not None:
+            ci = pos[ci]
         local = CsrMatrix(
-            rps, csr.num_cols, ro,
-            np.asarray(slabs.col_indices[i][:nnz_i]),
+            rps, gather_cols, ro,
+            ci,
             np.asarray(slabs.values[i][:nnz_i]),
         )
         tiles = build_merge_tiles(local, **tile_kwargs)
@@ -105,7 +132,7 @@ def shard_tiles(csr: CsrMatrix, n_shards: int, **tile_kwargs
 
     return ShardedTiles(
         num_rows=csr.num_rows,
-        num_cols=csr.num_cols,
+        num_cols=gather_cols,
         rows_per_shard=rps,
         row_window=per_shard[0].row_window,
         col_window=per_shard[0].col_window,
@@ -172,3 +199,66 @@ def spmv_sharded_tiles(st: ShardedTiles, x, mesh: Mesh,
         check_vma=False,  # pallas_call has no varying-mesh-axes info
     )(st.vals, st.local_cols, st.end_pos, st.row_block, st.col_block,
       st.col_span, x)
+
+
+def _local_tiles(st: ShardedTiles, vals, lcols, epos, rblk, cblk, cspan):
+    """Reconstruct one shard's DeviceTiles from shard_map block args."""
+    empty_i = jnp.zeros((0,), jnp.int32)
+    return merge_spmv.DeviceTiles(
+        num_rows=st.rows_per_shard,
+        num_cols=st.num_cols,
+        nnz=0,  # informational only
+        row_window=st.row_window,
+        col_window=st.col_window,
+        vals=vals[0],
+        local_cols=lcols[0],
+        end_pos=epos[0],
+        row_block=rblk[0],
+        col_block=cblk[0],
+        col_span=cspan[0],
+        gather_rows=st.gather_rows,
+        x_pad_rows=st.x_pad_rows,
+        ovf_rows=empty_i,
+        ovf_cols=empty_i,
+        ovf_vals=jnp.zeros((0,), st.vals.dtype),
+    )
+
+
+def cg_step_sharded_tiles(st: ShardedTiles, state, mesh: Mesh,
+                          axis: str = "rows"):
+    """One single-RHS CG iteration with the Pallas merge-tile kernel as
+    the per-shard SpMV: all_gather the search direction over ICI, run
+    the flagship kernel on the local slab, psum-reduce the dot products
+    — the multi-chip expression of the reference CG recurrence
+    (``work_2025/main/single_strategy.hpp:105-170``) on the kernel path
+    rather than the XLA reference ops (``sharded.cg_step_sharded``).
+
+    ``st`` must be built with ``shard_tiles(..., pad_layout_cols=True)``
+    so the tile column indices address the all-gathered padded layout.
+    ``state`` = (x, r, p, rs_old): (D*rows_per_shard,) row-sharded
+    vectors in the padded shard layout + a replicated scalar.
+    """
+
+    def step(vals, lcols, epos, rblk, cblk, cspan, X, R, Pd, rs_old):
+        Pd_full = jax.lax.all_gather(Pd, axis, axis=0, tiled=True)
+        A = _local_tiles(st, vals, lcols, epos, rblk, cblk, cspan)
+        AP = merge_spmv.spmv_merge(A, Pd_full)
+        pAp = jax.lax.psum(jnp.sum(Pd * AP), axis)
+        alpha = jnp.where(pAp == 0, 0.0, rs_old / pAp)
+        Xn = X + alpha * Pd
+        Rn = R - alpha * AP
+        rs_new = jax.lax.psum(jnp.sum(Rn * Rn), axis)
+        beta = jnp.where(rs_old == 0, 0.0, rs_new / rs_old)
+        Pn = Rn + beta * Pd
+        return Xn, Rn, Pn, rs_new
+
+    X, R, Pd, rs_old = state
+    return jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis), P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis), P(axis), P()),
+        check_vma=False,  # pallas_call has no varying-mesh-axes info
+    )(st.vals, st.local_cols, st.end_pos, st.row_block, st.col_block,
+      st.col_span, X, R, Pd, rs_old)
