@@ -77,7 +77,8 @@ def test_strategy_aliases():
     assert SpmvStrategy.parse("simple") == SpmvStrategy.ROW_SPLIT
     assert SpmvStrategy.parse("nonzero_split") == SpmvStrategy.MERGE
     assert SpmvStrategy.parse("merge") == SpmvStrategy.MERGE
-    assert SpmvStrategy.parse("mkl") == SpmvStrategy.REFERENCE
+    # the vendor baseline is BCOO, not an alias of reference
+    assert SpmvStrategy.parse("mkl") == SpmvStrategy.BCOO
     assert SpmvStrategy.parse(SpmvStrategy.BSR) == SpmvStrategy.BSR
 
 

@@ -72,6 +72,8 @@ def _load_matrix(args):
 
 def _plan(csr, strategy, dtype, L=1):
     """Build the device operand for a strategy; returns (operand, kind)."""
+    import jax.experimental.sparse as jsparse
+
     from tpusparse.formats.csr import CsrMatrix
     from tpusparse.kernels.ell_spmm import DeviceEll
     from tpusparse.ops.spmv import plan_matrix
@@ -79,11 +81,22 @@ def _plan(csr, strategy, dtype, L=1):
     A = plan_matrix(csr, strategy=strategy, dtype=dtype, L=L)
     if isinstance(A, CsrMatrix):
         kind = "reference"
+    elif isinstance(A, jsparse.BCOO):
+        kind = "bcoo"
     elif isinstance(A, DeviceEll):
         kind = "row_split"
     else:
         kind = type(A).__name__ == "BcsrMatrix" and "bsr" or "merge"
     return A, kind
+
+
+def _iters(args, default):
+    """Chain lengths for slope timing; --timing_iters (reference --i,
+    cpu_spmv.cpp:937) overrides the longer chain."""
+    ti = getattr(args, "timing_iters", 0) or 0
+    if ti > 1:
+        return (max(ti // 8, 1), ti)
+    return default
 
 
 def _chain_time(fn, x, iters=(5, 35)):
@@ -136,9 +149,13 @@ def cmd_spmv(args):
     x = rng.standard_normal(csr.num_cols).astype(dtype)
     golden = spmv_numpy(csr, x, alpha=args.alpha, beta=args.beta)
 
+    # kernel strategies + the XLA golden model + the vendor baseline —
+    # the reference benches {Simple, Merge, NonzeroSplit, MKL} per run
+    # (cpu_spmv.cpp:750-923)
     strategies = (args.strategy.split(",") if args.strategy
-                  else (["merge", "row_split", "reference"]
-                        if dtype == np.float32 else ["reference"]))
+                  else (["merge", "row_split", "reference", "bcoo"]
+                        if dtype == np.float32
+                        else ["reference", "bcoo"]))
     rows = []
     for strat in strategies:
         A, kind = _plan(csr, strat, dtype)
@@ -148,7 +165,8 @@ def cmd_spmv(args):
         err = np.abs(y - golden).max() / scale
         ok = err < (2e-5 if dtype == np.float32 else 1e-10)
         if csr.num_rows == csr.num_cols:
-            per = _chain_time(lambda v: spmv(A, v), xd)
+            per = _chain_time(lambda v: spmv(A, v), xd,
+                              iters=_iters(args, (5, 35)))
         else:
             per = float("nan")
         gf = models.gflops(models.spmv_flops(csr.nnz), per)
@@ -183,8 +201,9 @@ def cmd_spmm(args):
     golden = csr.to_scipy() @ X
 
     strategies = (args.strategy.split(",") if args.strategy
-                  else (["row_split", "merge", "reference"]
-                        if dtype == np.float32 else ["reference"]))
+                  else (["row_split", "merge", "reference", "bcoo"]
+                        if dtype == np.float32
+                        else ["reference", "bcoo"]))
     rows = []
     for strat in strategies:
         A, kind = _plan(csr, strat, dtype, L=L)
@@ -194,7 +213,8 @@ def cmd_spmm(args):
         err = np.abs(Y - golden).max() / scale
         ok = err < (5e-5 if dtype == np.float32 else 1e-10)
         if csr.num_rows == csr.num_cols:
-            per = _chain_time(lambda V: spmm(A, V), Xd, iters=(2, 10))
+            per = _chain_time(lambda V: spmm(A, V), Xd,
+                              iters=_iters(args, (2, 10)))
         else:
             per = float("nan")
         gf = models.gflops(models.spmv_flops(csr.nnz, L), per)
@@ -355,20 +375,24 @@ def cmd_axpy(args):
     """STREAM-like axpy microbenchmark (parity: axpy.cpp:37-99 — MKL
     daxpy vs memcpy vs scalar loop over sizes 2^2..2^17 doubles;
     here: fused jnp axpy vs copy, per-size effective GB/s)."""
-    import jax
     import jax.numpy as jnp
 
-    print("size_doubles,op,ms,gbs")
+    dtype = jnp.float32 if args.fp32 else jnp.float64
+    print("size_elems,op,ms,gbs")
     for p2 in range(8, 25, 2):
         n = 2 ** p2
-        x = jnp.ones((n,), jnp.float64)
-        y = jnp.ones((n,), jnp.float64)
+        x = jnp.ones((n,), dtype)
+        y = jnp.ones((n,), dtype)
+        # byte accounting from the ACTUAL device dtype: requesting f64
+        # without x64 silently yields f32 arrays, and assuming 8-byte
+        # elements would overstate GB/s 2x (round-1 bug).
+        nbytes = int(np.dtype(x.dtype).itemsize)
 
         per = _chain_time(lambda v: v + 2.5 * x, y, iters=(10, 110))
-        gbs = 3 * n * 8 / per / 1e9
+        gbs = 3 * n * nbytes / per / 1e9
         print(f"{n},axpy,{per*1e3:.4f},{gbs:.1f}")
         per = _chain_time(lambda v: v * 1.0, y, iters=(10, 110))
-        gbs = 2 * n * 8 / per / 1e9
+        gbs = 2 * n * nbytes / per / 1e9
         print(f"{n},copy,{per*1e3:.4f},{gbs:.1f}")
 
 
@@ -436,11 +460,13 @@ def cmd_efficiency(args):
 def cmd_sweep(args):
     """RHS-count sweep (eval_vectors.sh parity: L in 1..1024)."""
     Ls = [int(v) for v in args.vector_counts.split(",")]
-    print("matrix,kernel,L,nnz,ms,gflops,check")
+    if not args.quiet:
+        print("matrix,kernel,L,nnz,ms,gflops,check")
     for L in Ls:
-        args.num_vectors = L
-        args.quiet = True
-        cmd_spmm(args)
+        sub = argparse.Namespace(**vars(args))
+        sub.num_vectors = L
+        sub.quiet = True
+        cmd_spmm(sub)
 
 
 def build_parser():
@@ -466,6 +492,7 @@ def build_parser():
         sp.add_argument("--max_iters", type=int, default=10000)
         sp.add_argument("--tolerance", type=float, default=1e-5)
         sp.add_argument("--jacobi_sweeps", type=int, default=16)
+        sp.add_argument("--timing_iters", "--i", type=int, default=0)
         sp.add_argument("--output")
 
     for name, fn in [("spmv", cmd_spmv), ("spmm", cmd_spmm),
@@ -483,6 +510,14 @@ def build_parser():
 
 
 def main(argv=None):
+    # The reference drivers are fp64-default (cpu_spmv.cpp:979-986) and
+    # golden-check every run; without x64 the default mode silently
+    # downcasts to f32 on device and FAILS its own check. The Pallas
+    # kernels self-guard via kernel_no_x64 (kernels/_util.py), so
+    # enabling x64 globally is safe for every strategy.
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

@@ -70,7 +70,7 @@ def spmm_coo(rows, cols, vals, X, num_rows: int):
     )
 
 
-def to_bcoo(csr):
+def to_bcoo(csr, dtype=None):
     """Convert to jax.experimental.sparse BCOO — the JAX ecosystem's
     built-in sparse type, benchmarked as the vendor-baseline analogue of
     the reference's MKL comparisons (cpu_spmv.cpp:631-664)."""
@@ -86,8 +86,11 @@ def to_bcoo(csr):
         [rows, jnp.asarray(np.asarray(csr.col_indices), dtype=jnp.int32)],
         axis=1,
     )
+    vals = np.asarray(csr.values)
+    if dtype is not None:
+        vals = vals.astype(dtype)
     return jsparse.BCOO(
-        (jnp.asarray(np.asarray(csr.values)), idx),
+        (jnp.asarray(vals), idx),
         shape=(csr.num_rows, csr.num_cols),
     )
 

@@ -37,6 +37,7 @@ class SpmvStrategy(enum.Enum):
     MERGE = "merge"
     ROW_SPLIT = "row_split"
     BSR = "bsr"
+    BCOO = "bcoo"
     AUTO = "auto"
 
     @classmethod
@@ -49,7 +50,10 @@ class SpmvStrategy(enum.Enum):
             "simple": "row_split",
             "ell": "row_split",
             "nonzero_split": "merge",
-            "mkl": "reference",
+            # the vendor baseline the reference benchmarks against is
+            # MKL (cpu_spmv.cpp:631-664); the JAX-ecosystem analogue is
+            # jax.experimental.sparse BCOO
+            "mkl": "bcoo",
         }
         return cls(aliases.get(s, s))
 
@@ -67,6 +71,8 @@ def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1):
     strategy = SpmvStrategy.parse(strategy)
     if dtype is None:
         dtype = np.asarray(csr.values).dtype
+    if strategy == SpmvStrategy.BCOO:
+        return ref.to_bcoo(csr, dtype=dtype)
     # The Pallas kernels keep x (and the merge kernel also y) resident
     # in VMEM; beyond ~1.2M rows/cols fall back to the reference ops
     # (windowed-output large-matrix variants: see ROADMAP.md).
@@ -149,6 +155,13 @@ def spmv(A, x, alpha=1.0, beta=0.0, y=None, strategy="auto"):
 
     if isinstance(A, CsrMatrix):
         return ref.spmv_reference(A, x, alpha=alpha, beta=beta, y=y)
+    import jax.experimental.sparse as jsparse
+
+    if isinstance(A, jsparse.BCOO):
+        y_new = A @ x.astype(A.dtype)
+        if beta == 0.0 or y is None:
+            return alpha * y_new
+        return alpha * y_new + beta * y
     if isinstance(A, BcsrMatrix):
         from tpusparse.kernels import bsr as bsr_kernel
 
@@ -175,6 +188,13 @@ def spmm(A, X, alpha=1.0, beta=0.0, Y=None, strategy="auto"):
 
     if isinstance(A, CsrMatrix):
         return ref.spmm_reference(A, X, alpha=alpha, beta=beta, Y=Y)
+    import jax.experimental.sparse as jsparse
+
+    if isinstance(A, jsparse.BCOO):
+        Y_new = A @ X.astype(A.dtype)
+        if beta == 0.0 or Y is None:
+            return alpha * Y_new
+        return alpha * Y_new + beta * Y
     if isinstance(A, BcsrMatrix):
         from tpusparse.kernels import bsr as bsr_kernel
 
