@@ -4,19 +4,22 @@ Metric: fp32 CSR SpMV GFLOP/s on a 3-D Laplacian (110k rows, 760k nnz)
 via the Pallas merge-tile kernel — the reference's headline metric
 (``cpu_spmv.cpp:725,733``: GFLOP/s = 2*nnz/t).
 
-Timing detail: the tunneled TPU platform has ~25 ms host<->device
-round-trip latency, so the op is iterated inside one jitted fori_loop
-(y renormalized into x each step — the matrix is square) and the
-per-op time comes from the slope between two iteration counts.
+Timing: chained-slope methodology (tpusparse.bench.timing) — the
+tunneled TPU platform has ~25 ms host<->device round-trip latency and
+an unreliable block_until_ready, so per-op time is the slope between
+two fori_loop chain lengths. The chip is shared: the headline is the
+MEDIAN over several interleaved slope sets (reproducible), with the
+spread and best-set value reported alongside.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md); the
 denominator is the throughput its own byte model implies on its
 i9-9980XE host (~80 GB/s at 20 B/nnz fp64 -> ~4 Gnnz/s -> 8 GFLOP/s),
 i.e. the bandwidth-bound ceiling of the reference machine.
+``pct_of_roofline``: effective bytes over the measured 650 GB/s
+read-dominant stream ceiling of this chip (bench/models.py).
 """
 
 import json
-import time
 
 import numpy as np
 
@@ -24,49 +27,29 @@ BASELINE_SPMV_GFLOPS = 8.0
 
 
 def main():
-    import jax
     import jax.numpy as jnp
 
+    from tpusparse.bench import models
+    from tpusparse.bench.timing import slope_time
     from tpusparse.formats.tiles import build_merge_tiles
     from tpusparse.io import generators
     from tpusparse.kernels import merge_spmv
+    from tpusparse.ops.spmv import plan_matrix
 
     width = 48  # 110k rows, ~760k nnz
     csr = generators.make_laplacian_grid3d(width, dtype=np.float32).to_csr()
-    tiles = build_merge_tiles(csr)
-    A = merge_spmv.to_device_tiles(tiles, dtype=np.float32)
+    A = plan_matrix(csr, strategy="merge", dtype=np.float32)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(csr.num_cols).astype(np.float32))
 
-    def chain(K):
-        @jax.jit
-        def g(x):
-            def body(i, x):
-                y = merge_spmv.spmv_merge(A, x)
-                return y / (jnp.max(jnp.abs(y)) + 1.0)
-            return jax.lax.fori_loop(0, K, body, x)
-        return g
-
-    def run(g):
-        r = g(x)
-        float(jnp.sum(r))  # sync (block_until_ready is unreliable here)
-        ts = []
-        for _ in range(4):
-            t0 = time.perf_counter()
-            r = g(x)
-            float(jnp.sum(r))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-
-    # The shared chip shows large run-to-run variance; take the best of
-    # several interleaved slope measurements.
-    K1, K2 = 10, 110
-    g1, g2 = chain(K1), chain(K2)
-    per_op = min(
-        (run(g2) - run(g1)) / (K2 - K1) for _ in range(8)
+    st = slope_time(
+        lambda v: merge_spmv.spmv_merge(A, v), x, iters=(10, 110),
+        sets=8, reps=4,
     )
+    per_op = st.median_s
     gf = 2.0 * csr.nnz / max(per_op, 1e-9) / 1e9
+    ebytes = models.spmv_bytes(csr.nnz, csr.num_rows, value_bytes=4)
     print(
         json.dumps(
             {
@@ -74,6 +57,13 @@ def main():
                 "value": round(gf, 2),
                 "unit": "GFLOP/s",
                 "vs_baseline": round(gf / BASELINE_SPMV_GFLOPS, 3),
+                "spread": round(st.spread, 3),
+                "best_set_gflops": round(
+                    2.0 * csr.nnz / max(st.min_s, 1e-9) / 1e9, 2
+                ),
+                "pct_of_roofline": round(
+                    models.roofline_pct(ebytes, per_op), 1
+                ),
             }
         )
     )

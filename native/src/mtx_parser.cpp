@@ -78,13 +78,16 @@ int64_t parse_header(const char* buf, int64_t len, Header* h) {
   return eol ? (eol + 1 - buf) : len;
 }
 
-// Count newline-separated non-empty lines in [start, end).
-// Entries are one per line in MM coordinate format.
+// Parse newline-separated entries in [start, end), writing at most
+// `cap` of them (MM coordinate format, one per line). Stopping at cap
+// bounds the writes for malformed/adversarial files whose body holds
+// more entries than the header declares; the caller then rejects the
+// file when the total differs from the declared nnz.
 void parse_range(const char* p, const char* end, bool pattern,
                  double default_value, int32_t* rows, int32_t* cols,
-                 double* vals, int64_t* count) {
+                 double* vals, int64_t cap, int64_t* count) {
   int64_t n = 0;
-  while (p < end) {
+  while (p < end && n < cap) {
     while (p < end && (*p == '\n' || *p == '\r' || *p == ' ' ||
                        *p == '\t'))
       p++;
@@ -175,17 +178,27 @@ int mtx_read(const char* path, double default_value, int64_t* num_rows,
 #pragma omp parallel for num_threads(nthreads) schedule(static, 1)
 #endif
   for (int t = 0; t < nthreads; t++) {
-    size_t cap = static_cast<size_t>(decl) + 16;
+    // Size per-thread buffers by the chunk's byte share, not the full
+    // declared nnz (an entry line is >= 4 bytes: "1 1\n"), capped by
+    // decl+16 so a malformed over-long body cannot overflow anything.
+    int64_t chunk_bytes = starts[t + 1] - starts[t];
+    int64_t cap64 = chunk_bytes / 4 + 2;
+    if (cap64 > decl + 16) cap64 = decl + 16;
+    size_t cap = static_cast<size_t>(cap64);
     trows[t].resize(cap);
     tcols[t].resize(cap);
     tvals[t].resize(cap);
     parse_range(starts[t], starts[t + 1], h.pattern, default_value,
                 trows[t].data(), tcols[t].data(), tvals[t].data(),
-                &counts[t]);
+                cap64, &counts[t]);
   }
 
   int64_t total = 0;
   for (int t = 0; t < nthreads; t++) total += counts[t];
+  // Reject files whose parsed entry count differs from the declared
+  // nnz (the reference and the Python fast path both error on excess
+  // entries; short counts indicate a truncated/corrupt body).
+  if (total != decl) return 6;
 
   // worst case doubling from symmetric expansion
   int64_t cap = (h.symmetric || h.skew) ? total * 2 : total;

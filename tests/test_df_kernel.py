@@ -55,6 +55,54 @@ def test_df_beats_fp32(rng):
     assert errdf < err32 * 1e-4  # orders of magnitude tighter
 
 
+def test_df_lane_padding_is_multiple_of_8(rng):
+    """L=12 must pad to 16 lanes (a multiple of 8), not stay at 12: a
+    (12, 128) gather tile violates the Mosaic sublane constraint on real
+    TPU even though interpret mode accepts it (ADVICE round 1)."""
+    csr = generators.make_laplacian_grid2d(10).to_csr()
+    A = ell_df.to_device_ell_df(build_df_tiles(csr))
+    X = rng.standard_normal((csr.num_cols, 12))
+    Y = np.asarray(ell_df.spmm_ell_df(A, jnp.asarray(X)))
+    expect = csr.to_scipy() @ X
+    np.testing.assert_allclose(Y, expect, rtol=1e-12, atol=1e-12)
+
+
+def test_df_lane_chunking_beyond_vmem_budget(rng, monkeypatch):
+    """fp64 SpMM at an (artificially tiny) VMEM budget must lane-chunk
+    and still be exact — round 1 fell back to the ~200x-slower XLA path
+    whenever num_cols*2L*4B exceeded the budget."""
+    from tpusparse.kernels import ell_spmm
+
+    csr = generators.make_laplacian_grid2d(12).to_csr()
+    A = ell_df.to_device_ell_df(build_df_tiles(csr))
+    L = 32
+    # budget forces ~8-lane chunks: num_cols*2*4 bytes per lane
+    monkeypatch.setattr(
+        ell_spmm, "X_VMEM_BUDGET_BYTES", csr.num_cols * 2 * 4 * 8
+    )
+    X = rng.standard_normal((csr.num_cols, L))
+    Y = np.asarray(ell_df.spmm_ell_df(A, jnp.asarray(X)))
+    expect = csr.to_scipy() @ X
+    scale = np.abs(expect).max()
+    assert np.abs(Y - expect).max() / scale < 1e-13
+
+
+def test_df_requires_x64(rng):
+    """Without x64 the hi/lo split silently loses the lo plane; the
+    kernel must refuse loudly instead (ADVICE round 1)."""
+    import jax
+
+    csr = generators.make_laplacian_grid2d(8).to_csr()
+    A = ell_df.to_device_ell_df(build_df_tiles(csr))
+    X = jnp.asarray(rng.standard_normal((csr.num_cols, 8)))
+    jax.config.update("jax_enable_x64", False)
+    try:
+        with pytest.raises(TypeError, match="x64"):
+            ell_df.spmm_ell_df(A, X)
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
 def test_df_alpha_beta(rng):
     csr = generators.make_laplacian_grid2d(10).to_csr()
     A = ell_df.to_device_ell_df(build_df_tiles(csr))

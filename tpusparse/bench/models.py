@@ -49,9 +49,22 @@ def gbytes_per_s(nbytes: float, seconds: float) -> float:
     return nbytes / seconds / 1e9 if seconds > 0 else 0.0
 
 
-# Empirically measured streaming bandwidth ceiling of the benchmark chip
-# (TPU v5e via the axon tunnel, measured with a fused scale pass; the
-# datasheet HBM figure is 819 GB/s but the attainable stream rate here
-# measured ~216 GB/s r+w). Used for roofline percentages in reports.
-MEASURED_STREAM_GBS = 216.0
+# Empirically measured streaming-bandwidth ceilings of the benchmark
+# chip (TPU v5e via the axon tunnel; slope-timed at 256-512 MB, spread
+# < 5%): a 1-read+1-write scale pass sustains ~445 GB/s; a
+# 2-read+1-write triad sustains ~672 GB/s. SpMV is read-dominated
+# (values + indices streamed, x gathered, y written once), so roofline
+# percentages use the read-dominant ceiling. Datasheet HBM: 819 GB/s.
+MEASURED_STREAM_GBS = 650.0
+MEASURED_SCALE_GBS = 445.0
 HBM_DATASHEET_GBS = 819.0
+
+
+def roofline_pct(nbytes: float, seconds: float,
+                 ceiling_gbs: float = MEASURED_STREAM_GBS) -> float:
+    """Effective bandwidth as a percentage of the measured stream
+    ceiling — the bandwidth-bound SpMV quality metric (the SC'16
+    pipeline's claim, agent_spmv_orig.cuh:289-406)."""
+    if seconds <= 0:
+        return 0.0
+    return 100.0 * (nbytes / seconds / 1e9) / ceiling_gbs

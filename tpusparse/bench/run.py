@@ -75,6 +75,7 @@ def _plan(csr, strategy, dtype, L=1):
     import jax.experimental.sparse as jsparse
 
     from tpusparse.formats.csr import CsrMatrix
+    from tpusparse.kernels.ell_df import DeviceEllDF
     from tpusparse.kernels.ell_spmm import DeviceEll
     from tpusparse.ops.spmv import plan_matrix
 
@@ -85,6 +86,8 @@ def _plan(csr, strategy, dtype, L=1):
         kind = "bcoo"
     elif isinstance(A, DeviceEll):
         kind = "row_split"
+    elif isinstance(A, DeviceEllDF):
+        kind = "row_split_df64"
     else:
         kind = type(A).__name__ == "BcsrMatrix" and "bsr" or "merge"
     return A, kind
@@ -101,39 +104,12 @@ def _iters(args, default):
 
 def _chain_time(fn, x, iters=(5, 35)):
     """Slope timing: per-op seconds via two chained iteration counts
-    (the tunneled platform has ~25 ms host round-trip latency)."""
-    import jax
-    import jax.numpy as jnp
+    (the tunneled platform has ~25 ms host round-trip latency). See
+    tpusparse.bench.timing for the methodology."""
+    from tpusparse.bench.timing import slope_time
 
-    def chain(K):
-        @jax.jit
-        def g(x):
-            def body(i, x):
-                y = fn(x)
-                denom = jnp.max(jnp.abs(y)) + 1.0
-                if y.shape == x.shape:
-                    return y / denom
-                return x * (1.0 + 0.0 * jnp.sum(y))
-            return jax.lax.fori_loop(0, K, body, x)
-        return g
-
-    def run(g):
-        r = g(x)
-        float(jnp.sum(r))
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            r = g(x)
-            float(jnp.sum(r))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-
-    K1, K2 = iters
-    per = max((run(chain(K2)) - run(chain(K1))) / (K2 - K1), 1e-9)
-    if per < 2e-5:  # tiny op: slope noise dominates — amplify K
-        K1, K2 = K1 * 20, K2 * 20
-        per = max((run(chain(K2)) - run(chain(K1))) / (K2 - K1), 1e-9)
-    return per
+    return slope_time(fn, x, iters=iters, sets=1, reps=3,
+                      min_per_op=2e-5).median_s
 
 
 def cmd_spmv(args):

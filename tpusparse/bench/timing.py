@@ -1,81 +1,117 @@
-"""Robust TPU timing.
+"""Robust TPU timing — chained-slope methodology.
 
 Parity with the reference methodology (``utils.h:531-654``,
 ``cpu_spmv.cpp:330-347``, ``no_pretreatment.hpp:232-255``): warmup pass,
-then timed repetitions reporting average (SpMV/SpMM) or min-of-reps
-(solvers); timing-iteration count auto-scaled toward a target amount of
-streamed work (the reference targets ~16 G nnz, ``cpu_spmv.cpp:832``).
+then timed repetitions; timing-iteration count auto-scaled toward a
+target amount of streamed work (the reference targets ~16 G nnz,
+``cpu_spmv.cpp:832``).
 
-TPU-specific detail: on the tunneled platform used here,
-``block_until_ready`` does not reliably block, so synchronization is a
-scalar device->host fetch of a reduction over the result. Benchmarked
-functions must therefore return (result, scalar) or a scalar.
+TPU-specific redesign: on the tunneled platform used here the
+host<->device round trip is ~25 ms and ``block_until_ready`` does not
+reliably block, so timing a single dispatch is invalid. The only sound
+method is the *slope*: chain K iterations of the op inside one jitted
+``fori_loop``, synchronize with a scalar device->host fetch, and take
+(t(K2) - t(K1)) / (K2 - K1). The chip is also shared (run-to-run
+variance ~2x), so a headline number must aggregate several interleaved
+slope measurements and report the spread.
 """
 
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 
 def sync(x) -> float:
     """Force execution of everything feeding `x`; returns the scalar."""
+    import jax
+
     return float(np.asarray(jax.device_get(x)).ravel()[0])
 
 
-def _run_once(fn, args) -> float:
-    t0 = time.perf_counter()
-    out = fn(*args)
-    leaf = jax.tree_util.tree_leaves(out)[-1]
-    sync(jnp.sum(leaf) if leaf.ndim else leaf)
-    return time.perf_counter() - t0
-
-
 @dataclass
-class Timing:
-    avg_s: float
-    min_s: float
-    reps: int
+class SlopeTiming:
+    """Per-op seconds from interleaved slope measurements."""
+
+    slopes_s: list[float] = field(default_factory=list)
 
     @property
-    def avg_ms(self) -> float:
-        return self.avg_s * 1e3
+    def median_s(self) -> float:
+        return float(np.median(self.slopes_s))
 
     @property
-    def min_ms(self) -> float:
-        return self.min_s * 1e3
+    def min_s(self) -> float:
+        return float(np.min(self.slopes_s))
+
+    @property
+    def spread(self) -> float:
+        """(max - min) / median over the slope sets — the honesty
+        metric for shared-chip variance."""
+        m = self.median_s
+        return float(
+            (np.max(self.slopes_s) - np.min(self.slopes_s)) / m
+        ) if m > 0 else 0.0
+
+    @property
+    def median_ms(self) -> float:
+        return self.median_s * 1e3
 
 
-def benchmark(
-    fn,
-    *args,
-    reps: int | None = None,
-    target_work: float | None = None,
-    work_per_call: float = 0.0,
-    warmup: int = 2,
-    max_reps: int = 1000,
-    min_reps: int = 3,
-) -> Timing:
-    """Time ``fn(*args)``.
+def _make_chain(fn, x, K):
+    """jit(K-fold self-composition of fn), renormalizing each step so
+    values stay finite. For ops whose output shape differs from the
+    input's, the loop carries x and folds a data dependency on fn(x)."""
+    import jax
+    import jax.numpy as jnp
 
-    If ``reps`` is None, a calibration run sizes the repetition count so
-    total streamed work approaches ``target_work`` (the reference's
-    16 G-nnz auto-scaling, cpu_spmv.cpp:832), clamped to
-    [min_reps, max_reps].
+    @jax.jit
+    def g(x):
+        def body(i, x):
+            y = fn(x)
+            if y.shape == x.shape and y.dtype == x.dtype:
+                return y / (jnp.max(jnp.abs(y)) + 1.0)
+            return x * (1.0 + 0.0 * jnp.sum(y).astype(x.dtype))
+
+        return jax.lax.fori_loop(0, K, body, x)
+
+    return g
+
+
+def _run_min(g, x, reps: int) -> float:
+    import jax.numpy as jnp
+
+    r = g(x)
+    sync(jnp.sum(r))  # warmup: compile + transfer
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r = g(x)
+        sync(jnp.sum(r))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def slope_time(fn, x, iters=(10, 110), sets: int = 1, reps: int = 3,
+               min_per_op: float = 0.0) -> SlopeTiming:
+    """Per-op seconds for ``fn(x)`` via chained-slope timing.
+
+    ``iters = (K1, K2)``: the two chain lengths. ``sets`` interleaved
+    slope measurements are collected (each = min over ``reps`` runs of
+    both chains). When the measured per-op time undercuts
+    ``min_per_op`` (slope noise regime for tiny ops), the chains are
+    amplified 20x once and remeasured.
     """
-    for _ in range(warmup):
-        t_cal = _run_once(fn, args)
-    if reps is None:
-        if target_work and work_per_call > 0 and t_cal > 0:
-            per_call = work_per_call
-            reps = int(target_work / per_call)
-        else:
-            reps = int(1.0 / max(t_cal, 1e-4))  # ~1 s of reps
-        reps = max(min_reps, min(reps, max_reps))
-    times = [_run_once(fn, args) for _ in range(reps)]
-    return Timing(avg_s=float(np.mean(times)), min_s=float(np.min(times)),
-                  reps=reps)
+    K1, K2 = iters
+    g1, g2 = _make_chain(fn, x, K1), _make_chain(fn, x, K2)
+    slopes = []
+    for _ in range(sets):
+        t1 = _run_min(g1, x, reps)
+        t2 = _run_min(g2, x, reps)
+        slopes.append(max((t2 - t1) / (K2 - K1), 1e-9))
+    st = SlopeTiming(slopes)
+    if min_per_op > 0 and st.median_s < min_per_op:
+        return slope_time(fn, x, iters=(K1 * 20, K2 * 20), sets=sets,
+                          reps=reps)
+    return st

@@ -45,6 +45,11 @@ def read_market(
             return native.read_market(path, default_value, dtype)
     except ImportError:
         pass
+    except IOError:
+        # native parser rejected the file (e.g. entry count differs
+        # from the declared nnz); re-diagnose through the Python path,
+        # which raises a more specific error for genuinely bad files
+        pass
     with _open(path) as f:
         return _read_market_stream(f, default_value, dtype)
 
@@ -105,12 +110,29 @@ def _read_market_stream(f, default_value, dtype) -> CooMatrix:
 
     body = f.read()
     # Fast path: bulk-parse every whitespace-separated token as float64
-    # (indices are exact in f64 up to 2^53). Falls back to a per-line
-    # loop when the token count is ragged (malformed value fields).
-    raw = np.fromstring(body, dtype=np.float64, sep=" ")
-    n_tok = raw.size
-    if nnz_declared > 0 and n_tok % nnz_declared == 0:
-        fields = n_tok // nnz_declared
+    # (indices are exact in f64 up to 2^53). The field count comes from
+    # the FIRST data line, not from token-count divisibility — a
+    # truncated parse whose count happens to divide nnz must not
+    # silently build a wrong matrix. Any unparseable token or a field
+    # mismatch falls back to the per-line loop.
+    tokens = body.split()
+    first_fields = 0
+    for line in body.splitlines():
+        stripped = line.split()
+        if stripped:
+            first_fields = len(stripped)
+            break
+    try:
+        raw = np.asarray(tokens, dtype=np.float64)
+    except ValueError:
+        raw = None
+    if (
+        raw is not None
+        and nnz_declared > 0
+        and first_fields >= 2
+        and raw.size == nnz_declared * first_fields
+    ):
+        fields = first_fields
     else:
         return _read_market_slow(
             body, num_rows, num_cols, nnz_declared,
@@ -144,6 +166,7 @@ def _read_market_slow(
     default_value, dtype,
 ):
     rows, cols, vals = [], [], []
+    n_primitive = 0
     for line in _io.StringIO(body):
         parts = line.split()
         if len(parts) < 2:
@@ -159,11 +182,19 @@ def _read_market_slow(
         rows.append(r)
         cols.append(c)
         vals.append(v)
+        n_primitive += 1
         if symmetric or skew:
             if r != c:
                 rows.append(c)
                 cols.append(r)
                 vals.append(-v if skew else v)
+    if n_primitive != nnz_declared:
+        # reference parity: InitMarket errors when the body holds a
+        # different entry count than the size line declares
+        raise ValueError(
+            f"matrix body holds {n_primitive} entries but the header "
+            f"declares {nnz_declared}"
+        )
     return CooMatrix(
         num_rows,
         num_cols,

@@ -28,6 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpusparse.kernels._util import kernel_no_x64, tala32
+from tpusparse.kernels import ell_spmm
 from tpusparse.formats.ell import EllTiles, LANES
 
 _SPLIT = np.float32(4097.0)  # 2^12 + 1 Veltkamp constant for f32
@@ -201,38 +202,75 @@ def _spmm_ell_df(A: DeviceEllDF, x3, mb: int):
     return y3
 
 
-def _to_x3_pair(A: DeviceEllDF, X):
-    """(num_cols, L) f64 -> (Nb, 2L, 128) hi/lo-stacked f32."""
+def _split_planes(A: DeviceEllDF, X):
+    """(num_cols, L) f64 -> (hi, lo) f32 planes, padded to the x-block
+    row layout. Exact only under x64 (checked by the caller): without
+    it the f64 intermediates silently truncate to f32 and the lo plane
+    collapses to zero."""
     L = X.shape[1]
     nb = -(-A.num_cols // LANES) + 1
     Xp = jnp.zeros((nb * LANES, L), dtype=jnp.float64)
     Xp = Xp.at[: A.num_cols].set(X.astype(jnp.float64))
     hi = Xp.astype(jnp.float32)
     lo = (Xp - hi.astype(jnp.float64)).astype(jnp.float32)
-    to3 = lambda v: jnp.transpose(v.reshape(nb, LANES, L), (0, 2, 1))
-    return jnp.concatenate([to3(hi), to3(lo)], axis=1)
+    return hi, lo
 
 
 def spmm_ell_df(A: DeviceEllDF, X, alpha=1.0, beta=0.0, Y=None):
-    """Y = alpha * A @ X + beta * Y in double-float; returns float64."""
+    """Y = alpha * A @ X + beta * Y in double-float; returns float64.
+
+    Requires x64 (raises otherwise — the hi/lo split and the final
+    hi+lo reconstruction are f64 ops). RHS blocks beyond the VMEM
+    budget are lane-chunked exactly like the fp32 kernel (spmm_ell),
+    with the hi+lo doubling accounted in the budget."""
+    import jax
+
+    if not jax.config.jax_enable_x64:
+        raise TypeError(
+            "spmm_ell_df requires jax_enable_x64=True: without it the "
+            "double-float hi/lo split silently truncates to f32 and the "
+            "advertised ~1e-14 accuracy degrades to ~1e-6. Enable x64 "
+            "or use the fp32 kernels."
+        )
     squeeze = False
     if X.ndim == 1:
         X = X[:, None]
         squeeze = True
     L = X.shape[1]
-    Lp = max(L, 8)
+    # Mosaic's lane gather needs a full (>=8, 128) register tile; round
+    # the RHS width UP to a multiple of 8 (max(L, 8) alone would hand
+    # the kernel e.g. a (12, 128) gather tile that fails to compile on
+    # real TPU while passing in CPU interpret mode).
+    Lp = max(-(-L // 8) * 8, 8)
     if Lp != L:
         X = jnp.concatenate(
             [X, jnp.zeros((X.shape[0], Lp - L), X.dtype)], axis=1
         )
-    x3 = _to_x3_pair(A, X)
+    hi, lo = _split_planes(A, X)
+    nb = -(-A.num_cols // LANES) + 1
+    # lane-chunk to the VMEM budget; hi+lo stacking doubles the
+    # per-lane footprint vs the f32 kernel
+    max_lanes = max(
+        (ell_spmm.X_VMEM_BUDGET_BYTES // (A.num_cols * 2 * 4)) // 8 * 8,
+        8,
+    )
     mb = -(-A.num_rows // LANES)
-    y3 = _spmm_ell_df(A, x3, mb)
-    yh, yl = y3[:, :Lp], y3[:, Lp:]
-    unt = lambda v: jnp.transpose(v, (0, 2, 1)).reshape(-1, Lp)
-    Y_new = (
-        unt(yh).astype(jnp.float64) + unt(yl).astype(jnp.float64)
-    )[: A.num_rows, :L]
+    to3 = lambda v: jnp.transpose(
+        v.reshape(nb, LANES, v.shape[1]), (0, 2, 1)
+    )
+    outs = []
+    for s in range(0, Lp, max_lanes):
+        hc, lc = hi[:, s : s + max_lanes], lo[:, s : s + max_lanes]
+        Lc = hc.shape[1]
+        x3 = jnp.concatenate([to3(hc), to3(lc)], axis=1)
+        y3 = _spmm_ell_df(A, x3, mb)
+        yh, yl = y3[:, :Lc], y3[:, Lc:]
+        unt = lambda v: jnp.transpose(v, (0, 2, 1)).reshape(-1, v.shape[1])
+        outs.append(
+            unt(yh).astype(jnp.float64) + unt(yl).astype(jnp.float64)
+        )
+    Y_new = (jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0])
+    Y_new = Y_new[: A.num_rows, :L]
     if squeeze:
         Y_new = Y_new[:, 0]
     if beta == 0.0 or Y is None:

@@ -84,17 +84,15 @@ def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1):
         # fp64 multi-RHS: the double-float gather-job kernel delivers
         # ~1e-14 agreement at ~half the fp32 kernel's speed — orders of
         # magnitude faster than the XLA fp64 gather path.
-        from tpusparse.formats.ell import (
-            build_ell_tiles,
-            ell_occupancy_estimate,
-        )
-        from tpusparse.kernels import ell_df, ell_spmm
+        from tpusparse.formats.ell import ell_occupancy_estimate
+        from tpusparse.kernels import ell_df
 
+        # no VMEM-fit gate: spmm_ell_df lane-chunks oversized RHS
+        # blocks just like the fp32 kernel
         if (
             L >= 8
             and ell_occupancy_estimate(
                 csr, ell_df.DF_JOBS_PER_TILE) >= 0.4
-            and ell_spmm.ell_fits(csr.num_cols, 2 * L)  # hi+lo planes
         ):
             return ell_df.to_device_ell_df(ell_df.build_df_tiles(csr))
     if too_big and np.dtype(dtype).itemsize <= 4 and (
@@ -120,12 +118,7 @@ def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1):
 
         return ell_spmm.to_device_ell(build_ell_tiles(csr), dtype=dtype)
     if strategy == SpmvStrategy.MERGE:
-        from tpusparse.formats.tiles import build_merge_tiles
-        from tpusparse.kernels import merge_spmv
-
-        return merge_spmv.to_device_tiles(
-            build_merge_tiles(csr), dtype=dtype
-        )
+        return _plan_merge(csr, dtype)
     # AUTO
     from tpusparse.formats.ell import build_ell_tiles, choose_jobs_per_tile
     from tpusparse.kernels import ell_spmm
@@ -138,10 +131,22 @@ def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1):
             return ell_spmm.to_device_ell(
                 build_ell_tiles(csr, jobs_per_tile=J), dtype=dtype
             )
-    from tpusparse.formats.tiles import build_merge_tiles
+    return _plan_merge(csr, dtype)
+
+
+def _plan_merge(csr, dtype):
+    """Merge-tile plan with the per-matrix window tuner: choose_tiling
+    scores (row_window, col_window) by packing occupancy discounted by
+    the kernel's gather-loop and partial-writeback costs — the TPU
+    analogue of the reference's per-arch dispatch policies
+    (dispatch_spmv_orig.cuh:266-424)."""
+    from tpusparse.formats.tiles import build_merge_tiles, choose_tiling
     from tpusparse.kernels import merge_spmv
 
-    return merge_spmv.to_device_tiles(build_merge_tiles(csr), dtype=dtype)
+    wr, wc = choose_tiling(csr)
+    return merge_spmv.to_device_tiles(
+        build_merge_tiles(csr, row_window=wr, col_window=wc), dtype=dtype
+    )
 
 
 def spmv(A, x, alpha=1.0, beta=0.0, y=None, strategy="auto"):
