@@ -71,7 +71,7 @@ class DeviceTiles:
     row_window: int
     col_window: int
 
-    vals: Any        # (ntiles_pad, 8, 128) — slot p -> [t, p % 8, p // 8]
+    vals: Any        # (ntiles_pad, 8, 128) — slot p -> [t, p//128, p%128]
     local_cols: Any  # (ntiles_pad, 8, 128) int32
     end_pos: Any     # (ntiles_pad, WrB, 128) int32, -1 sentinel
     row_block: Any   # (ntiles_pad,) int32
@@ -113,23 +113,31 @@ class DeviceTiles:
 
 def to_device_tiles(tiles: MergeTiles, dtype=np.float32) -> DeviceTiles:
     """Upload a host MergeTiles partition, reshaping tile payloads into
-    the kernel's (8, 128) column-major register layout and padding the
-    tile count to a multiple of TILES_PER_STEP."""
+    the kernel's (8, 128) ROW-major register layout (slot p ->
+    [t, p // 128, p % 128]) and padding the tile count to a multiple of
+    TILES_PER_STEP.
+
+    Row-major puts 128 consecutive slots on one sublane row, which lets
+    the multi-RHS SpMM kernel (kernels/spmm_merge.py) gather x for all
+    L RHS lanes with ONE hardware lane-gather per slot row — the same
+    trick the ELL kernel uses. The SpMV scan/extraction costs are
+    unchanged (row-major scan = 7 lane + ~4 sublane shift-adds vs
+    col-major's 3 + 7)."""
     if tiles.tile_nnz != TILE_NNZ:
         raise ValueError(f"kernel requires tile_nnz={TILE_NNZ}")
     nt = tiles.ntiles
     ntp = -(-nt // TILES_PER_STEP) * TILES_PER_STEP
     WrB = tiles.row_window // LANES
 
-    # slot p -> (p % 8, p // 8): Fortran-order reshape of the (T,) stream
+    # slot p -> (p // 128, p % 128): C-order reshape of the (T,) stream
     vals = np.zeros((ntp, SUBLANES, TILE_NNZ // SUBLANES), dtype=dtype)
     lcols = np.zeros((ntp, SUBLANES, TILE_NNZ // SUBLANES), dtype=np.int32)
     vals[:nt] = np.asarray(tiles.vals, dtype=dtype).reshape(
-        nt, TILE_NNZ // SUBLANES, SUBLANES
-    ).transpose(0, 2, 1)
+        nt, SUBLANES, TILE_NNZ // SUBLANES
+    )
     lcols[:nt] = tiles.local_cols.reshape(
-        nt, TILE_NNZ // SUBLANES, SUBLANES
-    ).transpose(0, 2, 1)
+        nt, SUBLANES, TILE_NNZ // SUBLANES
+    )
 
     epos = np.full((ntp, WrB, LANES), -1, dtype=np.int32)
     epos[:nt] = tiles.end_pos.reshape(nt, WrB, LANES)
@@ -168,23 +176,29 @@ def _lane_iota(shape):
     return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
 
 
-def _prefix_sum_colmajor(p):
-    """Inclusive prefix sum of an (8, L) batch of column-major tiles,
-    L = k*128 — each 128-lane group is one independent tile (the scan is
-    vectorized across every tile of a grid step): 3 sublane shift-adds +
-    7 group-masked lane shift-adds — the register re-expression of the
-    reference's BlockScan reduce-by-key (agent_spmv_orig.cuh:370)."""
+def _prefix_sum_rowmajor(p):
+    """Inclusive prefix sum in slot order (slot = sublane*128 + lane) of
+    an (8, L) batch of ROW-major tiles, L = k*128 — each 128-lane group
+    is one independent tile (the scan is vectorized across every tile of
+    a grid step): 7 group-masked lane shift-adds (within-row prefix), a
+    7-roll within-group broadcast of the row totals, and a 4-op
+    exclusive sublane scan of the totals — the register re-expression of
+    the reference's BlockScan reduce-by-key (agent_spmv_orig.cuh:370)."""
     L = p.shape[1]
-    si = _sublane_iota((SUBLANES, L))
-    for d in (1, 2, 4):
-        p = p + jnp.where(si >= d, jnp.roll(p, d, axis=0), 0.0)
-    # lane-inclusive scan of the column totals, masked per 128-lane group
-    ct = p[SUBLANES - 1 : SUBLANES, :]  # (1, L)
-    lg = _lane_iota((1, L)) % LANES
+    lg = _lane_iota((SUBLANES, L)) % LANES
     for d in (1, 2, 4, 8, 16, 32, 64):
-        ct = ct + jnp.where(lg >= d, jnp.roll(ct, d, axis=1), 0.0)
-    excl = jnp.where(lg >= 1, jnp.roll(ct, 1, axis=1), 0.0)
-    return p + jnp.broadcast_to(excl, (SUBLANES, L))
+        p = p + jnp.where(lg >= d, jnp.roll(p, d, axis=1), 0.0)
+    # row totals sit at lane 127 of each group; back-propagate them to
+    # every lane of the group (suffix-sum rolls of a one-hot row)
+    t = jnp.where(lg == LANES - 1, p, 0.0)
+    for d in (1, 2, 4, 8, 16, 32, 64):
+        t = t + jnp.where(lg < LANES - d, jnp.roll(t, -d, axis=1), 0.0)
+    # exclusive scan of the totals down sublanes
+    si = _sublane_iota((SUBLANES, L))
+    c = jnp.where(si >= 1, jnp.roll(t, 1, axis=0), 0.0)
+    for d in (1, 2, 4):
+        c = c + jnp.where(si >= d, jnp.roll(c, d, axis=0), 0.0)
+    return p + c
 
 
 def _gather_window(x_ref, cblk, lc, gather_rows):
@@ -208,8 +222,8 @@ def _gather_window(x_ref, cblk, lc, gather_rows):
 
 
 def _extract_rows(cs, epos):
-    """G[w] = CS[end_pos[w]] (0 where end_pos < 0), with end positions in
-    column-major slot coordinates: slot p -> (p % 8, p // 8).
+    """G[w] = CS[end_pos[w]] (0 where end_pos < 0), with end positions
+    in ROW-major slot coordinates: slot p -> (p // 128, p % 128).
 
     Per 128-row window slice the 2-D gather decomposes into a lane
     gather then a sublane gather: the lane index j_e is constant down
@@ -218,8 +232,8 @@ def _extract_rows(cs, epos):
     shuffles instead of an 8-way select loop."""
     wrb = epos.shape[0]
     ep = jnp.maximum(epos, 0)
-    i_e = ep % SUBLANES
-    j_e = ep // SUBLANES  # in [0, 128)
+    i_e = ep // LANES     # sublane (slot row) in [0, 8)
+    j_e = ep % LANES      # lane in [0, 128)
     rows = []
     for wb in range(wrb):
         J = jnp.broadcast_to(j_e[wb : wb + 1, :], (SUBLANES, LANES))
@@ -233,9 +247,12 @@ def _extract_rows(cs, epos):
 
 def _row_diff(G):
     """partial[w] = G[w] - G[w-1] in row-major (WrB, 128) order."""
-    si = _sublane_iota(G.shape)
     li = _lane_iota(G.shape)
     r1 = jnp.roll(G, 1, axis=1)
+    if G.shape[0] == 1:
+        # single window block: no inter-block wrap to fix up
+        return G - jnp.where(li >= 1, r1, 0.0)
+    si = _sublane_iota(G.shape)
     r2 = jnp.roll(r1, 1, axis=0)
     Gprev = jnp.where(li >= 1, r1, jnp.where(si >= 1, r2, 0.0))
     return G - Gprev
@@ -261,7 +278,7 @@ def _fused_kernel(gather_rows: int, wrb: int,
         t = step * TILES_PER_STEP + u
         g = _gather_window(x_ref, cblk_ref[t], lc_ref[u], gather_rows)
         ps.append(vals_ref[u] * g)
-    cs = _prefix_sum_colmajor(jnp.concatenate(ps, axis=1))
+    cs = _prefix_sum_rowmajor(jnp.concatenate(ps, axis=1))
 
     for u in range(TILES_PER_STEP):
         t = step * TILES_PER_STEP + u

@@ -214,6 +214,6 @@ def spmm(A, X, alpha=1.0, beta=0.0, Y=None, strategy="auto"):
 
     if isinstance(A, ChunkedMerge):
         return spmm_chunked(A, X, alpha=alpha, beta=beta, Y=Y)
-    from tpusparse.kernels import spmm_tiles
+    from tpusparse.kernels import spmm_merge
 
-    return spmm_tiles.spmm_merge(A, X, alpha=alpha, beta=beta, Y=Y)
+    return spmm_merge.spmm_merge(A, X, alpha=alpha, beta=beta, Y=Y)
