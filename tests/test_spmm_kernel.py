@@ -100,6 +100,50 @@ def test_spmm_merge_lane_chunking(rng, monkeypatch):
     np.testing.assert_allclose(Y / scale, expect / scale, atol=2e-5)
 
 
+class TestBsrPallas:
+    def test_panel_kernel_matches_scipy(self, rng):
+        from tpusparse.formats.bcsr import BcsrMatrix
+        from tpusparse.kernels import bsr
+
+        csr = generators.make_block_random(
+            8, 3, dtype=np.float64).to_csr().astype(np.float32)
+        b = BcsrMatrix.from_csr(csr, 8, 128).to_device()
+        assert bsr._tileable(b)
+        X = rng.standard_normal((csr.num_cols, 16)).astype(np.float32)
+        Y = np.asarray(bsr.bsr_spmm(b, jnp.asarray(X)))
+        expect = csr.to_scipy() @ X
+        scale = np.abs(expect).max() + 1.0
+        np.testing.assert_allclose(Y / scale, expect / scale, atol=5e-5)
+
+    def test_panel_kernel_spmv(self, rng):
+        from tpusparse.formats.bcsr import BcsrMatrix
+        from tpusparse.kernels import bsr
+
+        csr = generators.make_block_random(
+            6, 2, dtype=np.float64).to_csr().astype(np.float32)
+        b = BcsrMatrix.from_csr(csr, 8, 128).to_device()
+        x = rng.standard_normal(csr.num_cols).astype(np.float32)
+        y = np.asarray(bsr.bsr_spmv(b, jnp.asarray(x)))
+        expect = csr.to_scipy() @ x
+        scale = np.abs(expect).max() + 1.0
+        np.testing.assert_allclose(y / scale, expect / scale, atol=5e-5)
+
+    def test_auto_gates_on_fill(self):
+        from tpusparse.formats.bcsr import BcsrMatrix, fill_estimate
+        from tpusparse.ops.spmv import plan_matrix
+
+        blocky = generators.make_block_random(
+            8, 3, dtype=np.float64).to_csr().astype(np.float32)
+        assert fill_estimate(blocky, 8, 128) >= 0.3
+        A = plan_matrix(blocky, dtype=np.float32, L=16)
+        assert isinstance(A, BcsrMatrix)
+
+        stencil = generators.make_laplacian_grid2d(16).to_csr()
+        assert fill_estimate(stencil, 8, 128) < 0.3
+        A2 = plan_matrix(stencil, dtype=np.float32, L=16)
+        assert not isinstance(A2, BcsrMatrix)
+
+
 class TestBsr:
     def test_bsr_spmv(self, rng):
         from tpusparse.formats.bcsr import BcsrMatrix

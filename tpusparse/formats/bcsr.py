@@ -20,6 +20,23 @@ import numpy as np
 import jax
 
 
+def fill_estimate(csr, block_rows: int = 8, block_cols: int = 128
+                  ) -> float:
+    """Blocking fill ratio WITHOUT building the blocks: nnz over the
+    dense capacity of the touched (block_rows x block_cols) tiles.
+    Cheap plan-time gate for the BSR strategy (ops.spmv AUTO)."""
+    nnz = csr.nnz
+    if nnz == 0:
+        return 0.0
+    ci = np.asarray(csr.col_indices).astype(np.int64)
+    rows = csr.row_ids()
+    key = (rows // block_rows) * (
+        (csr.num_cols // block_cols) + 1
+    ) + ci // block_cols
+    num_blocks = np.unique(key).size
+    return nnz / (num_blocks * block_rows * block_cols)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class BcsrMatrix:

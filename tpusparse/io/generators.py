@@ -141,3 +141,40 @@ def make_random_spd(n: int, row_nnz: int = 8, seed: int = 0,
     idt = np.int32 if n < 2**31 else np.int64
     coo = CooMatrix(n, n, rows_f.astype(idt), cols_f.astype(idt), vals_f)
     return coo.sum_duplicates()
+
+
+def make_block_random(block_grid: int, blocks_per_row: int = 4,
+                      block_rows: int = 8, block_cols: int = 128,
+                      fill: float = 1.0, seed: int = 0,
+                      dtype=np.float64) -> CooMatrix:
+    """Block-sparse random matrix: a (block_grid x block_grid) grid of
+    (block_rows x block_cols) tiles, ``blocks_per_row`` dense-ish tiles
+    per block row (one always on the diagonal), each tile filled to
+    ``fill`` density. The multi-DOF-FEM-style pattern the reference's
+    BcsrMatrix targets (sparse_matrix.h:993-1258), scaled to TPU tile
+    shapes — the fixture where the BSR MXU panel kernel should win."""
+    rng = np.random.default_rng(seed)
+    rows_l, cols_l = [], []
+    per_tile = block_rows * block_cols
+    k = max(int(per_tile * fill), 1)
+    for br in range(block_grid):
+        bcs = set([br % block_grid])
+        while len(bcs) < min(blocks_per_row, block_grid):
+            bcs.add(int(rng.integers(0, block_grid)))
+        for bc in bcs:
+            if fill >= 1.0:
+                lr = np.repeat(np.arange(block_rows), block_cols)
+                lc = np.tile(np.arange(block_cols), block_rows)
+            else:
+                flat = rng.choice(per_tile, size=k, replace=False)
+                lr, lc = flat // block_cols, flat % block_cols
+            rows_l.append(br * block_rows + lr)
+            cols_l.append(bc * block_cols + lc)
+    rows = np.concatenate(rows_l).astype(np.int64)
+    cols = np.concatenate(cols_l).astype(np.int64)
+    vals = rng.standard_normal(rows.size).astype(dtype)
+    n_r = block_grid * block_rows
+    n_c = block_grid * block_cols
+    idt = np.int32
+    coo = CooMatrix(n_r, n_c, rows.astype(idt), cols.astype(idt), vals)
+    return coo.sum_duplicates()

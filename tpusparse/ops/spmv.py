@@ -120,9 +120,16 @@ def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1):
     if strategy == SpmvStrategy.MERGE:
         return _plan_merge(csr, dtype)
     # AUTO
+    from tpusparse.formats.bcsr import BcsrMatrix, fill_estimate
     from tpusparse.formats.ell import build_ell_tiles, choose_jobs_per_tile
     from tpusparse.kernels import ell_spmm
 
+    # block-structured pattern: dense (8,128)+ tiles feed the MXU panel
+    # kernel, which beats every gather path when the blocking wastes
+    # little (the reference's BcsrMatrix use case, sparse_matrix.h:993)
+    if fill_estimate(csr, 8, 128) >= 0.3:
+        bc = 256 if fill_estimate(csr, 8, 256) >= 0.3 else 128
+        return BcsrMatrix.from_csr(csr, 8, bc).to_device(dtype=dtype)
     if L >= 8 and ell_spmm.ell_fits(csr.num_cols, L):
         # multi-RHS: the gather-job kernel fills its (L,128) registers;
         # pick the tile job capacity per matrix, gate on packing waste
