@@ -91,6 +91,46 @@ def test_cli_multicg(tmp_path, capsys):
     assert os.path.exists(os.path.join(out, "lap2d_8_cg_errors.csv"))
 
 
+def test_cli_stats_dir_sweep(tmp_path, capsys):
+    """Directory-sweep stats CSV (matrix_stats.cpp:18-70 parity)."""
+    from tpusparse.io import generators
+    from tpusparse.io.market import write_market
+
+    write_market(tmp_path / "a.mtx", generators.make_laplacian_grid2d(8))
+    write_market(tmp_path / "b.mtx", generators.make_wheel(50))
+    out = tmp_path / "stats.csv"
+    cli_main(["stats", "--dir", str(tmp_path), "--output", str(out)])
+    capsys.readouterr()
+    lines = out.read_text().strip().splitlines()
+    assert lines[0].startswith("matrix,rows,cols,nnz")
+    assert len(lines) == 3
+    assert lines[1].startswith("a.mtx,64,64")
+
+
+def test_cli_precond_summary(tmp_path, capsys):
+    """NONE/IC0/SPAI summary harness
+    (preconditioner_benchmark.cpp:398-484 parity)."""
+    from tpusparse.io import generators
+    from tpusparse.io.market import write_market
+
+    mdir = tmp_path / "m"
+    mdir.mkdir()
+    write_market(mdir / "lap.mtx", generators.make_laplacian_grid2d(8))
+    out = tmp_path / "out"
+    cli_main(["precond", "--dir", str(mdir), "--num_vectors", "2",
+              "--tolerance", "1e-6", "--strategy", "reference",
+              "--output", str(out), "--quiet"])
+    capsys.readouterr()
+    csv = (out / "precond_summary.csv").read_text().strip().splitlines()
+    assert csv[0] == ("matrix,solver,iters,prep_ms,solve_ms,total_ms,"
+                      "speedup_vs_cg")
+    solvers = {ln.split(",")[1] for ln in csv[1:]}
+    assert solvers == {"cg", "pcg_ic0", "spai_cg"}
+    # CG's speedup vs itself is 1.0 by construction
+    cg_row = [ln for ln in csv[1:] if ln.split(",")[1] == "cg"][0]
+    assert cg_row.split(",")[-1] == "1.000"
+
+
 def test_plots(tmp_path):
     from tpusparse.analysis import plots
 

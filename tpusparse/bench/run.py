@@ -330,21 +330,97 @@ def cmd_multicg(args):
     return results
 
 
-def cmd_stats(args):
-    """matrix_stats tool parity (verification/matrix_stats)."""
-    csr, name = _load_matrix(args)
+def _stats_row(csr, name) -> str:
     st = csr.stats()
+    return (f"{name},{st.num_rows},{st.num_cols},{st.nnz},"
+            f"{st.row_length_mean},{st.row_length_std},"
+            f"{st.row_length_cv},{st.row_length_skew},"
+            f"{st.row_length_max}")
+
+
+def cmd_stats(args):
+    """matrix_stats tool parity (verification/matrix_stats). With
+    --dir, sweeps every .mtx under the directory into a CSV (parity:
+    matrix_stats.cpp:18-70 iterates a directory)."""
+    if args.dir:
+        import glob
+
+        from tpusparse.io.market import read_market
+
+        files = sorted(glob.glob(os.path.join(args.dir, "**", "*.mtx"),
+                                 recursive=True))
+        out = open(args.output, "w") if args.output else None
+        hdr = ("matrix,rows,cols,nnz,row_mean,row_std,row_cv,"
+               "row_skew,row_max")
+        print(hdr)
+        if out:
+            out.write(hdr + "\n")
+        for f in files:
+            try:
+                csr = read_market(f).to_csr()
+            except Exception as e:  # noqa: BLE001 — skip bad files
+                print(f"# {os.path.basename(f)}: SKIP ({e})")
+                continue
+            row = _stats_row(csr, os.path.basename(f))
+            print(row)
+            if out:
+                out.write(row + "\n")
+        if out:
+            out.close()
+        return
+    csr, name = _load_matrix(args)
     if args.quiet:
-        print(f"{name},{st.num_rows},{st.num_cols},{st.nnz},"
-              f"{st.row_length_mean},{st.row_length_std},"
-              f"{st.row_length_cv},{st.row_length_skew},"
-              f"{st.row_length_max}")
+        print(_stats_row(csr, name))
     else:
+        st = csr.stats()
         print(f"{name}: {st.display()}")
         bounds, counts = csr.degree_histogram()
         for b, c in zip(bounds, counts):
             if c:
                 print(f"  degree <= {b}: {c}")
+
+
+def cmd_precond(args):
+    """Preconditioner comparison harness (parity:
+    verification/precondition/preconditioner_benchmark.cpp:398-484):
+    runs CG / PCG-IC(0) / SPAI-CG over a matrix set (--dir of .mtx
+    files, or one built-in matrix source) and writes the
+    preprocess/solve/total/speedup-vs-CG summary CSV via
+    analysis.plots.plot_precond_summary."""
+    from tpusparse.analysis.plots import plot_precond_summary
+
+    runs = []
+    if args.dir:
+        import glob
+
+        files = sorted(glob.glob(os.path.join(args.dir, "**", "*.mtx"),
+                                 recursive=True))
+        for f in files:
+            sub = argparse.Namespace(**vars(args))
+            sub.mtx = f
+            sub.quiet = True
+            runs.append(sub)
+    else:
+        sub = argparse.Namespace(**vars(args))
+        sub.quiet = True
+        runs.append(sub)
+
+    results = {}
+    for sub in runs:
+        sub.output = None  # error CSVs go to the default dir
+        try:
+            _, name = _load_matrix(sub)
+            results[name] = cmd_multicg(sub)
+        except Exception as e:  # noqa: BLE001 — skip bad matrices
+            print(f"# {getattr(sub, 'mtx', '?')}: SKIP ({e})")
+    outdir = args.output or "data/precond"
+    os.makedirs(outdir, exist_ok=True)
+    out_csv = os.path.join(outdir, "precond_summary.csv")
+    plot_precond_summary(results, out_csv)
+    if not args.quiet:
+        with open(out_csv) as f:
+            print(f.read().rstrip())
+    return results
 
 
 def cmd_axpy(args):
@@ -469,13 +545,15 @@ def build_parser():
         sp.add_argument("--tolerance", type=float, default=1e-5)
         sp.add_argument("--jacobi_sweeps", type=int, default=16)
         sp.add_argument("--timing_iters", "--i", type=int, default=0)
+        sp.add_argument("--dir", help="sweep every .mtx in a directory")
         sp.add_argument("--output")
 
     for name, fn in [("spmv", cmd_spmv), ("spmm", cmd_spmm),
                      ("cg", cmd_cg), ("multicg", cmd_multicg),
                      ("stats", cmd_stats), ("sweep", cmd_sweep),
                      ("axpy", cmd_axpy),
-                     ("efficiency", cmd_efficiency)]:
+                     ("efficiency", cmd_efficiency),
+                     ("precond", cmd_precond)]:
         sp = sub.add_parser(name)
         add_common(sp)
         if name == "sweep":
