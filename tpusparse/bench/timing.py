@@ -36,6 +36,7 @@ class SlopeTiming:
     """Per-op seconds from interleaved slope measurements."""
 
     slopes_s: list[float] = field(default_factory=list)
+    robust_slope_s: float = 0.0
 
     @property
     def median_s(self) -> float:
@@ -43,6 +44,12 @@ class SlopeTiming:
 
     @property
     def min_s(self) -> float:
+        """Cleanest estimate: slope between the independent minima of
+        the two chain lengths across ALL sets. Per-set slopes can pair
+        a contended short chain with a clean long chain (negative /
+        absurd slopes on this shared chip); min-vs-min cannot."""
+        if self.robust_slope_s > 0:
+            return self.robust_slope_s
         return float(np.min(self.slopes_s))
 
     @property
@@ -79,18 +86,13 @@ def _make_chain(fn, x, K):
     return g
 
 
-def _run_min(g, x, reps: int) -> float:
+def _run_one(g, x) -> float:
     import jax.numpy as jnp
 
+    t0 = time.perf_counter()
     r = g(x)
-    sync(jnp.sum(r))  # warmup: compile + transfer
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        r = g(x)
-        sync(jnp.sum(r))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
+    sync(jnp.sum(r))
+    return time.perf_counter() - t0
 
 
 def slope_time(fn, x, iters=(10, 110), sets: int = 1, reps: int = 3,
@@ -105,12 +107,21 @@ def slope_time(fn, x, iters=(10, 110), sets: int = 1, reps: int = 3,
     """
     K1, K2 = iters
     g1, g2 = _make_chain(fn, x, K1), _make_chain(fn, x, K2)
-    slopes = []
+    # warmup both chains once before any timing
+    _run_one(g1, x), _run_one(g2, x)
+    slopes, all_t1, all_t2 = [], [], []
     for _ in range(sets):
-        t1 = _run_min(g1, x, reps)
-        t2 = _run_min(g2, x, reps)
-        slopes.append(max((t2 - t1) / (K2 - K1), 1e-9))
-    st = SlopeTiming(slopes)
+        t1s = [_run_one(g1, x) for _ in range(reps)]
+        t2s = [_run_one(g2, x) for _ in range(reps)]
+        all_t1 += t1s
+        all_t2 += t2s
+        # median-vs-median within a set: a lone contended rep cannot
+        # fabricate a too-fast (or negative) slope the way min-vs-min
+        # pairing across unequal contention windows can
+        slopes.append(max(
+            float(np.median(t2s) - np.median(t1s)) / (K2 - K1), 1e-9))
+    robust = max((min(all_t2) - min(all_t1)) / (K2 - K1), 1e-9)
+    st = SlopeTiming(slopes, robust_slope_s=robust)
     if min_per_op > 0 and st.median_s < min_per_op:
         return slope_time(fn, x, iters=(K1 * 20, K2 * 20), sets=sets,
                           reps=reps)

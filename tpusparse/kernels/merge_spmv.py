@@ -51,9 +51,20 @@ from tpusparse.kernels._util import kernel_no_x64, tala32
 from tpusparse.formats.tiles import MergeTiles, LANES, SUBLANES
 
 TILE_NNZ = 1024  # (8, 128) register tile
-TILES_PER_STEP = 16  # tiles per grid step (amortizes DMA + step overhead;
-                     # measured optimum on v5e: 8 -> 145us, 16 -> 124us,
-                     # 32 -> 187us on the grid3d-48 Laplacian)
+TILES_PER_STEP = 16  # default tiles per grid step; actual value is
+                     # chosen per matrix (see _choose_tiles_per_step)
+                     # and carried statically on the DeviceTiles plan
+
+
+def _choose_tiles_per_step(ntiles: int) -> int:
+    """Per-matrix step batch: bigger steps amortize per-step overhead
+    (32 measured fastest with the chunked MXU scan on lap3d-48; 64 was
+    not reliably better), bounded so grid padding stays <= ~12.5% of
+    the tile count."""
+    for tps in (32, 16):
+        if ntiles >= 8 * tps:
+            return tps
+    return 8
 
 
 def _interpret() -> bool:
@@ -72,8 +83,8 @@ class DeviceTiles:
     col_window: int
 
     vals: Any        # (ntiles_pad, 8, 128) — slot p -> [t, p//128, p%128]
-    local_cols: Any  # (ntiles_pad, 8, 128) int32
-    end_pos: Any     # (ntiles_pad, WrB, 128) int32, -1 sentinel
+    local_cols: Any  # (ntiles_pad, 8, 128) int16 (int32 if Wc > 32767)
+    end_pos: Any     # (ntiles_pad, WrB, 128) int16, -1 sentinel
     row_block: Any   # (ntiles_pad,) int32
     col_block: Any   # (ntiles_pad,) int32
     col_span: Any    # (ntiles_pad,) int32 — per-tile touched window rows
@@ -81,6 +92,7 @@ class DeviceTiles:
                      # tight per-tile anchoring makes this 2-5 for banded
                      # matrices vs col_window/128 for the naive anchor
     x_pad_rows: int  # row padding of the x 2-D layout (static)
+    tiles_per_step: int  # grid-step tile batch (static, per matrix)
 
     ovf_rows: Any
     ovf_cols: Any
@@ -92,15 +104,16 @@ class DeviceTiles:
              self.col_block, self.col_span,
              self.ovf_rows, self.ovf_cols, self.ovf_vals),
             (self.num_rows, self.num_cols, self.nnz, self.row_window,
-             self.col_window, self.gather_rows, self.x_pad_rows),
+             self.col_window, self.gather_rows, self.x_pad_rows,
+             self.tiles_per_step),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (vals, lcols, epos, rblk, cblk, cspan, orow, ocol, oval) = children
-        (nr, nc, nnz, wr, wc, gr, xpr) = aux
+        (nr, nc, nnz, wr, wc, gr, xpr, tps) = aux
         return cls(nr, nc, nnz, wr, wc, vals, lcols, epos, rblk, cblk,
-                   cspan, gr, xpr, orow, ocol, oval)
+                   cspan, gr, xpr, tps, orow, ocol, oval)
 
     @property
     def ntiles(self) -> int:
@@ -111,11 +124,13 @@ class DeviceTiles:
         return self.vals.dtype
 
 
-def to_device_tiles(tiles: MergeTiles, dtype=np.float32) -> DeviceTiles:
+def to_device_tiles(tiles: MergeTiles, dtype=np.float32,
+                    tiles_per_step: int | None = None) -> DeviceTiles:
     """Upload a host MergeTiles partition, reshaping tile payloads into
     the kernel's (8, 128) ROW-major register layout (slot p ->
     [t, p // 128, p % 128]) and padding the tile count to a multiple of
-    TILES_PER_STEP.
+    the per-matrix step batch (kept a multiple of 8 so the SpMM
+    kernel's smaller batch always divides it).
 
     Row-major puts 128 consecutive slots on one sublane row, which lets
     the multi-RHS SpMM kernel (kernels/spmm_merge.py) gather x for all
@@ -126,12 +141,17 @@ def to_device_tiles(tiles: MergeTiles, dtype=np.float32) -> DeviceTiles:
     if tiles.tile_nnz != TILE_NNZ:
         raise ValueError(f"kernel requires tile_nnz={TILE_NNZ}")
     nt = tiles.ntiles
-    ntp = -(-nt // TILES_PER_STEP) * TILES_PER_STEP
+    tps = tiles_per_step or _choose_tiles_per_step(nt)
+    ntp = -(-nt // tps) * tps
     WrB = tiles.row_window // LANES
 
-    # slot p -> (p // 128, p % 128): C-order reshape of the (T,) stream
+    # slot p -> (p // 128, p % 128): C-order reshape of the (T,) stream.
+    # Index payloads ship as int16 (halved HBM/VMEM traffic) and upcast
+    # in-register: local cols < col_window <= 32767 for every tuner
+    # choice, end positions < tile_nnz = 1024.
+    itype = np.int16 if tiles.col_window <= 32767 else np.int32
     vals = np.zeros((ntp, SUBLANES, TILE_NNZ // SUBLANES), dtype=dtype)
-    lcols = np.zeros((ntp, SUBLANES, TILE_NNZ // SUBLANES), dtype=np.int32)
+    lcols = np.zeros((ntp, SUBLANES, TILE_NNZ // SUBLANES), dtype=itype)
     vals[:nt] = np.asarray(tiles.vals, dtype=dtype).reshape(
         nt, SUBLANES, TILE_NNZ // SUBLANES
     )
@@ -139,7 +159,7 @@ def to_device_tiles(tiles: MergeTiles, dtype=np.float32) -> DeviceTiles:
         nt, SUBLANES, TILE_NNZ // SUBLANES
     )
 
-    epos = np.full((ntp, WrB, LANES), -1, dtype=np.int32)
+    epos = np.full((ntp, WrB, LANES), -1, dtype=np.int16)
     epos[:nt] = tiles.end_pos.reshape(nt, WrB, LANES)
     rblk = np.zeros(ntp, dtype=np.int32)
     cblk = np.zeros(ntp, dtype=np.int32)
@@ -162,6 +182,7 @@ def to_device_tiles(tiles: MergeTiles, dtype=np.float32) -> DeviceTiles:
         col_span=jnp.asarray(cspan),
         gather_rows=int(max(tiles.col_span.max(), 1)),
         x_pad_rows=tiles.col_window // LANES,
+        tiles_per_step=tps,
         ovf_rows=jnp.asarray(tiles.ovf_rows.astype(np.int32)),
         ovf_cols=jnp.asarray(tiles.ovf_cols.astype(np.int32)),
         ovf_vals=jnp.asarray(tiles.ovf_vals.astype(dtype)),
@@ -176,29 +197,43 @@ def _lane_iota(shape):
     return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
 
 
-def _prefix_sum_rowmajor(p):
-    """Inclusive prefix sum in slot order (slot = sublane*128 + lane) of
-    an (8, L) batch of ROW-major tiles, L = k*128 — each 128-lane group
-    is one independent tile (the scan is vectorized across every tile of
-    a grid step): 7 group-masked lane shift-adds (within-row prefix), a
-    7-roll within-group broadcast of the row totals, and a 4-op
-    exclusive sublane scan of the totals — the register re-expression of
-    the reference's BlockScan reduce-by-key (agent_spmv_orig.cuh:370)."""
-    L = p.shape[1]
-    lg = _lane_iota((SUBLANES, L)) % LANES
-    for d in (1, 2, 4, 8, 16, 32, 64):
-        p = p + jnp.where(lg >= d, jnp.roll(p, d, axis=1), 0.0)
-    # row totals sit at lane 127 of each group; back-propagate them to
-    # every lane of the group (suffix-sum rolls of a one-hot row)
-    t = jnp.where(lg == LANES - 1, p, 0.0)
-    for d in (1, 2, 4, 8, 16, 32, 64):
-        t = t + jnp.where(lg < LANES - d, jnp.roll(t, -d, axis=1), 0.0)
-    # exclusive scan of the totals down sublanes
-    si = _sublane_iota((SUBLANES, L))
-    c = jnp.where(si >= 1, jnp.roll(t, 1, axis=0), 0.0)
-    for d in (1, 2, 4):
-        c = c + jnp.where(si >= d, jnp.roll(c, d, axis=0), 0.0)
-    return p + c
+def _prefix_sum_mxu(P, dtype):
+    """Inclusive prefix sum in slot order (slot = sublane*128 + lane)
+    of a step's tiles stacked down sublanes: P is (8*T, 128) with rows
+    u*8+i = slot row i of tile u. Two MXU matmuls do the whole scan —
+    the register re-expression of the reference's BlockScan
+    reduce-by-key (agent_spmv_orig.cuh:370):
+
+      S     = P @ tri        within-slot-row inclusive prefix
+      carry = Tblk @ Stot    per-tile exclusive prefix of row totals
+                             (Tblk = blockdiag of 8x8 strict-lower ones)
+
+    The roll-based VPU scan this replaces (7 masked lane shift-adds +
+    7-roll broadcast + sublane scan) measured ~6x slower in the SpMM
+    kernel's ablation; (128,128) stacking makes the matmuls exactly
+    MXU-sized for SpMV too. The carry matmul is chunked at 128 rows so
+    its cost stays linear in TILES_PER_STEP (an (R,R) Tblk would grow
+    quadratically). HIGHEST precision: default runs one bf16 pass and
+    costs ~8 mantissa bits on the prefix sums."""
+    R = P.shape[0]
+    C = min(R, LANES)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    tri = (jj <= kk).astype(dtype)
+    jr = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    kr = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    tblk = ((jr // SUBLANES == kr // SUBLANES) & (kr < jr)).astype(dtype)
+    dn = (((1,), (0,)), ((), ()))
+    hi = jax.lax.Precision.HIGHEST
+    out = []
+    for c in range(0, R, C):
+        S = jax.lax.dot_general(P[c : c + C], tri, dn, precision=hi,
+                                preferred_element_type=dtype)
+        Stot = jnp.broadcast_to(S[:, LANES - 1 :], (C, LANES))
+        carry = jax.lax.dot_general(tblk, Stot, dn, precision=hi,
+                                    preferred_element_type=dtype)
+        out.append(S + carry)
+    return jnp.concatenate(out, axis=0) if len(out) > 1 else out[0]
 
 
 def _gather_window(x_ref, cblk, lc, gather_rows):
@@ -225,15 +260,27 @@ def _extract_rows(cs, epos):
     """G[w] = CS[end_pos[w]] (0 where end_pos < 0), with end positions
     in ROW-major slot coordinates: slot p -> (p // 128, p % 128).
 
-    Per 128-row window slice the 2-D gather decomposes into a lane
-    gather then a sublane gather: the lane index j_e is constant down
-    sublanes once broadcast, so V[i, w] = CS[i, j_e[w]] (lane gather),
-    then G[w] = V[i_e[w], w] (sublane gather, idx < 8) — two hardware
-    shuffles instead of an 8-way select loop."""
+    The 2-D gather from the (8, 128) CS table runs as a select-loop
+    over CS's 8 sublane rows: broadcast one row, lane-gather with the
+    (wrb, 128) end-position lanes, keep where that row is the end
+    position's slot row — 8*(bcast+gather+select) ops serving EVERY
+    128-row window at once. For narrow row windows (wrb < 6) the
+    per-window decomposition (lane gather with a broadcast (1,128)
+    index, then a sublane gather) is cheaper at 6*wrb ops and is used
+    instead."""
     wrb = epos.shape[0]
+    epos = epos.astype(jnp.int32)   # int16 payload -> register upcast
     ep = jnp.maximum(epos, 0)
     i_e = ep // LANES     # sublane (slot row) in [0, 8)
     j_e = ep % LANES      # lane in [0, 128)
+    if wrb >= 6:
+        shape = (wrb, LANES)
+        G = jnp.zeros(shape, cs.dtype)
+        for i in range(SUBLANES):
+            row = jnp.broadcast_to(cs[i : i + 1, :], shape)
+            cand = tala32(row, j_e, axis=1)
+            G = jnp.where(i_e == i, cand, G)
+        return jnp.where(epos < 0, 0.0, G)
     rows = []
     for wb in range(wrb):
         J = jnp.broadcast_to(j_e[wb : wb + 1, :], (SUBLANES, LANES))
@@ -259,7 +306,7 @@ def _row_diff(G):
 
 
 @kernel_no_x64
-def _fused_kernel(gather_rows: int, wrb: int,
+def _fused_kernel(gather_rows: int, wrb: int, tps: int,
                   rblk_ref, cblk_ref, cspan_ref,
                   vals_ref, lc_ref, ep_ref, x_ref, y_ref):
     """Grid step: TILES_PER_STEP merge tiles -> gather, batched prefix
@@ -274,15 +321,16 @@ def _fused_kernel(gather_rows: int, wrb: int,
         y_ref[:] = jnp.zeros_like(y_ref)
 
     ps = []
-    for u in range(TILES_PER_STEP):
-        t = step * TILES_PER_STEP + u
-        g = _gather_window(x_ref, cblk_ref[t], lc_ref[u], gather_rows)
+    for u in range(tps):
+        t = step * tps + u
+        g = _gather_window(x_ref, cblk_ref[t],
+                           lc_ref[u].astype(jnp.int32), gather_rows)
         ps.append(vals_ref[u] * g)
-    cs = _prefix_sum_rowmajor(jnp.concatenate(ps, axis=1))
+    cs = _prefix_sum_mxu(jnp.concatenate(ps, axis=0), x_ref.dtype)
 
-    for u in range(TILES_PER_STEP):
-        t = step * TILES_PER_STEP + u
-        csu = cs[:, u * LANES : (u + 1) * LANES]
+    for u in range(tps):
+        t = step * tps + u
+        csu = cs[u * SUBLANES : (u + 1) * SUBLANES]
         G = _extract_rows(csu, ep_ref[u])
         part = _row_diff(G)
         rb = rblk_ref[t]
@@ -293,28 +341,29 @@ def _fused_kernel(gather_rows: int, wrb: int,
 @kernel_no_x64
 def _spmv_tiles(A: DeviceTiles, x2d, nrows_out: int):
     ntiles = A.ntiles
-    steps = ntiles // TILES_PER_STEP
+    tps = A.tiles_per_step
+    steps = ntiles // tps
     wrb = A.row_window // LANES
     wcb = A.col_window // LANES
     csize = TILE_NNZ // SUBLANES
     mb = nrows_out // LANES
 
     y2d = pl.pallas_call(
-        functools.partial(_fused_kernel, A.gather_rows, wrb),
+        functools.partial(_fused_kernel, A.gather_rows, wrb, tps),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # rblk, cblk, cspan
             grid=(steps,),
             in_specs=[
                 pl.BlockSpec(
-                    (TILES_PER_STEP, SUBLANES, csize),
+                    (tps, SUBLANES, csize),
                     lambda i, rb, cb, cs: (i, 0, 0),
                 ),
                 pl.BlockSpec(
-                    (TILES_PER_STEP, SUBLANES, csize),
+                    (tps, SUBLANES, csize),
                     lambda i, rb, cb, cs: (i, 0, 0),
                 ),
                 pl.BlockSpec(
-                    (TILES_PER_STEP, wrb, LANES),
+                    (tps, wrb, LANES),
                     lambda i, rb, cb, cs: (i, 0, 0),
                 ),
                 pl.BlockSpec(

@@ -42,13 +42,13 @@ from jax.experimental.pallas import tpu as pltpu
 from tpusparse.kernels._util import kernel_no_x64, tala32
 from tpusparse.kernels.merge_spmv import (
     DeviceTiles,
-    TILES_PER_STEP,
     _interpret,
     _lane_iota,
 )
 from tpusparse.formats.tiles import LANES, SUBLANES
 
-TILES_PER_STEP_SPMM = 8  # must divide TILES_PER_STEP (the pad multiple)
+TILES_PER_STEP_SPMM = 8  # divides every per-matrix pad multiple
+                         # (to_device_tiles pads to a multiple of 8)
 
 
 @kernel_no_x64
@@ -76,7 +76,8 @@ def _spmm_kernel(gather_rows: int, wrb: int, L: int, T: int,
         # L RHS lanes
         prows = []
         for i in range(SUBLANES):
-            lc_i = lc_ref[u, i : i + 1, :]             # (1, 128)
+            # int16 payload -> register upcast (halved index traffic)
+            lc_i = lc_ref[u, i : i + 1, :].astype(jnp.int32)  # (1, 128)
             b = jnp.broadcast_to(lc_i % LANES, (L, LANES))
             q = jnp.broadcast_to(lc_i // LANES, (L, LANES))
             g = jnp.zeros((L, LANES), x_ref.dtype)
@@ -111,7 +112,7 @@ def _spmm_kernel(gather_rows: int, wrb: int, L: int, T: int,
         prev_last = jnp.zeros((L, 1), x_ref.dtype)
         parts = []
         for w in range(wrb):
-            ep = ep_ref[u, w : w + 1, :]               # (1, 128)
+            ep = ep_ref[u, w : w + 1, :].astype(jnp.int32)    # (1, 128)
             epc = jnp.maximum(ep, 0)
             g_e = jnp.broadcast_to(epc // LANES, (L, LANES))
             j_e = jnp.broadcast_to(epc % LANES, (L, LANES))

@@ -40,6 +40,7 @@ class ShardedTiles:
     col_window: int
     gather_rows: int
     x_pad_rows: int
+    tiles_per_step: int     # uniform step batch across shards
 
     vals: Any               # (D, ntp, 8, 128)
     local_cols: Any
@@ -55,7 +56,7 @@ class ShardedTiles:
              self.col_block, self.col_span, self.row_start),
             (self.num_rows, self.num_cols, self.rows_per_shard,
              self.row_window, self.col_window, self.gather_rows,
-             self.x_pad_rows),
+             self.x_pad_rows, self.tiles_per_step),
         )
 
     @classmethod
@@ -115,7 +116,8 @@ def shard_tiles(csr: CsrMatrix, n_shards: int,
         per_shard.append(merge_spmv.to_device_tiles(tiles))
 
     ntp = max(t.ntiles for t in per_shard)
-    ntp = -(-ntp // merge_spmv.TILES_PER_STEP) * merge_spmv.TILES_PER_STEP
+    tps = merge_spmv._choose_tiles_per_step(ntp)
+    ntp = -(-ntp // tps) * tps
 
     def pad(x, fill, n):
         x = np.asarray(x)
@@ -138,6 +140,7 @@ def shard_tiles(csr: CsrMatrix, n_shards: int,
         col_window=per_shard[0].col_window,
         gather_rows=max(t.gather_rows for t in per_shard),
         x_pad_rows=per_shard[0].x_pad_rows,
+        tiles_per_step=tps,
         vals=jnp.asarray(vals),
         local_cols=jnp.asarray(lcols),
         end_pos=jnp.asarray(epos),
@@ -154,7 +157,7 @@ def device_put_sharded_tiles(st: ShardedTiles, mesh: Mesh,
     put = lambda v: jax.device_put(v, spec)
     return ShardedTiles(
         st.num_rows, st.num_cols, st.rows_per_shard, st.row_window,
-        st.col_window, st.gather_rows, st.x_pad_rows,
+        st.col_window, st.gather_rows, st.x_pad_rows, st.tiles_per_step,
         put(st.vals), put(st.local_cols), put(st.end_pos),
         put(st.row_block), put(st.col_block), put(st.col_span),
         put(st.row_start),
@@ -184,6 +187,7 @@ def spmv_sharded_tiles(st: ShardedTiles, x, mesh: Mesh,
             col_span=cspan[0],
             gather_rows=st.gather_rows,
             x_pad_rows=st.x_pad_rows,
+            tiles_per_step=st.tiles_per_step,
             ovf_rows=empty_i,
             ovf_cols=empty_i,
             ovf_vals=empty_f,
@@ -218,6 +222,7 @@ def _local_tiles(st: ShardedTiles, vals, lcols, epos, rblk, cblk, cspan):
         col_span=cspan[0],
         gather_rows=st.gather_rows,
         x_pad_rows=st.x_pad_rows,
+        tiles_per_step=st.tiles_per_step,
         ovf_rows=empty_i,
         ovf_cols=empty_i,
         ovf_vals=jnp.zeros((0,), st.vals.dtype),
