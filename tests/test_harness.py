@@ -32,6 +32,18 @@ def test_cli_spmv_reference(capsys):
     assert "PASS" in out
 
 
+def test_cli_spmv_fp64_default_has_pallas_row(capsys):
+    """Default fp64 mode benches a Pallas kernel row (the double-float
+    gather-job kernel) alongside reference + vendor — parity with the
+    reference benching its kernels in fp64 (cpu_spmv.cpp:979-986)."""
+    cli_main(["spmv", "--lap2d", "16", "--quiet"])
+    rows = [ln for ln in capsys.readouterr().out.strip().splitlines()
+            if "," in ln]
+    kinds = {r.split(",")[1] for r in rows}
+    assert "row_split_df64" in kinds
+    assert all(r.split(",")[-1] == "PASS" for r in rows)
+
+
 def test_cli_fp64_subprocess_no_conftest():
     """The CLI's default fp64 mode must pass its golden check OUTSIDE
     pytest: conftest enables x64 globally and masked the round-1 bug

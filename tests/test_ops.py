@@ -98,9 +98,15 @@ def test_plan_matrix_auto(rng):
     wheel = generators.make_wheel(2000).to_csr()
     A2 = plan_matrix(wheel, dtype=np.float32, L=16)
     assert isinstance(A2, DeviceTiles)
-    # fp64 -> reference CSR
+    # fp64, regular stencil -> double-float gather-job kernel (even at
+    # L=1: still orders of magnitude faster than the XLA fp64 path)
+    from tpusparse.kernels.ell_df import DeviceEllDF
+
     A3 = plan_matrix(csr, dtype=np.float64)
-    assert isinstance(A3, CsrMatrix)
+    assert isinstance(A3, DeviceEllDF)
+    # fp64 skewed wheel (poor ELL occupancy) -> reference CSR fallback
+    A4 = plan_matrix(wheel, dtype=np.float64)
+    assert isinstance(A4, CsrMatrix)
 
 
 def test_empty_rows_produce_zeros():

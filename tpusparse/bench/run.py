@@ -131,7 +131,10 @@ def cmd_spmv(args):
     strategies = (args.strategy.split(",") if args.strategy
                   else (["merge", "row_split", "reference", "bcoo"]
                         if dtype == np.float32
-                        else ["reference", "bcoo"]))
+                        # fp64: the double-float gather-job kernel is
+                        # the Pallas row (reference benches its kernels
+                        # in the default fp64 mode, cpu_spmv.cpp:979)
+                        else ["row_split", "reference", "bcoo"]))
     rows = []
     for strat in strategies:
         A, kind = _plan(csr, strat, dtype)

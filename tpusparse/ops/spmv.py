@@ -88,12 +88,14 @@ def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1):
         from tpusparse.kernels import ell_df
 
         # no VMEM-fit gate: spmm_ell_df lane-chunks oversized RHS
-        # blocks just like the fp32 kernel
-        if (
-            L >= 8
-            and ell_occupancy_estimate(
-                csr, ell_df.DF_JOBS_PER_TILE) >= 0.4
-        ):
+        # blocks just like the fp32 kernel. Explicit ROW_SPLIT always
+        # honors the request; AUTO gates on packing occupancy. Even at
+        # L=1 (7/8 of the gather lanes idle) the kernel is orders of
+        # magnitude faster than the XLA fp64 gather path, so SpMV
+        # qualifies too — the reference benches its kernels in the
+        # default fp64 mode (cpu_spmv.cpp:979-986).
+        if strategy == SpmvStrategy.ROW_SPLIT or ell_occupancy_estimate(
+                csr, ell_df.DF_JOBS_PER_TILE) >= 0.4:
             return ell_df.to_device_ell_df(ell_df.build_df_tiles(csr))
     if too_big and np.dtype(dtype).itemsize <= 4 and (
         strategy in (SpmvStrategy.AUTO, SpmvStrategy.MERGE)
