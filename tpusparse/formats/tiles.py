@@ -173,6 +173,31 @@ def build_merge_tiles(
             ovf_vals=np.zeros(0, dtype=dtype),
         )
 
+    # Native single-pass partitioner (counting sort per row window,
+    # native/src/merge_tiles.cpp) — bit-identical output, ~20x faster
+    # than the numpy sort pipeline at 7M nnz. TPUSPARSE_NO_NATIVE=1
+    # forces the numpy path (used by the parity tests).
+    import os
+
+    if os.environ.get("TPUSPARSE_NO_NATIVE") != "1":
+        try:
+            from tpusparse.utils import native
+
+            out = native.build_merge_tiles(csr, T, Wr, Wc)
+        except ImportError:
+            out = None
+        if out is not None:
+            vals_t, lcols_t, epos_t, rblk, cblk, cspan = out
+            return MergeTiles(
+                num_rows=M, num_cols=csr.num_cols, nnz=nnz, tile_nnz=T,
+                row_window=Wr, col_window=Wc,
+                vals=vals_t, local_cols=lcols_t, end_pos=epos_t,
+                row_block=rblk, col_block=cblk, col_span=cspan,
+                ovf_rows=np.zeros(0, dtype=np.int32),
+                ovf_cols=np.zeros(0, dtype=np.int32),
+                ovf_vals=np.zeros(0, dtype=dtype),
+            )
+
     rows_all = np.repeat(np.arange(M, dtype=np.int64), np.diff(ro))
     wid = rows_all // Wr
     colblk = ci // LANES
@@ -313,11 +338,29 @@ def choose_tiling(
     occupancy discounted by the kernel's per-tile gather-loop cost
     (``col_window/128`` lane-gather select iterations) and the partial
     window writeback (``row_window`` floats per tile)."""
+    import os
+
+    nnz = int(np.asarray(csr.col_indices).size)
+    counts = None
+    if nnz and os.environ.get("TPUSPARSE_NO_NATIVE") != "1":
+        try:
+            from tpusparse.utils import native
+
+            # one native call scores the whole candidate grid — the
+            # numpy fallback re-clusters (lexsort over all nnz) per pair
+            counts = native.merge_tiling_counts(
+                csr, tile_nnz, row_windows, col_windows)
+        except ImportError:
+            counts = None
     best = (row_windows[0], col_windows[0])
     best_score = -1.0
-    for wr in row_windows:
-        for wc in col_windows:
-            occ = tiling_efficiency(csr, tile_nnz, wr, wc)
+    for i, wr in enumerate(row_windows):
+        for j, wc in enumerate(col_windows):
+            if counts is not None:
+                nt = int(counts[i, j])
+                occ = nnz / (nt * tile_nnz) if nt else 0.0
+            else:
+                occ = tiling_efficiency(csr, tile_nnz, wr, wc)
             if occ == 0.0:
                 continue
             # relative cost of one tile: compute base 1.0 + gather loop

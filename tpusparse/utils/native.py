@@ -74,6 +74,29 @@ def _load():
             np.ctypeslib.ndpointer(np.uint64, flags="C"),
             np.ctypeslib.ndpointer(np.int64, flags="C"),
         ]
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
+        lib.merge_tiles_count.restype = ctypes.c_int64
+        lib.merge_tiles_count.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i64p, i32p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.merge_tiling_counts.restype = None
+        lib.merge_tiling_counts.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i64p, i32p, ctypes.c_int64,
+            ctypes.c_int32, i64p, ctypes.c_int32, i64p, i64p,
+        ]
+        lib.merge_tiles_fill.restype = ctypes.c_int32
+        lib.merge_tiles_fill.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i64p, i32p,
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_void_p, i32p,
+            i32p, i32p, i32p, i32p,
+        ]
         lib.ic0_factorize.restype = ctypes.c_int
         lib.ic0_factorize.argtypes = [
             ctypes.c_int64,
@@ -136,6 +159,67 @@ def read_market(path, default_value=1.0, dtype=np.float64):
     lib.mtx_free(prow, pcol, pval)
     return CooMatrix(int(nr.value), int(nc.value), rows, cols,
                      vals.astype(dtype))
+
+
+def _csr_buffers(csr):
+    ro = np.ascontiguousarray(np.asarray(csr.row_offsets), dtype=np.int64)
+    ci = np.ascontiguousarray(np.asarray(csr.col_indices), dtype=np.int32)
+    return ro, ci
+
+
+def merge_tiling_counts(csr, tile_nnz, row_windows, col_windows):
+    """Tile counts for every (row_window, col_window) candidate pair in
+    one native call — the tuner input that replaces per-pair numpy
+    cluster sorts. Returns an (len(row_windows), len(col_windows))
+    int64 array, or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    ro, ci = _csr_buffers(csr)
+    wrs = np.asarray(list(row_windows), dtype=np.int64)
+    wcs = np.asarray(list(col_windows), dtype=np.int64)
+    out = np.zeros((wrs.size, wcs.size), dtype=np.int64)
+    lib.merge_tiling_counts(
+        csr.num_rows, csr.num_cols, int(ci.size), ro, ci, int(tile_nnz),
+        np.int32(wrs.size), wrs, np.int32(wcs.size), wcs,
+        out.reshape(-1),
+    )
+    return out
+
+
+def build_merge_tiles(csr, tile_nnz, row_window, col_window):
+    """Native merge-tile partition (bit-identical to the numpy builder
+    in formats/tiles.py — exact-equality tested). Returns the payload
+    tuple (vals, local_cols, end_pos, row_block, col_block, col_span)
+    or None when the native library is unavailable / errors."""
+    lib = _load()
+    if lib is None:
+        return None
+    ro, ci = _csr_buffers(csr)
+    va = np.ascontiguousarray(np.asarray(csr.values))
+    nnz = int(ci.size)
+    T, Wr, Wc = int(tile_nnz), int(row_window), int(col_window)
+    ntiles = lib.merge_tiles_count(
+        csr.num_rows, csr.num_cols, nnz, ro, ci, T, Wr, Wc
+    )
+    if ntiles <= 0:
+        return None
+    vals_t = np.zeros((ntiles, T), dtype=va.dtype)
+    lcols_t = np.zeros((ntiles, T), dtype=np.int32)
+    epos_t = np.full((ntiles, Wr), -1, dtype=np.int32)
+    rblk = np.zeros(ntiles, dtype=np.int32)
+    cblk = np.zeros(ntiles, dtype=np.int32)
+    cspan = np.zeros(ntiles, dtype=np.int32)
+    rc = lib.merge_tiles_fill(
+        csr.num_rows, csr.num_cols, nnz, ro, ci,
+        va.ctypes.data_as(ctypes.c_void_p),
+        np.int32(va.dtype.itemsize), T, Wr, Wc, ntiles,
+        vals_t.ctypes.data_as(ctypes.c_void_p), lcols_t.reshape(-1),
+        epos_t.reshape(-1), rblk, cblk, cspan,
+    )
+    if rc != 0:
+        return None
+    return vals_t, lcols_t, epos_t, rblk, cblk, cspan
 
 
 def ic0_factorize(csr, max_attempts=20, initial_shift=1e-3):
