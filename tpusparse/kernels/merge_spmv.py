@@ -84,8 +84,13 @@ class DeviceTiles:
 
     vals: Any        # (ntiles_pad, 8, 128) — slot p -> [t, p//128, p%128]
     local_cols: Any  # (ntiles_pad, 8, 128) int16 (int32 if Wc > 32767)
-    end_pos: Any     # (ntiles_pad, WrB, 128) int16, -1 sentinel
-    row_block: Any   # (ntiles_pad,) int32
+    end_pos: Any     # (ntiles_pad, row_span, 128) int16 — ROW-ANCHORED:
+                     # slice w covers output rows row_block*128 + w*128
+                     # ..+127; -1 sentinel only as a leading prefix,
+                     # trailing pad slices edge-replicate the final
+                     # value (zero row-diffs)
+    row_block: Any   # (ntiles_pad,) int32 — includes the per-tile row
+                     # anchor (first touched 128-row slice)
     col_block: Any   # (ntiles_pad,) int32
     col_span: Any    # (ntiles_pad,) int32 — per-tile touched window rows
     gather_rows: int # static gather loop trip count = max(col_span);
@@ -93,6 +98,13 @@ class DeviceTiles:
                      # matrices vs col_window/128 for the naive anchor
     x_pad_rows: int  # row padding of the x 2-D layout (static)
     tiles_per_step: int  # grid-step tile batch (static, per matrix)
+    row_span: int    # static extraction trip count = max touched
+                     # 128-row output slices over tiles (<= Wr/128; the
+                     # row analogue of gather_rows — extraction and the
+                     # y read-modify-write scale with real row span, not
+                     # the worst-case window)
+    y_pad_rows: int  # extra y 2-D rows beyond ceil(num_rows/128) so the
+                     # last tiles' (row_span, 128) windows stay in bounds
 
     ovf_rows: Any
     ovf_cols: Any
@@ -105,15 +117,15 @@ class DeviceTiles:
              self.ovf_rows, self.ovf_cols, self.ovf_vals),
             (self.num_rows, self.num_cols, self.nnz, self.row_window,
              self.col_window, self.gather_rows, self.x_pad_rows,
-             self.tiles_per_step),
+             self.tiles_per_step, self.row_span, self.y_pad_rows),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (vals, lcols, epos, rblk, cblk, cspan, orow, ocol, oval) = children
-        (nr, nc, nnz, wr, wc, gr, xpr, tps) = aux
+        (nr, nc, nnz, wr, wc, gr, xpr, tps, rs, ypr) = aux
         return cls(nr, nc, nnz, wr, wc, vals, lcols, epos, rblk, cblk,
-                   cspan, gr, xpr, tps, orow, ocol, oval)
+                   cspan, gr, xpr, tps, rs, ypr, orow, ocol, oval)
 
     @property
     def ntiles(self) -> int:
@@ -124,8 +136,157 @@ class DeviceTiles:
         return self.vals.dtype
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ClassedTiles:
+    """Span-classed merge plan: one DeviceTiles per row-span bucket.
+
+    A single static ``row_span`` is hostage to the widest tile: e.g. a
+    3-D Laplacian's far-diagonal bands make tiles with one nonzero per
+    row spanning the whole row window, forcing every dense-band tile
+    (real span 2-3) through worst-case extraction, write width, and
+    gather loops. Splitting tiles into a few span buckets — one
+    ``pallas_call`` each, each with its own static ``row_span``,
+    ``gather_rows``, and step batch — restores per-tile-proportional
+    cost. Accumulation into y is order-independent (pure +=), so
+    summing the per-class outputs is exact; the TPU analogue of the
+    reference's per-arch kernel policy selection
+    (dispatch_spmv_orig.cuh:266-424) applied per tile class."""
+
+    plans: Any  # tuple[DeviceTiles, ...]; plans[0] carries the
+                # overflow stream, the others hold empty streams
+
+    def tree_flatten(self):
+        return ((self.plans,), ())
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+    @property
+    def num_rows(self):
+        return self.plans[0].num_rows
+
+    @property
+    def num_cols(self):
+        return self.plans[0].num_cols
+
+    @property
+    def nnz(self):
+        return sum(p.nnz for p in self.plans)
+
+    @property
+    def dtype(self):
+        return self.plans[0].dtype
+
+    @property
+    def ntiles(self):
+        return sum(p.ntiles for p in self.plans)
+
+
+def _tile_row_anchors(tiles: MergeTiles):
+    """Per-tile tight row anchor (128-row slices below the window base)
+    and touched-slice span, derived from the host end-position table."""
+    ep_host = np.asarray(tiles.end_pos)               # (nt, Wr)
+    ne = ep_host >= 0
+    rmin = np.argmax(ne, axis=1)                      # first touched row
+    final = ep_host[:, -1:]
+    rmax = np.argmax(ep_host == final, axis=1)        # last touched row
+    anchor = np.where(ne.any(axis=1), rmin // LANES, 0)
+    span = np.maximum(rmax // LANES - anchor + 1, 1)
+    return anchor.astype(np.int64), span.astype(np.int64)
+
+
+def _subset_device_tiles(tiles: MergeTiles, sel, anchor, span, dtype,
+                         tiles_per_step, with_ovf: bool) -> DeviceTiles:
+    """Build a DeviceTiles from the tile subset ``sel`` (None = all)."""
+    vals_h = np.asarray(tiles.vals)
+    lcols_h = np.asarray(tiles.local_cols)
+    ep_h = np.asarray(tiles.end_pos)
+    rblk_h = np.asarray(tiles.row_block)
+    cblk_h = np.asarray(tiles.col_block)
+    cspan_h = np.asarray(tiles.col_span)
+    nnz_sel = tiles.nnz
+    if sel is not None:
+        vals_h, lcols_h, ep_h = vals_h[sel], lcols_h[sel], ep_h[sel]
+        rblk_h, cblk_h, cspan_h = rblk_h[sel], cblk_h[sel], cspan_h[sel]
+        anchor, span = anchor[sel], span[sel]
+        nnz_sel = int(np.count_nonzero(vals_h))  # informational
+    nt = vals_h.shape[0]
+    tps = tiles_per_step or _choose_tiles_per_step(nt)
+    ntp = -(-nt // tps) * tps
+
+    # slot p -> (p // 128, p % 128): C-order reshape of the (T,) stream.
+    # Index payloads ship as int16 (halved HBM/VMEM traffic) and upcast
+    # in-register: local cols < col_window <= 32767 for every tuner
+    # choice, end positions < tile_nnz = 1024.
+    itype = np.int16 if tiles.col_window <= 32767 else np.int32
+    vals = np.zeros((ntp, SUBLANES, TILE_NNZ // SUBLANES), dtype=dtype)
+    lcols = np.zeros((ntp, SUBLANES, TILE_NNZ // SUBLANES), dtype=itype)
+    vals[:nt] = vals_h.astype(dtype).reshape(
+        nt, SUBLANES, TILE_NNZ // SUBLANES
+    )
+    lcols[:nt] = lcols_h.reshape(nt, SUBLANES, TILE_NNZ // SUBLANES)
+
+    # ROW-ANCHORED end positions: extraction and the y read-modify-
+    # write run max-row-span iterations instead of Wr/128 (the row
+    # analogue of the tight column anchor). The anchor folds into
+    # row_block; trailing slices edge-replicate the final end position
+    # (duplicate extraction values -> zero row-diffs -> harmless
+    # accumulates), so clipping at the window edge is safe.
+    RS = int(span.max()) if nt else 1
+    idx = anchor[:, None] * LANES + np.arange(RS * LANES)[None, :]
+    idx = np.minimum(idx, tiles.row_window - 1)
+    epos = np.full((ntp, RS, LANES), -1, dtype=np.int16)
+    epos[:nt] = np.take_along_axis(ep_h, idx, axis=1).reshape(
+        nt, RS, LANES
+    )
+    rblk = np.zeros(ntp, dtype=np.int32)
+    cblk = np.zeros(ntp, dtype=np.int32)
+    cspan = np.zeros(ntp, dtype=np.int32)  # pad tiles: 0-trip gather
+    rblk[:nt] = rblk_h + anchor.astype(np.int32)
+    cblk[:nt] = cblk_h
+    cspan[:nt] = cspan_h
+    nrb = -(-tiles.num_rows // LANES)
+    y_pad = max(int(rblk.max()) + RS - nrb, 1) if nt else 1
+
+    empty_i = np.zeros(0, dtype=np.int32)
+    return DeviceTiles(
+        num_rows=tiles.num_rows,
+        num_cols=tiles.num_cols,
+        nnz=nnz_sel,
+        row_window=tiles.row_window,
+        col_window=tiles.col_window,
+        vals=jnp.asarray(vals),
+        local_cols=jnp.asarray(lcols),
+        end_pos=jnp.asarray(epos),
+        row_block=jnp.asarray(rblk),
+        col_block=jnp.asarray(cblk),
+        col_span=jnp.asarray(cspan),
+        gather_rows=int(max(cspan_h.max(), 1)) if nt else 1,
+        x_pad_rows=tiles.col_window // LANES,
+        tiles_per_step=tps,
+        row_span=RS,
+        y_pad_rows=y_pad,
+        ovf_rows=jnp.asarray(
+            tiles.ovf_rows.astype(np.int32) if with_ovf else empty_i),
+        ovf_cols=jnp.asarray(
+            tiles.ovf_cols.astype(np.int32) if with_ovf else empty_i),
+        ovf_vals=jnp.asarray(
+            tiles.ovf_vals.astype(dtype) if with_ovf
+            else np.zeros(0, dtype=dtype)),
+    )
+
+
+# Buckets smaller than this fold into the next-wider one: a class
+# whose kernel cannot fill a few grid steps pays more in dispatch +
+# grid padding than its narrower static span saves.
+MIN_CLASS_TILES = 64
+
+
 def to_device_tiles(tiles: MergeTiles, dtype=np.float32,
-                    tiles_per_step: int | None = None) -> DeviceTiles:
+                    tiles_per_step: int | None = None,
+                    span_classes: int = 3):
     """Upload a host MergeTiles partition, reshaping tile payloads into
     the kernel's (8, 128) ROW-major register layout (slot p ->
     [t, p // 128, p % 128]) and padding the tile count to a multiple of
@@ -135,58 +296,45 @@ def to_device_tiles(tiles: MergeTiles, dtype=np.float32,
     Row-major puts 128 consecutive slots on one sublane row, which lets
     the multi-RHS SpMM kernel (kernels/spmm_merge.py) gather x for all
     L RHS lanes with ONE hardware lane-gather per slot row — the same
-    trick the ELL kernel uses. The SpMV scan/extraction costs are
-    unchanged (row-major scan = 7 lane + ~4 sublane shift-adds vs
-    col-major's 3 + 7)."""
+    trick the ELL kernel uses.
+
+    Returns a single :class:`DeviceTiles`, or a :class:`ClassedTiles`
+    of up to ``span_classes`` plans when the tiles' row spans are
+    heterogeneous enough that per-class static spans pay for the extra
+    dispatches (``span_classes=1`` forces a single plan — used by the
+    sharded path, which needs uniform shapes across shards)."""
     if tiles.tile_nnz != TILE_NNZ:
         raise ValueError(f"kernel requires tile_nnz={TILE_NNZ}")
+    anchor, span = _tile_row_anchors(tiles)
     nt = tiles.ntiles
-    tps = tiles_per_step or _choose_tiles_per_step(nt)
-    ntp = -(-nt // tps) * tps
-    WrB = tiles.row_window // LANES
-
-    # slot p -> (p // 128, p % 128): C-order reshape of the (T,) stream.
-    # Index payloads ship as int16 (halved HBM/VMEM traffic) and upcast
-    # in-register: local cols < col_window <= 32767 for every tuner
-    # choice, end positions < tile_nnz = 1024.
-    itype = np.int16 if tiles.col_window <= 32767 else np.int32
-    vals = np.zeros((ntp, SUBLANES, TILE_NNZ // SUBLANES), dtype=dtype)
-    lcols = np.zeros((ntp, SUBLANES, TILE_NNZ // SUBLANES), dtype=itype)
-    vals[:nt] = np.asarray(tiles.vals, dtype=dtype).reshape(
-        nt, SUBLANES, TILE_NNZ // SUBLANES
+    if span_classes <= 1 or nt < 2 * MIN_CLASS_TILES:
+        return _subset_device_tiles(tiles, None, anchor, span, dtype,
+                                    tiles_per_step, with_ovf=True)
+    # pow2 span buckets, small buckets folded upward, capped at
+    # span_classes by folding the smallest-population buckets upward
+    bucket = np.maximum(
+        np.ceil(np.log2(span)).astype(np.int64), 0
     )
-    lcols[:nt] = tiles.local_cols.reshape(
-        nt, SUBLANES, TILE_NNZ // SUBLANES
-    )
-
-    epos = np.full((ntp, WrB, LANES), -1, dtype=np.int16)
-    epos[:nt] = tiles.end_pos.reshape(nt, WrB, LANES)
-    rblk = np.zeros(ntp, dtype=np.int32)
-    cblk = np.zeros(ntp, dtype=np.int32)
-    cspan = np.zeros(ntp, dtype=np.int32)  # pad tiles: 0-trip gather
-    rblk[:nt] = tiles.row_block
-    cblk[:nt] = tiles.col_block
-    cspan[:nt] = tiles.col_span
-
-    return DeviceTiles(
-        num_rows=tiles.num_rows,
-        num_cols=tiles.num_cols,
-        nnz=tiles.nnz,
-        row_window=tiles.row_window,
-        col_window=tiles.col_window,
-        vals=jnp.asarray(vals),
-        local_cols=jnp.asarray(lcols),
-        end_pos=jnp.asarray(epos),
-        row_block=jnp.asarray(rblk),
-        col_block=jnp.asarray(cblk),
-        col_span=jnp.asarray(cspan),
-        gather_rows=int(max(tiles.col_span.max(), 1)),
-        x_pad_rows=tiles.col_window // LANES,
-        tiles_per_step=tps,
-        ovf_rows=jnp.asarray(tiles.ovf_rows.astype(np.int32)),
-        ovf_cols=jnp.asarray(tiles.ovf_cols.astype(np.int32)),
-        ovf_vals=jnp.asarray(tiles.ovf_vals.astype(dtype)),
-    )
+    uniq = sorted(set(bucket.tolist()))
+    for i, b in enumerate(uniq[:-1]):
+        if np.count_nonzero(bucket == b) < MIN_CLASS_TILES:
+            bucket[bucket == b] = uniq[i + 1]
+    uniq = sorted(set(bucket.tolist()))
+    while len(uniq) > span_classes:
+        counts = [np.count_nonzero(bucket == b) for b in uniq]
+        i = int(np.argmin(counts[:-1]))
+        bucket[bucket == uniq[i]] = uniq[i + 1]
+        uniq = sorted(set(bucket.tolist()))
+    if len(uniq) == 1:
+        return _subset_device_tiles(tiles, None, anchor, span, dtype,
+                                    tiles_per_step, with_ovf=True)
+    plans = []
+    for k, b in enumerate(uniq):
+        sel = np.flatnonzero(bucket == b)
+        plans.append(_subset_device_tiles(
+            tiles, sel, anchor, span, dtype, tiles_per_step,
+            with_ovf=(k == 0)))
+    return ClassedTiles(tuple(plans))
 
 
 def _sublane_iota(shape):
@@ -306,7 +454,7 @@ def _row_diff(G):
 
 
 @kernel_no_x64
-def _fused_kernel(gather_rows: int, wrb: int, tps: int,
+def _fused_kernel(gather_rows: int, rspan: int, tps: int,
                   rblk_ref, cblk_ref, cspan_ref,
                   vals_ref, lc_ref, ep_ref, x_ref, y_ref):
     """Grid step: TILES_PER_STEP merge tiles -> gather, batched prefix
@@ -334,7 +482,7 @@ def _fused_kernel(gather_rows: int, wrb: int, tps: int,
         G = _extract_rows(csu, ep_ref[u])
         part = _row_diff(G)
         rb = rblk_ref[t]
-        y_ref[pl.ds(rb, wrb), :] = y_ref[pl.ds(rb, wrb), :] + part
+        y_ref[pl.ds(rb, rspan), :] = y_ref[pl.ds(rb, rspan), :] + part
 
 
 @functools.partial(jax.jit, static_argnames=("nrows_out",))
@@ -343,13 +491,12 @@ def _spmv_tiles(A: DeviceTiles, x2d, nrows_out: int):
     ntiles = A.ntiles
     tps = A.tiles_per_step
     steps = ntiles // tps
-    wrb = A.row_window // LANES
-    wcb = A.col_window // LANES
+    rspan = A.row_span
     csize = TILE_NNZ // SUBLANES
     mb = nrows_out // LANES
 
     y2d = pl.pallas_call(
-        functools.partial(_fused_kernel, A.gather_rows, wrb, tps),
+        functools.partial(_fused_kernel, A.gather_rows, rspan, tps),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # rblk, cblk, cspan
             grid=(steps,),
@@ -363,7 +510,7 @@ def _spmv_tiles(A: DeviceTiles, x2d, nrows_out: int):
                     lambda i, rb, cb, cs: (i, 0, 0),
                 ),
                 pl.BlockSpec(
-                    (tps, wrb, LANES),
+                    (tps, rspan, LANES),
                     lambda i, rb, cb, cs: (i, 0, 0),
                 ),
                 pl.BlockSpec(
@@ -388,11 +535,20 @@ def _pad_x(A: DeviceTiles, x):
     return xp.reshape(ncb, LANES)
 
 
-def spmv_merge(A: DeviceTiles, x, alpha=1.0, beta=0.0, y=None):
+def spmv_merge(A, x, alpha=1.0, beta=0.0, y=None):
     """y = alpha * A @ x + beta * y via the merge-tile kernel (+ jnp
-    overflow stream)."""
+    overflow stream). ``A``: DeviceTiles or ClassedTiles (per-span
+    plans run as independent kernels; += into y is order-independent,
+    so summing their outputs is exact)."""
+    if isinstance(A, ClassedTiles):
+        y_new = spmv_merge(A.plans[0], x)
+        for p in A.plans[1:]:
+            y_new = y_new + spmv_merge(p, x)
+        if beta == 0.0 or y is None:
+            return alpha * y_new
+        return alpha * y_new + beta * y
     x2d = _pad_x(A, x.astype(A.dtype))
-    mb = -(-A.num_rows // LANES) + A.row_window // LANES
+    mb = -(-A.num_rows // LANES) + A.y_pad_rows
     y2d = _spmv_tiles(A, x2d, mb * LANES)
     y_new = y2d.reshape(-1)[: A.num_rows]
     if A.ovf_vals.shape[0] > 0:

@@ -52,7 +52,7 @@ TILES_PER_STEP_SPMM = 8  # divides every per-matrix pad multiple
 
 
 @kernel_no_x64
-def _spmm_kernel(gather_rows: int, wrb: int, L: int, T: int,
+def _spmm_kernel(gather_rows: int, rspan: int, L: int, T: int,
                  rblk_ref, cblk_ref, cspan_ref,
                  vals_ref, lc_ref, ep_ref, x_ref, y_ref):
     step = pl.program_id(0)
@@ -111,7 +111,7 @@ def _spmm_kernel(gather_rows: int, wrb: int, L: int, T: int,
         # extraction at the shared end positions + row differences
         prev_last = jnp.zeros((L, 1), x_ref.dtype)
         parts = []
-        for w in range(wrb):
+        for w in range(rspan):
             ep = ep_ref[u, w : w + 1, :].astype(jnp.int32)    # (1, 128)
             epc = jnp.maximum(ep, 0)
             g_e = jnp.broadcast_to(epc // LANES, (L, LANES))
@@ -127,10 +127,10 @@ def _spmm_kernel(gather_rows: int, wrb: int, L: int, T: int,
             )
             parts.append(G - Gprev)
             prev_last = G[:, LANES - 1 :]
-        part = (jnp.stack(parts, axis=0) if wrb > 1
-                else parts[0][None])                   # (wrb, L, 128)
+        part = (jnp.stack(parts, axis=0) if rspan > 1
+                else parts[0][None])                   # (rspan, L, 128)
         rb = rblk_ref[t]
-        y_ref[pl.ds(rb, wrb)] = y_ref[pl.ds(rb, wrb)] + part
+        y_ref[pl.ds(rb, rspan)] = y_ref[pl.ds(rb, rspan)] + part
 
 
 @functools.partial(jax.jit, static_argnames=("mb", "T"))
@@ -139,11 +139,11 @@ def _spmm_tiles(A: DeviceTiles, x3, mb: int, T: int):
     """x3: (Ncb, L, 128); returns (mb, L, 128)."""
     L = x3.shape[1]
     steps = A.ntiles // T
-    wrb = A.row_window // LANES
+    rspan = A.row_span
     csize = 1024 // SUBLANES
 
     y3 = pl.pallas_call(
-        functools.partial(_spmm_kernel, A.gather_rows, wrb, L, T),
+        functools.partial(_spmm_kernel, A.gather_rows, rspan, L, T),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(steps,),
@@ -152,7 +152,7 @@ def _spmm_tiles(A: DeviceTiles, x3, mb: int, T: int):
                              lambda i, rb, cb, cs: (i, 0, 0)),
                 pl.BlockSpec((T, SUBLANES, csize),
                              lambda i, rb, cb, cs: (i, 0, 0)),
-                pl.BlockSpec((T, wrb, LANES),
+                pl.BlockSpec((T, rspan, LANES),
                              lambda i, rb, cb, cs: (i, 0, 0)),
                 pl.BlockSpec(x3.shape, lambda i, rb, cb, cs: (0, 0, 0)),
             ],
@@ -176,9 +176,19 @@ def _to_x3(A: DeviceTiles, X):
     return jnp.transpose(Xp.reshape(ncb, LANES, L), (0, 2, 1))
 
 
-def spmm_merge(A: DeviceTiles, X, alpha=1.0, beta=0.0, Y=None):
+def spmm_merge(A, X, alpha=1.0, beta=0.0, Y=None):
     """Y = alpha * A @ X + beta * Y, X (num_cols, L), via the in-kernel
-    multi-RHS merge pipeline (+ jnp overflow stream)."""
+    multi-RHS merge pipeline (+ jnp overflow stream). ``A``:
+    DeviceTiles or ClassedTiles (summed per-span-class kernels)."""
+    from tpusparse.kernels.merge_spmv import ClassedTiles
+
+    if isinstance(A, ClassedTiles):
+        Y_new = spmm_merge(A.plans[0], X)
+        for p in A.plans[1:]:
+            Y_new = Y_new + spmm_merge(p, X)
+        if beta == 0.0 or Y is None:
+            return alpha * Y_new
+        return alpha * Y_new + beta * Y
     squeeze = False
     if X.ndim == 1:
         X = X[:, None]
@@ -193,7 +203,7 @@ def spmm_merge(A: DeviceTiles, X, alpha=1.0, beta=0.0, Y=None):
 
     itemsize = np.dtype(A.dtype).itemsize
     ncb = -(-A.num_cols // LANES) + A.x_pad_rows
-    mb = -(-A.num_rows // LANES) + A.row_window // LANES
+    mb = -(-A.num_rows // LANES) + A.y_pad_rows
     # both the RHS block and the output block live in VMEM
     per_lane = (ncb + mb) * LANES * itemsize
     max_lanes = max((X_VMEM_BUDGET_BYTES // per_lane) // 8 * 8, 8)

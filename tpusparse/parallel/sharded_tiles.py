@@ -41,6 +41,8 @@ class ShardedTiles:
     gather_rows: int
     x_pad_rows: int
     tiles_per_step: int     # uniform step batch across shards
+    row_span: int           # uniform extraction span (max over shards)
+    y_pad_rows: int         # uniform local-y padding (max over shards)
 
     vals: Any               # (D, ntp, 8, 128)
     local_cols: Any
@@ -56,7 +58,8 @@ class ShardedTiles:
              self.col_block, self.col_span, self.row_start),
             (self.num_rows, self.num_cols, self.rows_per_shard,
              self.row_window, self.col_window, self.gather_rows,
-             self.x_pad_rows, self.tiles_per_step),
+             self.x_pad_rows, self.tiles_per_step, self.row_span,
+             self.y_pad_rows),
         )
 
     @classmethod
@@ -113,11 +116,18 @@ def shard_tiles(csr: CsrMatrix, n_shards: int,
             np.asarray(slabs.values[i][:nnz_i]),
         )
         tiles = build_merge_tiles(local, **tile_kwargs)
-        per_shard.append(merge_spmv.to_device_tiles(tiles))
+        # span_classes=1: shard_map needs uniform shapes across shards,
+        # so each shard keeps one plan with the global static span
+        per_shard.append(merge_spmv.to_device_tiles(tiles,
+                                                    span_classes=1))
 
     ntp = max(t.ntiles for t in per_shard)
     tps = merge_spmv._choose_tiles_per_step(ntp)
     ntp = -(-ntp // tps) * tps
+    rs = max(t.row_span for t in per_shard)
+    # a shard whose own span < rs writes rs-slice windows, so its y
+    # padding grows by the difference
+    ypad = max(t.y_pad_rows + (rs - t.row_span) for t in per_shard)
 
     def pad(x, fill, n):
         x = np.asarray(x)
@@ -125,9 +135,20 @@ def shard_tiles(csr: CsrMatrix, n_shards: int,
         out[: x.shape[0]] = x
         return out
 
+    def pad_epos(t):
+        # grow the span axis by edge-replicating the final slice
+        # (duplicate end positions -> zero row-diffs), then pad the
+        # tile axis with all -1 (empty) tiles
+        e = np.asarray(t.end_pos)
+        if e.shape[1] < rs:
+            e = np.concatenate(
+                [e] + [e[:, -1:, :]] * (rs - e.shape[1]), axis=1
+            )
+        return pad(e, -1, ntp)
+
     vals = np.stack([pad(t.vals, 0, ntp) for t in per_shard])
     lcols = np.stack([pad(t.local_cols, 0, ntp) for t in per_shard])
-    epos = np.stack([pad(t.end_pos, -1, ntp) for t in per_shard])
+    epos = np.stack([pad_epos(t) for t in per_shard])
     rblk = np.stack([pad(t.row_block, 0, ntp) for t in per_shard])
     cblk = np.stack([pad(t.col_block, 0, ntp) for t in per_shard])
     cspan = np.stack([pad(t.col_span, 0, ntp) for t in per_shard])
@@ -141,6 +162,8 @@ def shard_tiles(csr: CsrMatrix, n_shards: int,
         gather_rows=max(t.gather_rows for t in per_shard),
         x_pad_rows=per_shard[0].x_pad_rows,
         tiles_per_step=tps,
+        row_span=rs,
+        y_pad_rows=ypad,
         vals=jnp.asarray(vals),
         local_cols=jnp.asarray(lcols),
         end_pos=jnp.asarray(epos),
@@ -158,6 +181,7 @@ def device_put_sharded_tiles(st: ShardedTiles, mesh: Mesh,
     return ShardedTiles(
         st.num_rows, st.num_cols, st.rows_per_shard, st.row_window,
         st.col_window, st.gather_rows, st.x_pad_rows, st.tiles_per_step,
+        st.row_span, st.y_pad_rows,
         put(st.vals), put(st.local_cols), put(st.end_pos),
         put(st.row_block), put(st.col_block), put(st.col_span),
         put(st.row_start),
@@ -188,6 +212,8 @@ def spmv_sharded_tiles(st: ShardedTiles, x, mesh: Mesh,
             gather_rows=st.gather_rows,
             x_pad_rows=st.x_pad_rows,
             tiles_per_step=st.tiles_per_step,
+            row_span=st.row_span,
+            y_pad_rows=st.y_pad_rows,
             ovf_rows=empty_i,
             ovf_cols=empty_i,
             ovf_vals=empty_f,
@@ -223,6 +249,8 @@ def _local_tiles(st: ShardedTiles, vals, lcols, epos, rblk, cblk, cspan):
         gather_rows=st.gather_rows,
         x_pad_rows=st.x_pad_rows,
         tiles_per_step=st.tiles_per_step,
+        row_span=st.row_span,
+        y_pad_rows=st.y_pad_rows,
         ovf_rows=empty_i,
         ovf_cols=empty_i,
         ovf_vals=jnp.zeros((0,), st.vals.dtype),
