@@ -176,7 +176,14 @@ def cmd_spmm(args):
     dtype = np.float32 if args.fp32 else np.float64
     L = args.num_vectors
     rng = np.random.default_rng(0)
-    X = rng.standard_normal((csr.num_cols, L)).astype(dtype)
+    # RHS layout parity with the reference's g_input_row_major toggle
+    # (cpu_spmm_v2.cpp:74-75,289-300): row-major (n, L) is the native
+    # layout; --col_major_input generates the transposed (L, n) input
+    # and transposes it in, exercising the same relayout cost.
+    if getattr(args, "col_major_input", False):
+        X = rng.standard_normal((L, csr.num_cols)).astype(dtype).T.copy()
+    else:
+        X = rng.standard_normal((csr.num_cols, L)).astype(dtype)
     golden = csr.to_scipy() @ X
 
     strategies = (args.strategy.split(",") if args.strategy
@@ -548,6 +555,9 @@ def build_parser():
         sp.add_argument("--tolerance", type=float, default=1e-5)
         sp.add_argument("--jacobi_sweeps", type=int, default=16)
         sp.add_argument("--timing_iters", "--i", type=int, default=0)
+        sp.add_argument("--col_major_input", action="store_true",
+                        help="RHS arrives (L, n) and is transposed in "
+                        "(reference g_input_row_major=false)")
         sp.add_argument("--dir", help="sweep every .mtx in a directory")
         sp.add_argument("--output")
 

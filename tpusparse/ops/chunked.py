@@ -135,10 +135,26 @@ def spmv_chunked(A: ChunkedMerge, x, alpha=1.0, beta=0.0, y=None):
 
 
 def spmm_chunked(A: ChunkedMerge, X, alpha=1.0, beta=0.0, Y=None):
-    """Column-mapped SpMM over the chunk grid."""
-    XT = jnp.transpose(X)
-    YT = jax.lax.map(lambda xc: spmv_chunked(A, xc), XT)
-    Y_new = jnp.transpose(YT)
+    """Block-grid SpMM: the in-kernel multi-RHS merge kernel
+    (kernels/spmm_merge) per sub-block — each block's payload streams
+    once for all L lanes, mirroring the single-call path."""
+    from tpusparse.kernels.spmm_merge import spmm_merge
+
+    L = X.shape[1]
+    parts = {}
+    for (ri, cj), plan in zip(A.keys, A.plans):
+        Xc = jax.lax.slice_in_dim(
+            X, A.col_off[cj], A.col_off[cj + 1]
+        )
+        contrib = spmm_merge(plan, Xc)
+        parts[ri] = contrib if ri not in parts else parts[ri] + contrib
+    n_r = len(A.row_off) - 1
+    zero = lambda ri: jnp.zeros(
+        (A.row_off[ri + 1] - A.row_off[ri], L), dtype=A.dtype
+    )
+    Y_new = jnp.concatenate(
+        [parts.get(ri, zero(ri)) for ri in range(n_r)]
+    )
     if beta == 0.0 or Y is None:
         return alpha * Y_new
     return alpha * Y_new + beta * Y
