@@ -308,4 +308,40 @@ int32_t merge_tiles_fill(int64_t M, int64_t N, int64_t nnz,
   return 0;
 }
 
+// Per-128-row-block gather-job counts for the ELL planner
+// (tpusparse/formats/ell.py): jobs(rb) = sum over column blocks of
+// max over the block's rows of count(row, cblk) — the number of
+// (rb, cblk, rank) jobs the gather-job packing creates. One linear
+// walk; the per-column-block max table is L2-resident.
+void ell_jobs_per_rowblock(int64_t M, int64_t N, const int64_t* ro,
+                           const int32_t* ci, int64_t* out) {
+  int64_t nbc = N / kLanes + 1;
+  std::vector<int32_t> mx(static_cast<size_t>(nbc), 0);
+  std::vector<int32_t> touched;
+  int64_t nrb = (M + kLanes - 1) / kLanes;
+  for (int64_t b = 0; b < nrb; b++) {
+    int64_t r_lo = b * kLanes, r_hi = std::min(r_lo + kLanes, M);
+    touched.clear();
+    for (int64_t r = r_lo; r < r_hi; r++) {
+      int64_t e = ro[r];
+      while (e < ro[r + 1]) {
+        int32_t cb = ci[e] / kLanes;
+        int32_t cnt = 0;
+        while (e < ro[r + 1] && ci[e] / kLanes == cb) {
+          cnt++;
+          e++;
+        }
+        if (mx[cb] == 0) touched.push_back(cb);
+        mx[cb] = std::max(mx[cb], cnt);
+      }
+    }
+    int64_t jobs = 0;
+    for (int32_t cb : touched) {
+      jobs += mx[cb];
+      mx[cb] = 0;
+    }
+    out[b] = jobs;
+  }
+}
+
 }  // extern "C"

@@ -91,18 +91,15 @@ def _job_structure(csr):
     rb = rows // LANES
     cblk = ci // LANES
 
-    # rank of the entry within its (row, column-block); cblk is a
-    # function of ci, so sorting the packed (row, col) key is equivalent
-    o1 = _argsort_u64((rows * np.int64(csr.num_cols) + ci).astype(np.uint64))
-    r1, cb1 = rows[o1], cblk[o1]
+    # rank of the entry within its (row, column-block): the CSR stream
+    # is already (row, col)-sorted, so (row, cblk) segments are
+    # contiguous runs — no sort needed
     new_rc = np.empty(nnz, dtype=bool)
     new_rc[0] = True
-    new_rc[1:] = (r1[1:] != r1[:-1]) | (cb1[1:] != cb1[:-1])
+    new_rc[1:] = (rows[1:] != rows[:-1]) | (cblk[1:] != cblk[:-1])
     seg = np.cumsum(new_rc) - 1
     seg_start = np.flatnonzero(new_rc)
-    rank1 = np.arange(nnz) - seg_start[seg]
-    rank = np.empty(nnz, dtype=np.int64)
-    rank[o1] = rank1
+    rank = np.arange(nnz) - seg_start[seg]
 
     # enumerate jobs sorted by (rb, cblk, rank) — packed key when the
     # rank fits 12 bits (it exceeds 128 only with duplicate entries)
@@ -128,13 +125,32 @@ def _job_structure(csr):
         new_job, jobs_rb, nb
 
 
+def _jobs_per_rowblock(csr):
+    """Per-row-block gather-job counts for the planner — one native
+    linear walk when the library is available (the sort-based fallback
+    costs seconds at 10M nnz)."""
+    import os
+
+    if os.environ.get("TPUSPARSE_NO_NATIVE") != "1":
+        try:
+            from tpusparse.utils import native
+
+            jr = native.ell_jobs_per_rowblock(csr)
+            if jr is not None:
+                return jr
+        except ImportError:
+            pass
+    *_, jobs_rb, _nb = _job_structure(csr)
+    return jobs_rb
+
+
 def ell_occupancy_estimate(csr, jobs_per_tile: int = JOBS_PER_TILE
                            ) -> float:
     """Occupancy the gather-job packing would achieve (jobs counted
     without building payloads)."""
     if csr.nnz == 0:
         return 0.0
-    *_, jobs_rb, _nb = _job_structure(csr)
+    jobs_rb = _jobs_per_rowblock(csr)
     tiles = np.maximum(-(-jobs_rb // jobs_per_tile), 1)
     total = int(tiles.sum()) * jobs_per_tile * LANES
     return csr.nnz / total if total else 0.0
@@ -148,7 +164,7 @@ def choose_jobs_per_tile(csr, candidates=(8, 16)) -> tuple[int, float]:
     (J, occupancy at J)."""
     if csr.nnz == 0:
         return candidates[0], 0.0
-    *_, jobs_rb, _nb = _job_structure(csr)
+    jobs_rb = _jobs_per_rowblock(csr)
     best = (candidates[0], 0.0, float("inf"))
     for J in candidates:
         tiles = int(np.maximum(-(-jobs_rb // J), 1).sum())

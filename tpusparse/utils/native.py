@@ -97,6 +97,10 @@ def _load():
             ctypes.c_int64, ctypes.c_void_p, i32p,
             i32p, i32p, i32p, i32p,
         ]
+        lib.ell_jobs_per_rowblock.restype = None
+        lib.ell_jobs_per_rowblock.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, i64p, i32p, i64p,
+        ]
         lib.ic0_factorize.restype = ctypes.c_int
         lib.ic0_factorize.argtypes = [
             ctypes.c_int64,
@@ -220,6 +224,20 @@ def build_merge_tiles(csr, tile_nnz, row_window, col_window):
     if rc != 0:
         return None
     return vals_t, lcols_t, epos_t, rblk, cblk, cspan
+
+
+def ell_jobs_per_rowblock(csr):
+    """Per-128-row-block gather-job counts for the ELL planner in one
+    native linear walk (replaces the sort-based estimate). Returns an
+    (nrb,) int64 array, or None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    ro, ci = _csr_buffers(csr)
+    nrb = max(-(-csr.num_rows // 128), 1)
+    out = np.zeros(nrb, dtype=np.int64)
+    lib.ell_jobs_per_rowblock(csr.num_rows, csr.num_cols, ro, ci, out)
+    return out
 
 
 def ic0_factorize(csr, max_attempts=20, initial_shift=1e-3):
