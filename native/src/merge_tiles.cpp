@@ -344,4 +344,87 @@ void ell_jobs_per_rowblock(int64_t M, int64_t N, const int64_t* ro,
   }
 }
 
+// ELL gather-job payload fill (tpusparse/formats/ell.py
+// build_ell_tiles): job = (128-row block, 128-col block, occurrence
+// rank), at most one entry per lane. Jobs of a row block are ordered
+// (cblk asc, rank asc) and packed J per tile; `tile_base` (nrb+1) is
+// the caller-computed prefix of per-block tile counts (empty blocks
+// still own one tile). vals_t/lcols_t/job_cblk arrive zero-filled.
+// Row blocks fill disjoint tile ranges, so the loop parallelizes.
+int32_t ell_tiles_fill(int64_t M, int64_t N, const int64_t* ro,
+                       const int32_t* ci, const void* vals,
+                       int32_t elsize, int64_t J,
+                       const int64_t* tile_base, int64_t ntiles,
+                       void* vals_t, int32_t* lcols_t,
+                       int32_t* job_cblk) {
+  int64_t nbc = N / kLanes + 1;
+  int64_t nrb = (M + kLanes - 1) / kLanes;
+  const char* vsrc = static_cast<const char*>(vals);
+  char* vdst = static_cast<char*>(vals_t);
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+  {
+    std::vector<int32_t> mx(static_cast<size_t>(nbc), 0);
+    std::vector<int64_t> jb(static_cast<size_t>(nbc), 0);
+    std::vector<int32_t> touched;
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic)
+#endif
+    for (int64_t b = 0; b < nrb; b++) {
+      int64_t r_lo = b * kLanes, r_hi = std::min(r_lo + kLanes, M);
+      if (ro[r_hi] == ro[r_lo]) continue;
+      touched.clear();
+      // pass 1: per-column-block max run length = jobs per cblk
+      for (int64_t r = r_lo; r < r_hi; r++) {
+        int64_t e = ro[r];
+        while (e < ro[r + 1]) {
+          int32_t cb = ci[e] / kLanes;
+          int32_t cnt = 0;
+          while (e < ro[r + 1] && ci[e] / kLanes == cb) {
+            cnt++;
+            e++;
+          }
+          if (mx[cb] == 0) touched.push_back(cb);
+          mx[cb] = std::max(mx[cb], cnt);
+        }
+      }
+      std::sort(touched.begin(), touched.end());
+      int64_t base = 0;
+      for (int32_t cb : touched) {
+        jb[cb] = base;
+        base += mx[cb];
+      }
+      // pass 2: scatter entries into (tile, slot, lane)
+      int64_t tb = tile_base[b];
+      for (int64_t r = r_lo; r < r_hi; r++) {
+        int64_t lane = r % kLanes;
+        int64_t e = ro[r];
+        while (e < ro[r + 1]) {
+          int32_t cb = ci[e] / kLanes;
+          int64_t j0 = jb[cb];
+          int32_t k = 0;
+          while (e < ro[r + 1] && ci[e] / kLanes == cb) {
+            int64_t jl = j0 + k;
+            int64_t t = tb + jl / J, s = jl % J;
+            std::memcpy(vdst + ((t * J + s) * kLanes + lane) * elsize,
+                        vsrc + e * elsize,
+                        static_cast<size_t>(elsize));
+            lcols_t[(t * J + s) * kLanes + lane] = ci[e] % kLanes;
+            job_cblk[t * J + s] = cb;
+            k++;
+            e++;
+          }
+        }
+      }
+      for (int32_t cb : touched) {
+        mx[cb] = 0;
+        jb[cb] = 0;
+      }
+    }
+  }
+  (void)ntiles;
+  return 0;
+}
+
 }  // extern "C"

@@ -110,6 +110,52 @@ def test_native_tiling_counts_match_efficiency(rng):
             assert occ == pytest.approx(occ_native), (wr, wc)
 
 
+ELL_FIELDS = ("vals", "local_cols", "row_block", "new_block",
+              "job_cblk")
+
+
+def _both_ell(csr, J):
+    from tpusparse.formats import ell
+
+    os.environ["TPUSPARSE_NO_NATIVE"] = "1"
+    try:
+        a = ell.build_ell_tiles(csr, jobs_per_tile=J)
+    finally:
+        os.environ.pop("TPUSPARSE_NO_NATIVE", None)
+    b = ell.build_ell_tiles(csr, jobs_per_tile=J)
+    return a, b
+
+
+@pytest.mark.parametrize("J", [8, 16])
+def test_native_ell_parity_fixtures(J, rng):
+    mats = [
+        generators.make_laplacian_grid2d(24).to_csr(),
+        generators.make_laplacian_grid3d(12).to_csr(),
+        generators.make_wheel(3000).to_csr(),
+        _rand_csr(rng, 900, 700, 0.01),
+    ]
+    for csr in mats:
+        a, b = _both_ell(csr, J)
+        assert a.ntiles == b.ntiles
+        for f in ELL_FIELDS:
+            np.testing.assert_array_equal(
+                getattr(a, f), getattr(b, f), err_msg=f
+            )
+
+
+def test_native_ell_jobs_per_rowblock(rng):
+    from tpusparse.formats import ell
+
+    csr = generators.make_laplacian_grid3d(10).to_csr()
+    jr = native.ell_jobs_per_rowblock(csr)
+    os.environ["TPUSPARSE_NO_NATIVE"] = "1"
+    try:
+        jr_py = ell._jobs_per_rowblock(csr)
+    finally:
+        os.environ.pop("TPUSPARSE_NO_NATIVE", None)
+    np.testing.assert_array_equal(jr, jr_py)
+
+
 def test_native_duplicate_coords_same_matrix(rng):
     """With duplicate coordinates the partitions may order tied values
     differently but must reconstruct the same dense matrix."""

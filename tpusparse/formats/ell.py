@@ -194,6 +194,43 @@ def build_ell_tiles(csr, jobs_per_tile: int = JOBS_PER_TILE) -> EllTiles:
             job_cblk=np.zeros(nb * J, dtype=np.int32),
         )
 
+    # Native fill: two linear passes per 128-row block (max run length
+    # per column block -> job bases, then entry scatter) — replaces the
+    # packed-key argsort + fancy-indexing pipeline below with identical
+    # output (exact-equality tested). TPUSPARSE_NO_NATIVE=1 forces the
+    # numpy path.
+    import os
+
+    if os.environ.get("TPUSPARSE_NO_NATIVE") != "1":
+        try:
+            from tpusparse.utils import native
+        except ImportError:
+            native = None
+        if native is not None:
+            jobs_rb_n = native.ell_jobs_per_rowblock(csr)
+            if jobs_rb_n is not None:
+                ntiles_rb = np.maximum(-(-jobs_rb_n // J), 1)
+                tile_base = np.zeros(ntiles_rb.size + 1, dtype=np.int64)
+                np.cumsum(ntiles_rb, out=tile_base[1:])
+                ntiles = int(tile_base[-1])
+                out = native.ell_tiles_fill(csr, J, tile_base, ntiles)
+                if out is not None:
+                    vals_t, lcols_t, job_cblk = out
+                    nb_n = ntiles_rb.size
+                    new_block = np.zeros(ntiles, dtype=np.int32)
+                    new_block[tile_base[:-1]] = 1
+                    return EllTiles(
+                        num_rows=M, num_cols=csr.num_cols, nnz=nnz,
+                        jobs_per_tile=J,
+                        vals=vals_t.astype(dtype, copy=False),
+                        local_cols=lcols_t,
+                        row_block=np.repeat(
+                            np.arange(nb_n, dtype=np.int32), ntiles_rb
+                        ),
+                        new_block=new_block,
+                        job_cblk=job_cblk,
+                    )
+
     (o2, rb2, cb2, job_id, lane2, lcol2, new_job, jobs_rb, nb) = (
         _job_structure(csr)
     )

@@ -101,6 +101,13 @@ def _load():
         lib.ell_jobs_per_rowblock.argtypes = [
             ctypes.c_int64, ctypes.c_int64, i64p, i32p, i64p,
         ]
+        lib.ell_tiles_fill.restype = ctypes.c_int32
+        lib.ell_tiles_fill.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, i64p, i32p,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
+            i64p, ctypes.c_int64,
+            ctypes.c_void_p, i32p, i32p,
+        ]
         lib.ic0_factorize.restype = ctypes.c_int
         lib.ic0_factorize.argtypes = [
             ctypes.c_int64,
@@ -238,6 +245,31 @@ def ell_jobs_per_rowblock(csr):
     out = np.zeros(nrb, dtype=np.int64)
     lib.ell_jobs_per_rowblock(csr.num_rows, csr.num_cols, ro, ci, out)
     return out
+
+
+def ell_tiles_fill(csr, jobs_per_tile, tile_base, ntiles):
+    """Native ELL gather-job payload fill. Returns (vals, local_cols,
+    job_cblk) or None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    ro, ci = _csr_buffers(csr)
+    va = np.ascontiguousarray(np.asarray(csr.values))
+    J = int(jobs_per_tile)
+    tb = np.ascontiguousarray(tile_base, dtype=np.int64)
+    vals_t = np.zeros((ntiles, J, 128), dtype=va.dtype)
+    lcols_t = np.zeros((ntiles, J, 128), dtype=np.int32)
+    job_cblk = np.zeros(ntiles * J, dtype=np.int32)
+    rc = lib.ell_tiles_fill(
+        csr.num_rows, csr.num_cols, ro, ci,
+        va.ctypes.data_as(ctypes.c_void_p),
+        np.int32(va.dtype.itemsize), J, tb, int(ntiles),
+        vals_t.ctypes.data_as(ctypes.c_void_p),
+        lcols_t.reshape(-1), job_cblk,
+    )
+    if rc != 0:
+        return None
+    return vals_t, lcols_t, job_cblk
 
 
 def ic0_factorize(csr, max_attempts=20, initial_shift=1e-3):
