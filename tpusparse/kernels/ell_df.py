@@ -177,9 +177,14 @@ def _spmm_ell_df(A: DeviceEllDF, x3, mb: int):
     spec_tile = pl.BlockSpec(
         (1, A.jobs_per_tile, LANES), lambda i, rb, nw, cb: (i, 0, 0)
     )
+    from tpusparse.kernels.merge_spmv import _vmem_params
+
     with jax.enable_x64(False):
         y3 = pl.pallas_call(
             functools.partial(_ell_df_kernel, A.jobs_per_tile, L),
+            compiler_params=_vmem_params(
+                (x3.size + mb * 2 * L * LANES) * 4,
+                3 * A.jobs_per_tile, 1),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
                 grid=(A.ntiles,),

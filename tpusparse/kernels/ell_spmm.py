@@ -38,7 +38,10 @@ from jax.experimental.pallas import tpu as pltpu
 from tpusparse.kernels._util import kernel_no_x64, tala32
 from tpusparse.formats.ell import EllTiles, LANES
 
-X_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+# RHS-block VMEM budget: the kernels raise Mosaic's scoped-vmem limit
+# per call (merge_spmv._vmem_params; v5e carries 128 MB), so the RHS
+# block may take most of it before the lane-chunk fallback engages.
+X_VMEM_BUDGET_BYTES = 64 * 1024 * 1024
 
 
 def _interpret() -> bool:
@@ -117,9 +120,15 @@ def _ell_kernel(J: int, L: int,
 @kernel_no_x64
 def _spmm_ell(A: DeviceEll, x3, mb: int):
     """x3: (Nb, L, 128) VMEM-resident RHS; returns (mb, L, 128)."""
+    from tpusparse.kernels.merge_spmv import _vmem_params
+
     L = x3.shape[1]
+    itemsize = np.dtype(A.dtype).itemsize
     y3 = pl.pallas_call(
         functools.partial(_ell_kernel, A.jobs_per_tile, L),
+        compiler_params=_vmem_params(
+            (x3.size + mb * L * LANES) * itemsize,
+            2 * A.jobs_per_tile, 1),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # rb, new, cblk
             grid=(A.ntiles,),
