@@ -165,3 +165,62 @@ def test_cg_sharded_pallas_tiles_converges(mesh, rng):
     Xh = sh.from_padded_layout(np.asarray(X), A)
     err = np.linalg.norm(b - csr.to_scipy() @ Xh) / np.linalg.norm(b)
     assert err < 1e-4  # fp32 kernel path
+
+
+def test_cg_sharded_overlap_matches_plain(mesh, rng):
+    """The communication-overlapped CG step (diagonal block on the
+    local vector + off-diagonal block on the gathered vector) must
+    follow the same trajectory as the single-plan sharded step."""
+    from tpusparse.parallel import sharded_tiles as stm
+
+    csr = generators.make_laplacian_grid2d(12, dtype=np.float64).to_csr()
+    csr32 = csr.astype(np.float32)
+    D = mesh.devices.size
+    st = stm.shard_tiles(csr32, D, pad_layout_cols=True)
+    std = stm.device_put_sharded_tiles(st, mesh)
+    diag, offd = stm.shard_tiles_overlapped(csr32, D)
+    diag = stm.device_put_sharded_tiles(diag, mesh)
+    offd = stm.device_put_sharded_tiles(offd, mesh)
+
+    A = sh.shard_csr(csr32, D)
+    b = rng.standard_normal(csr.num_rows).astype(np.float32)
+    bp = jnp.asarray(sh.to_padded_layout(b, A))
+    s1 = (jnp.zeros_like(bp), bp, bp, jnp.sum(jnp.asarray(b) ** 2))
+    s2 = s1
+    for _ in range(5):
+        s1 = stm.cg_step_sharded_tiles(std, s1, mesh)
+        s2 = stm.cg_step_sharded_overlap(diag, offd, s2, mesh)
+    for a, c in zip(s1, s2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=2e-4, atol=2e-4
+        )
+    assert float(s2[3]) < float(jnp.sum(jnp.asarray(b) ** 2))
+
+
+def test_cg_sharded_overlap_converges(mesh, rng):
+    from tpusparse.parallel import sharded_tiles as stm
+
+    csr = generators.make_laplacian_grid2d(12, dtype=np.float64).to_csr()
+    csr32 = csr.astype(np.float32)
+    D = mesh.devices.size
+    diag, offd = stm.shard_tiles_overlapped(csr32, D)
+    diag = stm.device_put_sharded_tiles(diag, mesh)
+    offd = stm.device_put_sharded_tiles(offd, mesh)
+
+    A = sh.shard_csr(csr32, D)
+    b = rng.standard_normal(csr.num_rows).astype(np.float32)
+    bp = jnp.asarray(sh.to_padded_layout(b, A))
+    X, R, Pd = jnp.zeros_like(bp), bp, bp
+    rs = jnp.sum(jnp.asarray(b) ** 2)
+    step = jax.jit(
+        lambda X, R, Pd, rs: stm.cg_step_sharded_overlap(
+            diag, offd, (X, R, Pd, rs), mesh
+        )
+    )
+    for _ in range(250):
+        X, R, Pd, rs = step(X, R, Pd, rs)
+        if float(rs) < 1e-10:
+            break
+    Xh = sh.from_padded_layout(np.asarray(X), A)
+    err = np.linalg.norm(b - csr32.to_scipy() @ Xh) / np.linalg.norm(b)
+    assert err < 1e-4

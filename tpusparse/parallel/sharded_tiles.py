@@ -257,6 +257,153 @@ def _local_tiles(st: ShardedTiles, vals, lcols, epos, rblk, cblk, cspan):
     )
 
 
+def shard_tiles_overlapped(csr: CsrMatrix, n_shards: int, **tile_kwargs
+                           ) -> tuple[ShardedTiles, ShardedTiles]:
+    """Split each shard's slab into a DIAGONAL block (columns owned by
+    the shard, remapped to local indices [0, rows_per_shard)) and an
+    OFF-DIAGONAL block (all other columns, in the padded global
+    layout). The diagonal SpMV gathers only from the shard's own
+    vector, so it carries no data dependency on the all_gather — XLA
+    can overlap it with the ICI collective, the standard
+    communication-hiding decomposition for distributed SpMV (beyond
+    reference capability; SURVEY §2.4's psum/shard_map design).
+
+    Returns (diag, offdiag) ShardedTiles; use with
+    :func:`cg_step_sharded_overlap` / :func:`spmv_sharded_overlap`.
+    """
+    from tpusparse.parallel.sharded import shard_csr
+
+    if csr.num_cols != csr.num_rows:
+        raise ValueError("overlapped sharding requires a square matrix")
+    slabs = shard_csr(csr, n_shards)
+    rps = slabs.rows_per_shard
+    rstart = np.asarray(slabs.row_start).astype(np.int64)
+    bounds = np.concatenate([rstart, [csr.num_rows]])
+    shard_of = np.searchsorted(
+        bounds[1:], np.arange(csr.num_rows), side="right"
+    )
+    pos = (
+        shard_of * rps + np.arange(csr.num_rows) - bounds[shard_of]
+    ).astype(np.int32)
+
+    diag_shards, off_shards = [], []
+    for i in range(n_shards):
+        ro = np.asarray(slabs.row_offsets[i])
+        nnz_i = int(ro[-1])
+        ci = np.asarray(slabs.col_indices[i][:nnz_i])
+        va = np.asarray(slabs.values[i][:nnz_i])
+        rows = np.repeat(
+            np.arange(rps, dtype=np.int64), np.diff(ro.astype(np.int64))
+        )
+        own = (ci >= bounds[i]) & (ci < bounds[i + 1])
+
+        def sub_csr(mask, cols, ncols):
+            rr = rows[mask]
+            counts = np.bincount(rr, minlength=rps)
+            offs = np.zeros(rps + 1, dtype=np.int64)
+            np.cumsum(counts, out=offs[1:])
+            return CsrMatrix(rps, ncols, offs, cols.astype(np.int32),
+                             va[mask])
+
+        diag_shards.append(sub_csr(own, ci[own] - bounds[i], rps))
+        off_shards.append(
+            sub_csr(~own, pos[ci[~own]], n_shards * rps)
+        )
+
+    def stack(shards, gather_cols):
+        per = [
+            merge_spmv.to_device_tiles(
+                build_merge_tiles(s, **tile_kwargs), span_classes=1
+            )
+            for s in shards
+        ]
+        ntp = max(t.ntiles for t in per)
+        tps = merge_spmv._choose_tiles_per_step(ntp)
+        ntp = -(-ntp // tps) * tps
+        rs = max(t.row_span for t in per)
+        ypad = max(t.y_pad_rows + (rs - t.row_span) for t in per)
+
+        def pad(x, fill, n):
+            x = np.asarray(x)
+            out = np.full((n,) + x.shape[1:], fill, dtype=x.dtype)
+            out[: x.shape[0]] = x
+            return out
+
+        def pad_epos(t):
+            e = np.asarray(t.end_pos)
+            if e.shape[1] < rs:
+                e = np.concatenate(
+                    [e] + [e[:, -1:, :]] * (rs - e.shape[1]), axis=1
+                )
+            return pad(e, -1, ntp)
+
+        return ShardedTiles(
+            num_rows=csr.num_rows,
+            num_cols=gather_cols,
+            rows_per_shard=rps,
+            row_window=per[0].row_window,
+            col_window=per[0].col_window,
+            gather_rows=max(t.gather_rows for t in per),
+            x_pad_rows=per[0].x_pad_rows,
+            tiles_per_step=tps,
+            row_span=rs,
+            y_pad_rows=ypad,
+            vals=jnp.asarray(np.stack([pad(t.vals, 0, ntp) for t in per])),
+            local_cols=jnp.asarray(
+                np.stack([pad(t.local_cols, 0, ntp) for t in per])),
+            end_pos=jnp.asarray(np.stack([pad_epos(t) for t in per])),
+            row_block=jnp.asarray(
+                np.stack([pad(t.row_block, 0, ntp) for t in per])),
+            col_block=jnp.asarray(
+                np.stack([pad(t.col_block, 0, ntp) for t in per])),
+            col_span=jnp.asarray(
+                np.stack([pad(t.col_span, 0, ntp) for t in per])),
+            row_start=jnp.asarray(rstart),
+        )
+
+    return stack(diag_shards, rps), stack(off_shards, n_shards * rps)
+
+
+def cg_step_sharded_overlap(diag: ShardedTiles, offd: ShardedTiles,
+                            state, mesh: Mesh, axis: str = "rows"):
+    """One CG iteration with the communication-overlapped SpMV: the
+    diagonal-block kernel consumes only the local slice of the search
+    direction, so it is independent of the all_gather and XLA can run
+    it while the collective is in flight; the off-diagonal kernel then
+    consumes the gathered vector. Same recurrence and state layout as
+    :func:`cg_step_sharded_tiles`."""
+
+    def step(dv, dl, de, drb, dcb, dcs,
+             ov, ol, oe, orb, ocb, ocs, X, R, Pd, rs_old):
+        Pd_full = jax.lax.all_gather(Pd, axis, axis=0, tiled=True)
+        A_d = _local_tiles(diag, dv, dl, de, drb, dcb, dcs)
+        A_o = _local_tiles(offd, ov, ol, oe, orb, ocb, ocs)
+        AP = merge_spmv.spmv_merge(A_d, Pd) + merge_spmv.spmv_merge(
+            A_o, Pd_full
+        )
+        pAp = jax.lax.psum(jnp.sum(Pd * AP), axis)
+        alpha = jnp.where(pAp == 0, 0.0, rs_old / pAp)
+        Xn = X + alpha * Pd
+        Rn = R - alpha * AP
+        rs_new = jax.lax.psum(jnp.sum(Rn * Rn), axis)
+        beta = jnp.where(rs_old == 0, 0.0, rs_new / rs_old)
+        Pn = Rn + beta * Pd
+        return Xn, Rn, Pn, rs_new
+
+    X, R, Pd, rs_old = state
+    return jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis),) * 6 + (P(axis),) * 6
+        + (P(axis), P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis), P(axis), P()),
+        check_vma=False,  # pallas_call has no varying-mesh-axes info
+    )(diag.vals, diag.local_cols, diag.end_pos, diag.row_block,
+      diag.col_block, diag.col_span,
+      offd.vals, offd.local_cols, offd.end_pos, offd.row_block,
+      offd.col_block, offd.col_span, X, R, Pd, rs_old)
+
+
 def cg_step_sharded_tiles(st: ShardedTiles, state, mesh: Mesh,
                           axis: str = "rows"):
     """One single-RHS CG iteration with the Pallas merge-tile kernel as
