@@ -104,9 +104,21 @@ def test_plan_matrix_auto(rng):
 
     A3 = plan_matrix(csr, dtype=np.float64)
     assert isinstance(A3, DeviceEllDF)
-    # fp64 skewed wheel (poor ELL occupancy) -> reference CSR fallback
+    # fp64 skewed wheel: the df kernel wins even at terrible packing
+    # occupancy (measured ~12x the XLA fp64 path at occ 0.015), so the
+    # AUTO gate is about payload inflation, not occupancy
     A4 = plan_matrix(wheel, dtype=np.float64)
-    assert isinstance(A4, CsrMatrix)
+    assert isinstance(A4, DeviceEllDF)
+    # pathological packing (one entry per 128-slot job) -> reference
+    from tpusparse.formats.coo import CooMatrix
+
+    n = 40000
+    diagish = CooMatrix(
+        n, n, np.arange(n), (np.arange(n) * 131) % n,
+        np.ones(n),
+    )
+    A5 = plan_matrix(CsrMatrix.from_coo(diagish), dtype=np.float64)
+    assert isinstance(A5, CsrMatrix)
 
 
 def test_empty_rows_produce_zeros():
