@@ -154,7 +154,10 @@ class TestBsr:
 
         x = rng.standard_normal(csr.num_cols)
         y = np.asarray(bsr.bsr_spmv(b, jnp.asarray(x)))
-        np.testing.assert_allclose(y, csr.to_scipy() @ x, rtol=1e-12)
+        # real-TPU fp64 accumulates in a different order than scipy
+        # (observed 3.4e-11 rel on 1/256 elements); 1e-9 is still
+        # firmly fp64-class
+        np.testing.assert_allclose(y, csr.to_scipy() @ x, rtol=1e-9)
 
     def test_bsr_spmm(self, rng):
         from tpusparse.formats.bcsr import BcsrMatrix
@@ -165,4 +168,4 @@ class TestBsr:
 
         X = rng.standard_normal((csr.num_cols, 8))
         Y = np.asarray(bsr.bsr_spmm(b, jnp.asarray(X)))
-        np.testing.assert_allclose(Y, csr.to_scipy() @ X, rtol=1e-12)
+        np.testing.assert_allclose(Y, csr.to_scipy() @ X, rtol=1e-9)

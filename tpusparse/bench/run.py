@@ -558,6 +558,9 @@ def build_parser():
         sp.add_argument("--col_major_input", action="store_true",
                         help="RHS arrives (L, n) and is transposed in "
                         "(reference g_input_row_major=false)")
+        sp.add_argument("--profile", metavar="DIR",
+                        help="capture a jax.profiler device trace of "
+                        "the run into DIR (view with xprof)")
         sp.add_argument("--dir", help="sweep every .mtx in a directory")
         sp.add_argument("--output")
 
@@ -586,6 +589,13 @@ def main(argv=None):
 
     jax.config.update("jax_enable_x64", True)
     args = build_parser().parse_args(argv)
+    if getattr(args, "profile", None):
+        # TPU analogue of the reference's timer instrumentation
+        # (utils.h:531-654): capture a device trace of the whole run
+        # for xprof/tensorboard — per-kernel on-chip timings, DMA
+        # waits, grid-step pipelining.
+        with jax.profiler.trace(args.profile):
+            return args.fn(args)
     return args.fn(args)
 
 
