@@ -27,6 +27,7 @@ Matrix sources mirror the reference CLI: ``--mtx file.mtx``,
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import time
@@ -302,8 +303,12 @@ def cmd_multicg(args):
                   f"prep {prep_s*1e3:.1f} ms, solve {t*1e3:.1f} ms, "
                   f"converged={results[solver_name]['converged']}")
 
-    record("cg", lambda: cg_solve_multi(
-        A, B, max_iters=args.max_iters, tolerance=args.tolerance))
+    # jit each solver once per matrix: an eager solve pays ~10 host
+    # dispatches regardless of size (~250 ms through the axon tunnel)
+    import jax
+
+    record("cg", functools.partial(jax.jit(lambda B: cg_solve_multi(
+        A, B, max_iters=args.max_iters, tolerance=args.tolerance)), B))
 
     # Preconditioner failures skip the dependent solver, mirroring the
     # reference drivers (cpu_multicg.cpp:226-230, 275-279).
@@ -313,9 +318,10 @@ def cmd_multicg(args):
         prec = make_ic0_preconditioner(Lfac, sweeps=args.jacobi_sweeps,
                                        num_rhs=L)
         prep = time.perf_counter() - t0
-        record("pcg_ic0", lambda: pcg_solve_multi(
-            A, B, prec, max_iters=args.max_iters,
-            tolerance=args.tolerance), prep)
+        record("pcg_ic0", functools.partial(
+            jax.jit(lambda B: pcg_solve_multi(
+                A, B, prec, max_iters=args.max_iters,
+                tolerance=args.tolerance)), B), prep)
     except RuntimeError as e:
         results["pcg_ic0"] = dict(skipped=str(e))
         if not args.quiet:
@@ -327,9 +333,10 @@ def cmd_multicg(args):
         Md, _ = _plan(M.astype(dtype), args.strategy or "auto", dtype,
                       L=L)
         prep = time.perf_counter() - t0
-        record("spai_cg", lambda: spai_cg_solve_multi(
-            A, Md, B, max_iters=args.max_iters,
-            tolerance=args.tolerance), prep)
+        record("spai_cg", functools.partial(
+            jax.jit(lambda B: spai_cg_solve_multi(
+                A, Md, B, max_iters=args.max_iters,
+                tolerance=args.tolerance)), B), prep)
     except RuntimeError as e:
         results["spai_cg"] = dict(skipped=str(e))
         if not args.quiet:

@@ -44,7 +44,9 @@ def pcg_solve_multi(
     n, L = B.shape
     X = jnp.zeros_like(B)
     R = B
-    Z = apply_precond(R)
+    # the preconditioner may apply in a different precision (the IC(0)
+    # factor is fp64); cast back so the CG recurrence stays in B's dtype
+    Z = apply_precond(R).astype(B.dtype)
     P = Z
     b_norms = jnp.sqrt(dot_multiple(B, B))
     b_norms = jnp.where(b_norms == 0.0, 1.0, b_norms)
@@ -72,7 +74,7 @@ def pcg_solve_multi(
         converged = converged | (rel < tolerance)
         if record_history:
             hist = hist.at[i].set(jnp.max(rel))
-        Z = apply_precond(R)
+        Z = apply_precond(R).astype(B.dtype)
         rho_new = dot_multiple(R, Z)
         beta = jnp.where(converged | (rho_old == 0), 0.0,
                          rho_new / rho_old)
