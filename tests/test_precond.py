@@ -141,6 +141,26 @@ class TestPreconditionedSolvers:
         assert rel.max() < 1e-7
         assert int(res.iterations) < int(base.iterations)
 
+    def test_pcg_fp32_rhs_jits_and_keeps_dtype(self, spd, rng):
+        """Regression: the fp64 IC(0) apply promoted the fp32 while-
+        loop carry — a silent promotion when eager, a type-mismatch
+        error under jit. The apply result must cast back to the RHS
+        dtype and the whole solve must be jittable."""
+        import functools
+
+        import jax
+
+        B = rng.standard_normal((spd.num_rows, 4)).astype(np.float32)
+        d = spd.to_device(dtype=np.float32)
+        Lf = ic0_factorize(spd)
+        prec = make_ic0_preconditioner(Lf, sweeps=40)
+        solve = jax.jit(functools.partial(
+            pcg_solve_multi, d, apply_precond=prec, max_iters=2000,
+            tolerance=1e-5))
+        res = solve(jnp.asarray(B))
+        assert res.x.dtype == jnp.float32
+        assert bool(np.all(np.asarray(res.converged)))
+
     def test_spai_cg_converges(self, spd, rng):
         B = rng.standard_normal((spd.num_rows, 4))
         d = spd.to_device()
