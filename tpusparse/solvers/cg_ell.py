@@ -35,7 +35,20 @@ def cg_solve_multi_ell(
     record_history: bool = True,
 ) -> CgResult:
     """Blocked multi-RHS CG over a gather-job plan, state in kernel
-    layout. B is (n, L); returns the standard CgResult (x unpacked)."""
+    layout. B is (n, L); returns the standard CgResult (x unpacked).
+    Jit-dispatched like cg_solve_multi (one device dispatch/solve)."""
+    return _cg_solve_multi_ell_jit(A, B, int(max_iters),
+                                   float(tolerance),
+                                   bool(record_history))
+
+
+import functools as _functools
+import jax as _jax
+
+
+@_functools.partial(_jax.jit, static_argnums=(2, 3, 4))
+def _cg_solve_multi_ell_jit(A, B, max_iters, tolerance,
+                            record_history) -> CgResult:
     if A.num_rows != A.num_cols:
         raise ValueError("layout-native CG needs a square matrix")
     n, L = B.shape
