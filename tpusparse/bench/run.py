@@ -231,6 +231,11 @@ def cmd_cg(args):
     A, kind = _plan(csr, args.strategy or "auto", dtype)
     rng = np.random.default_rng(0)
     L = args.num_vectors
+    # warmup solve outside the timed region (jit compile; reference
+    # methodology warms before timing, cpu_spmv.cpp:330-347)
+    bw = jnp.asarray(rng.standard_normal(csr.num_rows).astype(dtype))
+    int(cg_solve(A, bw, max_iters=args.max_iters,
+                 tolerance=args.tolerance).iterations)
     total_iters = 0
     t0 = time.perf_counter()
     for v in range(L):
