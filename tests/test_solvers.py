@@ -130,3 +130,47 @@ def test_cg_jits():
     x1 = solve(b)
     x2 = solve(b + 0.0)
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2))
+
+
+class TestIterativeRefinement:
+    def test_single_rhs_reaches_fp64_accuracy(self, rng):
+        from tpusparse.ops.spmv import plan_matrix
+        from tpusparse.solvers.refine import cg_solve_refined
+
+        csr = generators.make_laplacian_grid2d(16, dtype=np.float64).to_csr()
+        A32 = plan_matrix(csr, dtype=np.float32)
+        A64 = plan_matrix(csr, dtype=np.float64, strategy="reference")
+        b = rng.standard_normal(csr.num_rows)
+        res = cg_solve_refined(A32, A64, jnp.asarray(b))
+        assert float(res.residual) < 1e-12
+        x = np.asarray(res.x)
+        direct = np.linalg.norm(b - csr.to_scipy() @ x)
+        assert direct / np.linalg.norm(b) < 1e-11
+        assert int(res.refinements) <= 6
+
+    def test_multi_rhs_reaches_fp64_accuracy(self, rng):
+        from tpusparse.ops.spmv import plan_matrix
+        from tpusparse.solvers.refine import cg_solve_multi_refined
+
+        csr = generators.make_laplacian_grid3d(8, dtype=np.float64).to_csr()
+        A32 = plan_matrix(csr, dtype=np.float32, L=8)
+        A64 = plan_matrix(csr, dtype=np.float64, L=8)  # double-float plan
+        B = rng.standard_normal((csr.num_rows, 8))
+        res = cg_solve_multi_refined(A32, A64, jnp.asarray(B))
+        assert float(np.max(np.asarray(res.residual))) < 1e-11
+        X = np.asarray(res.x)
+        rel = np.linalg.norm(B - csr.to_scipy() @ X, axis=0)
+        assert rel.max() / np.linalg.norm(B) < 1e-10
+
+    def test_requires_x64(self):
+        # guarded: without x64 the fp64 updates silently truncate
+        from tpusparse.solvers.refine import cg_solve_refined
+        import jax
+
+        csr = generators.make_laplacian_grid2d(4, dtype=np.float64).to_csr()
+        from tpusparse.ops.spmv import plan_matrix
+
+        A32 = plan_matrix(csr, dtype=np.float32)
+        with jax.enable_x64(False):
+            with pytest.raises(TypeError):
+                cg_solve_refined(A32, csr.to_device(), jnp.ones(csr.num_rows))
