@@ -190,7 +190,9 @@ def cmd_spmm(args):
     strategies = (args.strategy.split(",") if args.strategy
                   else (["row_split", "merge", "reference", "bcoo"]
                         if dtype == np.float32
-                        else ["reference", "bcoo"]))
+                        # fp64: the double-float kernel row (78 GF at
+                        # L=32 vs ~0.4 for the XLA fp64 path)
+                        else ["row_split", "reference", "bcoo"]))
     rows = []
     for strat in strategies:
         A, kind = _plan(csr, strat, dtype, L=L)
