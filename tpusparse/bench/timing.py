@@ -103,7 +103,10 @@ def slope_time(fn, x, iters=(10, 110), sets: int = 1, reps: int = 3,
     slope measurements are collected (each = min over ``reps`` runs of
     both chains). When the measured per-op time undercuts
     ``min_per_op`` (slope noise regime for tiny ops), the chains are
-    amplified 20x once and remeasured.
+    amplified 20x and remeasured, repeatedly, until the slope leaves
+    the noise floor or the chains reach ~1e6 iterations (tiny kernels
+    on tiny matrices need ~10^5 chained iterations before the slope
+    rises above host-timer jitter).
     """
     K1, K2 = iters
     g1, g2 = _make_chain(fn, x, K1), _make_chain(fn, x, K2)
@@ -122,7 +125,14 @@ def slope_time(fn, x, iters=(10, 110), sets: int = 1, reps: int = 3,
             float(np.median(t2s) - np.median(t1s)) / (K2 - K1), 1e-9))
     robust = max((min(all_t2) - min(all_t1)) / (K2 - K1), 1e-9)
     st = SlopeTiming(slopes, robust_slope_s=robust)
-    if min_per_op > 0 and st.median_s < min_per_op:
+    # Amplify while the chain-length DELTA is inside the noise floor:
+    # the tunnel's ~25 ms round trip jitters at ms scale, so the delta
+    # must clear ~20 ms before the slope is trustworthy. (The per-op
+    # estimate alone would amplify forever for genuinely fast tiny
+    # ops; a large-enough delta is trustworthy at any op size.)
+    delta = float(np.median(all_t2) - np.median(all_t1))
+    if (min_per_op > 0 and st.median_s < min_per_op
+            and delta < 20e-3 and K2 < 1_000_000):
         return slope_time(fn, x, iters=(K1 * 20, K2 * 20), sets=sets,
-                          reps=reps)
+                          reps=reps, min_per_op=min_per_op)
     return st
