@@ -174,3 +174,41 @@ class TestIterativeRefinement:
         with jax.enable_x64(False):
             with pytest.raises(TypeError):
                 cg_solve_refined(A32, csr.to_device(), jnp.ones(csr.num_rows))
+
+
+class TestImplicitDiff:
+    def test_grad_through_cg_matches_analytic(self, rng):
+        import jax
+        from tpusparse.ops.spmv import plan_matrix
+        from tpusparse.solvers.implicit import make_cg_solver
+
+        csr = generators.make_laplacian_grid2d(8, dtype=np.float64).to_csr()
+        A = plan_matrix(csr, strategy="reference", dtype=np.float64)
+        solve = make_cg_solver(A, tolerance=1e-12)
+        b = jnp.asarray(rng.standard_normal(csr.num_rows))
+
+        # L(b) = 0.5 ||A^{-1} b||^2  ->  dL/db = A^{-1} A^{-1} b
+        loss = lambda b: 0.5 * jnp.sum(solve(b) ** 2)
+        g = np.asarray(jax.grad(loss)(b))
+
+        import scipy.sparse.linalg as spla
+
+        S = csr.to_scipy().tocsc()
+        x = spla.spsolve(S, np.asarray(b))
+        expect = spla.spsolve(S, x)
+        np.testing.assert_allclose(g, expect, rtol=1e-6, atol=1e-8)
+
+    def test_grad_composes_with_jit_and_kernel_plan(self, rng):
+        import jax
+        from tpusparse.ops.spmv import plan_matrix
+        from tpusparse.solvers.implicit import make_cg_solver_multi
+
+        csr = generators.make_laplacian_grid2d(8, dtype=np.float64).to_csr()
+        A = plan_matrix(csr.astype(np.float32), dtype=np.float32, L=4)
+        solve = make_cg_solver_multi(A, tolerance=1e-6)
+        B = jnp.asarray(
+            rng.standard_normal((csr.num_rows, 4)).astype(np.float32))
+        f = jax.jit(jax.grad(lambda B: jnp.sum(solve(B) ** 2)))
+        g = np.asarray(f(B))
+        assert g.shape == B.shape
+        assert np.isfinite(g).all() and np.abs(g).max() > 0

@@ -39,5 +39,6 @@ from tpusparse.solvers.cg import cg_solve, cg_solve_multi
 from tpusparse.solvers.pcg import pcg_solve_multi, make_ic0_preconditioner
 from tpusparse.solvers.spai_cg import spai_cg_solve_multi
 from tpusparse.solvers.refine import cg_solve_refined, cg_solve_multi_refined
+from tpusparse.solvers.implicit import make_cg_solver, make_cg_solver_multi
 from tpusparse.precond.ic0 import ic0_factorize
 from tpusparse.precond.spai import spai_inverse

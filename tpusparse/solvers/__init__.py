@@ -7,3 +7,7 @@ from tpusparse.solvers.refine import (
     cg_solve_multi_refined,
     RefineResult,
 )
+from tpusparse.solvers.implicit import (
+    make_cg_solver,
+    make_cg_solver_multi,
+)
