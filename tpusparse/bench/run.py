@@ -221,7 +221,14 @@ def cmd_spmm(args):
 
 def cmd_cg(args):
     """Single-RHS CG over L vectors sequentially (cpu_singlecg parity:
-    FLOP model (2nnz + 10n) per iteration, cpu_singlecg.cpp:94)."""
+    FLOP model (2nnz + 10n) per iteration, cpu_singlecg.cpp:94).
+
+    ``--refined``: fp64-accurate solves via mixed-precision iterative
+    refinement (fp32 CG inner solves + double-float residuals) —
+    beyond-reference; the reference's fp64 default met by fp32-speed
+    iterations."""
+    import functools
+
     import jax.numpy as jnp
 
     from tpusparse.bench import models
@@ -229,6 +236,37 @@ def cmd_cg(args):
     from tpusparse.solvers.cg import cg_solve
 
     csr, name = _load_matrix(args)
+    if getattr(args, "refined", False):
+        from tpusparse.solvers.refine import cg_solve_refined
+
+        A32, kind = _plan(csr, args.strategy or "auto", np.float32)
+        Acc, _ = _plan(csr, "auto", np.float64)
+        solver = functools.partial(
+            cg_solve_refined, A32, Acc,
+            tolerance=max(args.tolerance, 1e-12),
+        )
+        rng = np.random.default_rng(0)
+        L = args.num_vectors
+        b = jnp.asarray(rng.standard_normal(csr.num_rows))
+        solver(b)  # warmup/compile
+        total_inner = 0
+        t0 = time.perf_counter()
+        for v in range(L):
+            b = jnp.asarray(rng.standard_normal(csr.num_rows))
+            res = solver(b)
+            total_inner += int(res.inner_iterations)
+        t = time.perf_counter() - t0
+        gf = models.gflops(
+            (2.0 * csr.nnz + 10.0 * csr.num_rows) * total_inner, t
+        )
+        row = (name, f"{kind}+refine", L, t * 1e3, gf, total_inner)
+        if args.quiet:
+            print(",".join(str(v) for v in row))
+        else:
+            print(f"{name} [{kind}+refine]: {L} solves, {total_inner} "
+                  f"inner iters, {t*1e3:.1f} ms, {gf:.2f} GFLOP/s, "
+                  f"residual {float(np.max(np.asarray(res.residual))):.2e}")
+        return row
     dtype = np.float32 if args.fp32 else np.float64
     A, kind = _plan(csr, args.strategy or "auto", dtype)
     rng = np.random.default_rng(0)
@@ -575,6 +613,9 @@ def build_parser():
         sp.add_argument("--profile", metavar="DIR",
                         help="capture a jax.profiler device trace of "
                         "the run into DIR (view with xprof)")
+        sp.add_argument("--refined", action="store_true",
+                        help="cg: fp64-accurate solves via mixed-"
+                        "precision iterative refinement")
         sp.add_argument("--dir", help="sweep every .mtx in a directory")
         sp.add_argument("--output")
 
