@@ -79,3 +79,27 @@ def test_bigger_than_one_grid_step(rng):
     csr = generators.make_laplacian_grid2d(64).to_csr()  # 4096 rows, 20k nnz
     tiles = run_case(csr, rng)
     assert tiles.ntiles > merge_spmv.TILES_PER_STEP
+
+
+def test_span_classed_plan_correct(rng):
+    """A 3-D Laplacian big enough to class-split (dense-band tiles
+    span 2-3 slices, far-diagonal tiles span the window): every class
+    runs its own kernel and the summed result matches the oracle."""
+    csr = generators.make_laplacian_grid3d(20).to_csr()  # 8000 rows
+    tiles = build_merge_tiles(csr, tile_nnz=1024, row_window=1024,
+                              col_window=2048)
+    A = merge_spmv.to_device_tiles(tiles, dtype=np.float32)
+    if isinstance(A, merge_spmv.ClassedTiles):
+        spans = [p.row_span for p in A.plans]
+        assert len(set(spans)) == len(spans)  # distinct static spans
+    x = rng.standard_normal(csr.num_cols).astype(np.float32)
+    y = np.asarray(merge_spmv.spmv_merge(A, jnp.asarray(x)))
+    expect = csr.to_scipy().astype(np.float32) @ x
+    scale = np.abs(expect).max() + 1.0
+    np.testing.assert_allclose(y / scale, expect / scale, atol=2e-5)
+    # forcing one class gives the same result
+    A1 = merge_spmv.to_device_tiles(tiles, dtype=np.float32,
+                                    span_classes=1)
+    assert not isinstance(A1, merge_spmv.ClassedTiles)
+    y1 = np.asarray(merge_spmv.spmv_merge(A1, jnp.asarray(x)))
+    np.testing.assert_allclose(y / scale, y1 / scale, atol=2e-5)
