@@ -85,13 +85,13 @@ def test_span_classed_plan_correct(rng):
     """A 3-D Laplacian big enough to class-split (dense-band tiles
     span 2-3 slices, far-diagonal tiles span the window): every class
     runs its own kernel and the summed result matches the oracle."""
-    csr = generators.make_laplacian_grid3d(20).to_csr()  # 8000 rows
+    csr = generators.make_laplacian_grid3d(26).to_csr()  # 136 tiles
     tiles = build_merge_tiles(csr, tile_nnz=1024, row_window=1024,
                               col_window=2048)
     A = merge_spmv.to_device_tiles(tiles, dtype=np.float32)
-    if isinstance(A, merge_spmv.ClassedTiles):
-        spans = [p.row_span for p in A.plans]
-        assert len(set(spans)) == len(spans)  # distinct static spans
+    assert isinstance(A, merge_spmv.ClassedTiles)
+    spans = [p.row_span for p in A.plans]
+    assert len(set(spans)) == len(spans)  # distinct static spans
     x = rng.standard_normal(csr.num_cols).astype(np.float32)
     y = np.asarray(merge_spmv.spmv_merge(A, jnp.asarray(x)))
     expect = csr.to_scipy().astype(np.float32) @ x
