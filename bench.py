@@ -44,7 +44,10 @@ def main():
     x = jnp.asarray(rng.standard_normal(csr.num_cols).astype(np.float32))
 
     st = slope_time(
-        lambda v: merge_spmv.spmv_merge(A, v), x, iters=(10, 110),
+        # 420-op chain ≈ 17 ms of kernel time: the slope delta clears
+        # the tunnel's ms-scale round-trip jitter, which (10, 110)
+        # chains did not (spread ~2 under contention)
+        lambda v: merge_spmv.spmv_merge(A, v), x, iters=(20, 420),
         sets=8, reps=4,
     )
     per_op = st.median_s
