@@ -29,9 +29,10 @@ shapes and the VPU/MXU register model:
 
 Constraints of this kernel (handled by ops.spmv / ops.chunked):
   * tile_nnz == 1024 (an (8, 128) register tile), fp32 values;
-  * x and y resident in VMEM: single call limited to ~1.2M rows/cols —
-    larger matrices run as a block grid of these calls
-    (tpusparse.ops.chunked).
+  * x and y resident in VMEM. The call requests the scoped-vmem it
+    needs (``_vmem_params``, ~100 MB ceiling of the v5e's 128 MB),
+    which admits ~8M rows/cols in one call; larger matrices run as a
+    block grid of these calls (tpusparse.ops.chunked).
 """
 
 from __future__ import annotations

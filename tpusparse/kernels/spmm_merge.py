@@ -20,8 +20,9 @@ independent of L:
     (``agent_spmv_orig.cuh:370``);
   * extraction at the (lane-shared) end positions: 8 gathers + selects
     per 128-row window serve all L lanes;
-  * accumulation: (wrb, L, 128) partials accumulate into the revisited
-    output block — TPU grid steps are sequential, no fixup kernel.
+  * accumulation: (row_span, L, 128) partials (row-anchored, see
+    merge_spmv) accumulate into the revisited output block — TPU grid
+    steps are sequential, no fixup kernel.
 
 Operand: the SAME DeviceTiles as the SpMV kernel (one plan serves
 both). The RHS block is lane-chunked to the VMEM budget exactly like
