@@ -224,3 +224,46 @@ def test_cg_sharded_overlap_converges(mesh, rng):
     Xh = sh.from_padded_layout(np.asarray(X), A)
     err = np.linalg.norm(b - csr32.to_scipy() @ Xh) / np.linalg.norm(b)
     assert err < 1e-4
+
+
+def test_cg_sharded_tiles_multi_rhs(mesh, rng):
+    """Blocked multi-RHS CG with the in-kernel merge SpMM per shard:
+    trajectory matches the reference-op sharded step and converges."""
+    from tpusparse.parallel import sharded_tiles as stm
+
+    csr = generators.make_laplacian_grid2d(12, dtype=np.float64).to_csr()
+    csr32 = csr.astype(np.float32)
+    D = mesh.devices.size
+    L = 4
+    st = stm.shard_tiles(csr32, D, pad_layout_cols=True)
+    std = stm.device_put_sharded_tiles(st, mesh)
+    A = sh.shard_csr(csr32, D)
+    Ad = sh.device_put_sharded(A, mesh)
+
+    B = rng.standard_normal((csr.num_rows, L)).astype(np.float32)
+    Bp = jnp.asarray(sh.to_padded_layout(B, A))
+    rs0 = jnp.sum(jnp.asarray(B) ** 2, axis=0)
+    s_ref = (jnp.zeros_like(Bp), Bp, Bp, rs0)
+    s_ker = s_ref
+    for _ in range(5):
+        s_ref = sh.cg_step_sharded(Ad, s_ref, mesh)
+        s_ker = stm.cg_step_sharded_tiles_multi(std, s_ker, mesh)
+    for a, c in zip(s_ref, s_ker):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), rtol=3e-4, atol=3e-4
+        )
+
+    # run to convergence on the kernel path
+    X, R, Pd, rs = (jnp.zeros_like(Bp), Bp, Bp, rs0)
+    step = jax.jit(
+        lambda X, R, Pd, rs: stm.cg_step_sharded_tiles_multi(
+            std, (X, R, Pd, rs), mesh
+        )
+    )
+    for _ in range(300):
+        X, R, Pd, rs = step(X, R, Pd, rs)
+        if float(jnp.max(rs)) < 1e-9:
+            break
+    Xh = sh.from_padded_layout(np.asarray(X), A)
+    rel = np.linalg.norm(B - csr32.to_scipy() @ Xh, axis=0)
+    assert (rel / np.linalg.norm(B, axis=0)).max() < 1e-4

@@ -404,6 +404,45 @@ def cg_step_sharded_overlap(diag: ShardedTiles, offd: ShardedTiles,
       offd.col_block, offd.col_span, X, R, Pd, rs_old)
 
 
+def cg_step_sharded_tiles_multi(st: ShardedTiles, state, mesh: Mesh,
+                                axis: str = "rows"):
+    """One BLOCKED multi-RHS CG iteration with the in-kernel merge
+    SpMM (kernels/spmm_merge) as the per-shard operator — the
+    multi-chip expression of the reference's flagship solver
+    (``CGSolveMultiple``, no_pretreatment.hpp:35-197: simultaneous CG
+    over L right-hand sides) on the Pallas kernel path. Per-lane
+    alpha/beta come from psum-reduced partial dots
+    (``cg/utils_multiple.hpp:9-26``).
+
+    ``st`` must be built with ``shard_tiles(..., pad_layout_cols=True)``.
+    ``state`` = (X, R, P, rs_old): (D*rows_per_shard, L) row-sharded
+    arrays in the padded layout + a replicated (L,) vector."""
+    from tpusparse.kernels.spmm_merge import spmm_merge
+
+    def step(vals, lcols, epos, rblk, cblk, cspan, X, R, Pd, rs_old):
+        Pd_full = jax.lax.all_gather(Pd, axis, axis=0, tiled=True)
+        A = _local_tiles(st, vals, lcols, epos, rblk, cblk, cspan)
+        AP = spmm_merge(A, Pd_full)
+        pAp = jax.lax.psum(jnp.sum(Pd * AP, axis=0), axis)
+        alpha = jnp.where(pAp == 0, 0.0, rs_old / pAp)
+        Xn = X + alpha[None, :] * Pd
+        Rn = R - alpha[None, :] * AP
+        rs_new = jax.lax.psum(jnp.sum(Rn * Rn, axis=0), axis)
+        beta = jnp.where(rs_old == 0, 0.0, rs_new / rs_old)
+        Pn = Rn + beta[None, :] * Pd
+        return Xn, Rn, Pn, rs_new
+
+    X, R, Pd, rs_old = state
+    return jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis),) * 6 + (P(axis), P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis), P(axis), P()),
+        check_vma=False,  # pallas_call has no varying-mesh-axes info
+    )(st.vals, st.local_cols, st.end_pos, st.row_block, st.col_block,
+      st.col_span, X, R, Pd, rs_old)
+
+
 def cg_step_sharded_tiles(st: ShardedTiles, state, mesh: Mesh,
                           axis: str = "rows"):
     """One single-RHS CG iteration with the Pallas merge-tile kernel as
