@@ -156,6 +156,17 @@ def test_native_ell_jobs_per_rowblock(rng):
     np.testing.assert_array_equal(jr, jr_py)
 
 
+def test_native_coo_sort_order_stable_parity(rng):
+    """coo_sort_order must match numpy's stable lexsort exactly,
+    including the order of duplicate coordinates."""
+    n, nnz = 500, 6000
+    r = rng.integers(0, n, nnz)
+    c = rng.integers(0, n, nnz)
+    order = native.coo_sort_order(n, r, c)
+    assert order is not None
+    np.testing.assert_array_equal(order, np.lexsort((c, r)))
+
+
 def test_native_duplicate_coords_same_matrix(rng):
     """With duplicate coordinates the partitions may order tied values
     differently but must reconstruct the same dense matrix."""

@@ -57,13 +57,47 @@ class CooMatrix:
 
     def sorted_by_row(self) -> "CooMatrix":
         """Return a copy sorted by (row, col) — stable, like the reference's
-        CSR build (``sparse_matrix.h:668-704`` uses std::stable_sort)."""
-        order = np.lexsort((self.cols, self.rows))
+        CSR build (``sparse_matrix.h:668-704`` uses std::stable_sort).
+
+        Already-sorted input (the common case: row-major .mtx files and
+        every matrix this package writes or generates) is detected with
+        one linear pass and returned as-is — the lexsort cost 4.5 s at
+        7M nnz and dominated matrix-load latency once the partitioners
+        went native."""
+        r, c = self.rows, self.cols
+        if r.size == 0:
+            return self
+        # non-decreasing (row, col) pairs need no sort: a stable sort
+        # of already-ordered keys is the identity, including for
+        # adjacent duplicate coordinates
+        if bool(((r[1:] > r[:-1]) | ((r[1:] == r[:-1])
+                                     & (c[1:] >= c[:-1]))).all()):
+            return self
+        order = None
+        import os
+
+        # Sort-strategy heuristic: numpy's introsort exploits runs, so
+        # NEARLY-sorted streams (diagonal-stacked generators: a handful
+        # of row descents) sort faster with lexsort (0.9 s vs 2.4 s at
+        # 7M nnz); substantially scrambled streams (symmetric .mtx
+        # expansion, random) are ~2.3x faster through the native
+        # counting sort (row-bucket scatter + per-row column sort).
+        descents = int(np.count_nonzero(r[1:] < r[:-1]))
+        if (descents * 64 > r.size
+                and os.environ.get("TPUSPARSE_NO_NATIVE") != "1"):
+            try:
+                from tpusparse.utils import native
+
+                order = native.coo_sort_order(self.num_rows, r, c)
+            except ImportError:
+                order = None
+        if order is None:
+            order = np.lexsort((c, r))
         return CooMatrix(
             self.num_rows,
             self.num_cols,
-            self.rows[order],
-            self.cols[order],
+            r[order],
+            c[order],
             self.vals[order],
         )
 

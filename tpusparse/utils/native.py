@@ -97,6 +97,10 @@ def _load():
             ctypes.c_int64, ctypes.c_void_p, i32p,
             i32p, i32p, i32p, i32p,
         ]
+        lib.coo_sort_order.restype = None
+        lib.coo_sort_order.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, i32p, i32p, i64p,
+        ]
         lib.ell_jobs_per_rowblock.restype = None
         lib.ell_jobs_per_rowblock.argtypes = [
             ctypes.c_int64, ctypes.c_int64, i64p, i32p, i64p,
@@ -231,6 +235,20 @@ def build_merge_tiles(csr, tile_nnz, row_window, col_window):
     if rc != 0:
         return None
     return vals_t, lcols_t, epos_t, rblk, cblk, cspan
+
+
+def coo_sort_order(num_rows, rows, cols):
+    """Stable (row, col) sort order for COO entries — counting sort by
+    row + per-row stable column sort. Returns an int64 permutation, or
+    None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    order = np.empty(rows.size, dtype=np.int64)
+    lib.coo_sort_order(int(num_rows), int(rows.size), rows, cols, order)
+    return order
 
 
 def ell_jobs_per_rowblock(csr):
