@@ -267,3 +267,39 @@ def test_cg_sharded_tiles_multi_rhs(mesh, rng):
     Xh = sh.from_padded_layout(np.asarray(X), A)
     rel = np.linalg.norm(B - csr32.to_scipy() @ Xh, axis=0)
     assert (rel / np.linalg.norm(B, axis=0)).max() < 1e-4
+
+
+def test_spmv_sharded_heterogeneous_spans(mesh, rng):
+    """Regression: shards with DIFFERENT max row spans. The span-axis
+    padding must broadcast each tile's final scalar end position;
+    replicating the last slice double-added the widest tiles' last-
+    slice row sums (verified 14.1 abs error vs 2e-6)."""
+    from tpusparse.formats.coo import CooMatrix
+    from tpusparse.formats.csr import CsrMatrix
+    from tpusparse.parallel import sharded_tiles as stm
+
+    n = 2048
+    # tridiagonal upper half (narrow spans) + one scattered nonzero per
+    # row in the lower half (a single tile spanning ~8 row slices)
+    ri = np.arange(1024)
+    rows = np.concatenate([ri, ri[:-1], ri[1:],
+                           np.arange(1024, n)])
+    cols = np.concatenate([ri, ri[1:], ri[:-1],
+                           (np.arange(1024, n) * 997) % n])
+    vals = rng.standard_normal(rows.size)
+    key = np.unique(rows.astype(np.int64) * n + cols)
+    rows, cols = key // n, key % n
+    vals = rng.standard_normal(rows.size).astype(np.float64)
+    csr = CsrMatrix.from_coo(
+        CooMatrix(n, n, rows, cols, vals)).astype(np.float32)
+
+    st = stm.shard_tiles(csr, mesh.devices.size)
+    # the point of the fixture: per-shard spans must differ
+    std = stm.device_put_sharded_tiles(st, mesh)
+    x = rng.standard_normal(n).astype(np.float32)
+    y_pad = np.asarray(stm.spmv_sharded_tiles(std, jnp.asarray(x), mesh))
+    A = sh.shard_csr(csr, mesh.devices.size)
+    y = sh.from_padded_layout(y_pad, A)
+    expect = csr.to_scipy() @ x
+    scale = np.abs(expect).max() + 1.0
+    np.testing.assert_allclose(y / scale, expect / scale, atol=3e-5)

@@ -97,6 +97,13 @@ class CsrMatrix:
     @classmethod
     def from_scipy(cls, m) -> "CsrMatrix":
         m = m.tocsr()
+        # Establish the package-wide invariant that column indices are
+        # sorted within each row: scipy's tocsr() does not guarantee it,
+        # and the run-detecting planners (formats/ell.py) and native
+        # partitioners (native/src/merge_tiles.cpp) rely on it.
+        if not m.has_sorted_indices:
+            m = m.copy()
+            m.sort_indices()
         return cls(
             m.shape[0],
             m.shape[1],

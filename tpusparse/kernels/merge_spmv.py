@@ -306,6 +306,11 @@ def to_device_tiles(tiles: MergeTiles, dtype=np.float32,
     sharded path, which needs uniform shapes across shards)."""
     if tiles.tile_nnz != TILE_NNZ:
         raise ValueError(f"kernel requires tile_nnz={TILE_NNZ}")
+    if tiles_per_step is not None and tiles_per_step % 8 != 0:
+        # the SpMM kernel batches 8 tiles/step and computes its step
+        # count as ntiles // 8 — a pad multiple not divisible by 8
+        # would silently drop the remainder tiles there
+        raise ValueError("tiles_per_step must be a multiple of 8")
     anchor, span = _tile_row_anchors(tiles)
     nt = tiles.ntiles
     if span_classes <= 1 or nt < 2 * MIN_CLASS_TILES:
@@ -422,7 +427,11 @@ def _extract_rows(cs, epos):
     ep = jnp.maximum(epos, 0)
     i_e = ep // LANES     # sublane (slot row) in [0, 8)
     j_e = ep % LANES      # lane in [0, 128)
-    if wrb >= 6:
+    # fast path upper bound: Mosaic's gather operates on ONE (<=8, 128)
+    # register tile, so a (wrb, 128)-shaped gather only lowers for
+    # wrb <= 8 — wider windows (row_window > 1024 is public API) take
+    # the per-window two-shuffle loop below
+    if 6 <= wrb <= SUBLANES:
         shape = (wrb, LANES)
         G = jnp.zeros(shape, cs.dtype)
         for i in range(SUBLANES):

@@ -121,6 +121,17 @@ def shard_tiles(csr: CsrMatrix, n_shards: int,
         per_shard.append(merge_spmv.to_device_tiles(tiles,
                                                     span_classes=1))
 
+    return _stack_shard_plans(per_shard, csr.num_rows, gather_cols,
+                              rps, np.asarray(slabs.row_start))
+
+
+def _stack_shard_plans(per_shard, num_rows, gather_cols, rps,
+                       row_start) -> ShardedTiles:
+    """Uniformize per-shard DeviceTiles into one stacked ShardedTiles:
+    common tile count (pad with all -1 / zero tiles), common step
+    batch, and a common extraction span. Shared by shard_tiles and
+    shard_tiles_overlapped so the padding invariants live in ONE place.
+    """
     ntp = max(t.ntiles for t in per_shard)
     tps = merge_spmv._choose_tiles_per_step(ntp)
     ntp = -(-ntp // tps) * tps
@@ -136,14 +147,19 @@ def shard_tiles(csr: CsrMatrix, n_shards: int,
         return out
 
     def pad_epos(t):
-        # grow the span axis by edge-replicating the final slice
-        # (duplicate end positions -> zero row-diffs), then pad the
-        # tile axis with all -1 (empty) tiles
+        # Grow the span axis by broadcasting each tile's final SCALAR
+        # end position (last lane of the last slice — the running max,
+        # exactly what to_device_tiles' window clipping produces):
+        # constant appended slices extract duplicate values and yield
+        # zero row-diffs. Replicating the last SLICE instead would
+        # repeat its non-constant end positions and double-add each
+        # widest tile's last-slice row sums 128 rows lower.
         e = np.asarray(t.end_pos)
         if e.shape[1] < rs:
-            e = np.concatenate(
-                [e] + [e[:, -1:, :]] * (rs - e.shape[1]), axis=1
+            tail = np.broadcast_to(
+                e[:, -1:, -1:], (e.shape[0], rs - e.shape[1], e.shape[2])
             )
+            e = np.concatenate([e, tail], axis=1)
         return pad(e, -1, ntp)
 
     vals = np.stack([pad(t.vals, 0, ntp) for t in per_shard])
@@ -154,7 +170,7 @@ def shard_tiles(csr: CsrMatrix, n_shards: int,
     cspan = np.stack([pad(t.col_span, 0, ntp) for t in per_shard])
 
     return ShardedTiles(
-        num_rows=csr.num_rows,
+        num_rows=num_rows,
         num_cols=gather_cols,
         rows_per_shard=rps,
         row_window=per_shard[0].row_window,
@@ -170,7 +186,7 @@ def shard_tiles(csr: CsrMatrix, n_shards: int,
         row_block=jnp.asarray(rblk),
         col_block=jnp.asarray(cblk),
         col_span=jnp.asarray(cspan),
-        row_start=jnp.asarray(np.asarray(slabs.row_start)),
+        row_start=jnp.asarray(row_start),
     )
 
 
@@ -317,49 +333,8 @@ def shard_tiles_overlapped(csr: CsrMatrix, n_shards: int, **tile_kwargs
             )
             for s in shards
         ]
-        ntp = max(t.ntiles for t in per)
-        tps = merge_spmv._choose_tiles_per_step(ntp)
-        ntp = -(-ntp // tps) * tps
-        rs = max(t.row_span for t in per)
-        ypad = max(t.y_pad_rows + (rs - t.row_span) for t in per)
-
-        def pad(x, fill, n):
-            x = np.asarray(x)
-            out = np.full((n,) + x.shape[1:], fill, dtype=x.dtype)
-            out[: x.shape[0]] = x
-            return out
-
-        def pad_epos(t):
-            e = np.asarray(t.end_pos)
-            if e.shape[1] < rs:
-                e = np.concatenate(
-                    [e] + [e[:, -1:, :]] * (rs - e.shape[1]), axis=1
-                )
-            return pad(e, -1, ntp)
-
-        return ShardedTiles(
-            num_rows=csr.num_rows,
-            num_cols=gather_cols,
-            rows_per_shard=rps,
-            row_window=per[0].row_window,
-            col_window=per[0].col_window,
-            gather_rows=max(t.gather_rows for t in per),
-            x_pad_rows=per[0].x_pad_rows,
-            tiles_per_step=tps,
-            row_span=rs,
-            y_pad_rows=ypad,
-            vals=jnp.asarray(np.stack([pad(t.vals, 0, ntp) for t in per])),
-            local_cols=jnp.asarray(
-                np.stack([pad(t.local_cols, 0, ntp) for t in per])),
-            end_pos=jnp.asarray(np.stack([pad_epos(t) for t in per])),
-            row_block=jnp.asarray(
-                np.stack([pad(t.row_block, 0, ntp) for t in per])),
-            col_block=jnp.asarray(
-                np.stack([pad(t.col_block, 0, ntp) for t in per])),
-            col_span=jnp.asarray(
-                np.stack([pad(t.col_span, 0, ntp) for t in per])),
-            row_start=jnp.asarray(rstart),
-        )
+        return _stack_shard_plans(per, csr.num_rows, gather_cols, rps,
+                                  rstart)
 
     return stack(diag_shards, rps), stack(off_shards, n_shards * rps)
 
