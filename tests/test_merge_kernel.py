@@ -103,3 +103,14 @@ def test_span_classed_plan_correct(rng):
     assert not isinstance(A1, merge_spmv.ClassedTiles)
     y1 = np.asarray(merge_spmv.spmv_merge(A1, jnp.asarray(x)))
     np.testing.assert_allclose(y / scale, y1 / scale, atol=2e-5)
+
+
+def test_wide_row_window_uses_per_window_extraction(rng):
+    """row_window=2048 (wrb up to 16) must route extraction through the
+    per-window path — the batched fast path is bounded by Mosaic's
+    (<=8,128) gather tile."""
+    csr = generators.make_random_spd(
+        4000, row_nnz=2, seed=3, bandwidth=3900
+    ).to_csr()
+    tiles = run_case(csr, rng, row_window=2048, col_window=4096)
+    assert tiles.row_window == 2048
