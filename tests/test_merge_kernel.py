@@ -106,11 +106,20 @@ def test_span_classed_plan_correct(rng):
 
 
 def test_wide_row_window_uses_per_window_extraction(rng):
-    """row_window=2048 (wrb up to 16) must route extraction through the
-    per-window path — the batched fast path is bounded by Mosaic's
-    (<=8,128) gather tile."""
-    csr = generators.make_random_spd(
-        4000, row_nnz=2, seed=3, bandwidth=3900
-    ).to_csr()
+    """A tile of 1024 one-per-row entries starting mid-slice spans 9
+    row slices — beyond the batched fast path's Mosaic bound of 8 —
+    and must route through the per-window extraction loop."""
+    # rows 0..63 form cluster A; rows 64..1087 put exactly one entry
+    # each in a distant column cluster, making ONE 1024-entry tile
+    # whose rows cross 9 slice boundaries (64..1087)
+    rows = np.concatenate([np.arange(64), np.arange(64, 1088)])
+    cols = np.concatenate([np.zeros(64, np.int64),
+                           np.full(1024, 2000, np.int64)])
+    coo = CooMatrix(2048, 2048, rows, cols,
+                    rng.standard_normal(rows.size))
+    csr = CsrMatrix.from_coo(coo)
     tiles = run_case(csr, rng, row_window=2048, col_window=4096)
-    assert tiles.row_window == 2048
+    from tpusparse.kernels.merge_spmv import _tile_row_anchors
+
+    _, span = _tile_row_anchors(tiles)
+    assert int(span.max()) == 9  # the fixture exercises wrb > 8
