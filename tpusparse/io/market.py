@@ -205,8 +205,13 @@ def _read_market_slow(
 
 
 def write_market(path, m, comment: str = "") -> None:
-    """Write a CooMatrix / CsrMatrix to a MatrixMarket coordinate file."""
+    """Write a CooMatrix / CsrMatrix to a MatrixMarket coordinate file.
+
+    Entries are written in (row, col) order so a reload's COO->CSR
+    conversion takes the sorted-identity fast path (one linear check
+    instead of a multi-second sort at 10M+ nnz)."""
     coo = m.to_coo() if hasattr(m, "to_coo") else m
+    coo = coo.sorted_by_row()
     with open(path, "w") as f:
         f.write("%%MatrixMarket matrix coordinate real general\n")
         if comment:
