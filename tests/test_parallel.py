@@ -303,3 +303,21 @@ def test_spmv_sharded_heterogeneous_spans(mesh, rng):
     expect = csr.to_scipy() @ x
     scale = np.abs(expect).max() + 1.0
     np.testing.assert_allclose(y / scale, expect / scale, atol=3e-5)
+
+
+def test_spmm_sharded_tiles(mesh, rng):
+    from tpusparse.parallel import sharded_tiles as stm
+
+    csr = generators.make_laplacian_grid2d(24, dtype=np.float64).to_csr()
+    csr = csr.astype(np.float32)
+    st = stm.shard_tiles(csr, mesh.devices.size)
+    std = stm.device_put_sharded_tiles(st, mesh)
+    X = rng.standard_normal((csr.num_cols, 8)).astype(np.float32)
+    Y_pad = np.asarray(
+        stm.spmm_sharded_tiles(std, jnp.asarray(X), mesh))
+    A = sh.shard_csr(csr, mesh.devices.size)
+    Y = np.stack([sh.from_padded_layout(Y_pad[:, j], A)
+                  for j in range(8)], axis=1)
+    expect = csr.to_scipy() @ X
+    scale = np.abs(expect).max() + 1.0
+    np.testing.assert_allclose(Y / scale, expect / scale, atol=3e-5)

@@ -379,6 +379,27 @@ def cg_step_sharded_overlap(diag: ShardedTiles, offd: ShardedTiles,
       offd.col_block, offd.col_span, X, R, Pd, rs_old)
 
 
+def spmm_sharded_tiles(st: ShardedTiles, X, mesh: Mesh,
+                       axis: str = "rows"):
+    """Y = A @ X with the in-kernel multi-RHS merge kernel per shard;
+    X replicated (num_cols, L), Y row-sharded in the padded layout
+    (D * rows_per_shard, L)."""
+    from tpusparse.kernels.spmm_merge import spmm_merge
+
+    def shard_fn(vals, lcols, epos, rblk, cblk, cspan, X):
+        A = _local_tiles(st, vals, lcols, epos, rblk, cblk, cspan)
+        return spmm_merge(A, X)
+
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis),) * 6 + (P(),),
+        out_specs=P(axis),
+        check_vma=False,  # pallas_call has no varying-mesh-axes info
+    )(st.vals, st.local_cols, st.end_pos, st.row_block, st.col_block,
+      st.col_span, X)
+
+
 def cg_step_sharded_tiles_multi(st: ShardedTiles, state, mesh: Mesh,
                                 axis: str = "rows"):
     """One BLOCKED multi-RHS CG iteration with the in-kernel merge
