@@ -321,3 +321,63 @@ def test_spmm_sharded_tiles(mesh, rng):
     expect = csr.to_scipy() @ X
     scale = np.abs(expect).max() + 1.0
     np.testing.assert_allclose(Y / scale, expect / scale, atol=3e-5)
+
+
+def test_pcg_sharded_spai_converges_faster(mesh, rng):
+    """Distributed SPAI-PCG: both A and the explicit approximate
+    inverse are row-sharded merge plans; the preconditioner apply is
+    one more all_gather + per-shard SpMM. Must converge in fewer
+    iterations than plain sharded CG and reach the true solution."""
+    from tpusparse.parallel import sharded_tiles as stm
+    from tpusparse.precond.spai import spai_inverse
+
+    csr = generators.make_random_spd(
+        600, row_nnz=6, seed=11, bandwidth=40).to_csr()
+    csr32 = csr.astype(np.float32)
+    D = mesh.devices.size
+    M = spai_inverse(csr).astype(np.float32)
+    st = stm.shard_tiles(csr32, D, pad_layout_cols=True)
+    mt = stm.shard_tiles(M, D, pad_layout_cols=True)
+    std = stm.device_put_sharded_tiles(st, mesh)
+    mtd = stm.device_put_sharded_tiles(mt, mesh)
+
+    A = sh.shard_csr(csr32, D)
+    L = 4
+    B = rng.standard_normal((csr.num_rows, L)).astype(np.float32)
+    Bp = jnp.asarray(sh.to_padded_layout(B, A))
+    rs0 = jnp.sum(jnp.asarray(B) ** 2, axis=0)
+
+    # plain sharded CG iteration count
+    s = (jnp.zeros_like(Bp), Bp, Bp, rs0)
+    plain_step = jax.jit(
+        lambda X, R, Pd, rs: stm.cg_step_sharded_tiles_multi(
+            std, (X, R, Pd, rs), mesh))
+    plain_iters = 0
+    X, R, Pd, rs = s
+    for _ in range(400):
+        X, R, Pd, rs = plain_step(X, R, Pd, rs)
+        plain_iters += 1
+        if float(jnp.max(rs)) < 1e-8:
+            break
+
+    # SPAI-PCG
+    Z0 = jnp.asarray(sh.to_padded_layout(
+        np.asarray(M.to_scipy() @ B), A))
+    X, R, Z, Pd = jnp.zeros_like(Bp), Bp, Z0, Z0
+    rho = jnp.sum(np.asarray(B) * np.asarray(M.to_scipy() @ B), axis=0)
+    rho = jnp.asarray(rho.astype(np.float32))
+    step = jax.jit(
+        lambda X, R, Z, Pd, rho: stm.pcg_step_sharded_spai(
+            std, mtd, (X, R, Z, Pd, rho), mesh))
+    pcg_iters = 0
+    for _ in range(400):
+        X, R, Z, Pd, rho = step(X, R, Z, Pd, rho)
+        pcg_iters += 1
+        rr = float(jnp.max(jnp.sum(
+            sh.from_padded_layout(np.asarray(R), A) ** 2, axis=0)))
+        if rr < 1e-8:
+            break
+    Xh = sh.from_padded_layout(np.asarray(X), A)
+    rel = np.linalg.norm(B - csr32.to_scipy() @ Xh, axis=0)
+    assert (rel / np.linalg.norm(B, axis=0)).max() < 1e-3
+    assert pcg_iters < plain_iters

@@ -439,6 +439,52 @@ def cg_step_sharded_tiles_multi(st: ShardedTiles, state, mesh: Mesh,
       st.col_span, X, R, Pd, rs_old)
 
 
+def pcg_step_sharded_spai(st: ShardedTiles, mt: ShardedTiles, state,
+                          mesh: Mesh, axis: str = "rows"):
+    """One blocked multi-RHS SPAI-PCG iteration across the mesh — the
+    reference's SPAI-CG (``SPAISolveMultiple``,
+    sparse_approximate_inverse.hpp:31-230: z = M r applied as an SpMM)
+    distributed: both A and the explicit approximate inverse M are
+    row-sharded merge plans, so the preconditioner apply is one more
+    all_gather + per-shard multi-RHS merge-SpMM per iteration.
+
+    ``st``/``mt`` must both come from ``shard_tiles(...,
+    pad_layout_cols=True)`` with the same shard count. ``state`` =
+    (X, R, Z, P, rho_old): (D*rows_per_shard, L) row-sharded arrays in
+    the padded layout + a replicated (L,) vector, with Z0 = M R0 and
+    P0 = Z0."""
+    from tpusparse.kernels.spmm_merge import spmm_merge
+
+    def step(av, al, ae, arb, acb, acs,
+             mv, ml, me, mrb, mcb, mcs, X, R, Z, Pd, rho_old):
+        Pd_full = jax.lax.all_gather(Pd, axis, axis=0, tiled=True)
+        A = _local_tiles(st, av, al, ae, arb, acb, acs)
+        AP = spmm_merge(A, Pd_full)
+        pAp = jax.lax.psum(jnp.sum(Pd * AP, axis=0), axis)
+        alpha = jnp.where(pAp == 0, 0.0, rho_old / pAp)
+        Xn = X + alpha[None, :] * Pd
+        Rn = R - alpha[None, :] * AP
+        Rn_full = jax.lax.all_gather(Rn, axis, axis=0, tiled=True)
+        M = _local_tiles(mt, mv, ml, me, mrb, mcb, mcs)
+        Zn = spmm_merge(M, Rn_full)
+        rho_new = jax.lax.psum(jnp.sum(Rn * Zn, axis=0), axis)
+        beta = jnp.where(rho_old == 0, 0.0, rho_new / rho_old)
+        Pn = Zn + beta[None, :] * Pd
+        return Xn, Rn, Zn, Pn, rho_new
+
+    X, R, Z, Pd, rho_old = state
+    return jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis),) * 12 + (P(axis),) * 4 + (P(),),
+        out_specs=(P(axis),) * 4 + (P(),),
+        check_vma=False,  # pallas_call has no varying-mesh-axes info
+    )(st.vals, st.local_cols, st.end_pos, st.row_block, st.col_block,
+      st.col_span,
+      mt.vals, mt.local_cols, mt.end_pos, mt.row_block, mt.col_block,
+      mt.col_span, X, R, Z, Pd, rho_old)
+
+
 def cg_step_sharded_tiles(st: ShardedTiles, state, mesh: Mesh,
                           axis: str = "rows"):
     """One single-RHS CG iteration with the Pallas merge-tile kernel as
