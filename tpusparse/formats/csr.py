@@ -33,7 +33,10 @@ class CsrMatrix:
       num_rows / num_cols: static dimensions (pytree aux data).
       row_offsets: (num_rows + 1,) int32 — row i occupies
         [row_offsets[i], row_offsets[i+1]) of the nnz streams.
-      col_indices: (nnz,) int32.
+      col_indices: (nnz,) int32. INVARIANT: non-decreasing within each
+        row (the (row, col)-sorted CSR stream every kernel builder
+        assumes; ``from_scipy``/``from_coo`` guarantee it — hand-built
+        instances must too).
       values: (nnz,) float32/float64.
 
     Arrays may be numpy (host) or jax (device); ``to_device()`` /

@@ -93,7 +93,12 @@ def _job_structure(csr):
 
     # rank of the entry within its (row, column-block): the CSR stream
     # is already (row, col)-sorted, so (row, cblk) segments are
-    # contiguous runs — no sort needed
+    # contiguous runs — no sort needed. Debug-mode guard for hand-built
+    # CsrMatrix instances violating the sortedness invariant (silently
+    # wrong payloads otherwise).
+    assert nnz == 0 or bool(
+        np.all((rows[1:] != rows[:-1]) | (ci[1:] >= ci[:-1]))
+    ), "CsrMatrix col_indices must be sorted within each row"
     new_rc = np.empty(nnz, dtype=bool)
     new_rc[0] = True
     new_rc[1:] = (rows[1:] != rows[:-1]) | (cblk[1:] != cblk[:-1])

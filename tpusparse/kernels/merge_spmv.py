@@ -504,8 +504,12 @@ def _fused_kernel(gather_rows: int, rspan: int, tps: int,
 VMEM_CEILING_BYTES = 100 * 1024 * 1024
 
 
-def _vmem_params(resident_bytes: int, tps: int, rspan: int):
-    per_step = 2 * tps * (TILE_NNZ * (4 + 2) + rspan * LANES * 2)
+def _vmem_params(resident_bytes: int, tps: int, rspan: int,
+                 idx_bytes: int = 2):
+    # idx_bytes: local_cols itemsize — int16 normally, int32 when
+    # col_window > 32767 (to_device_tiles promotes); end_pos stays int16
+    per_step = 2 * tps * (TILE_NNZ * (4 + idx_bytes)
+                          + rspan * LANES * 2)
     need = int(resident_bytes + per_step + 8 * 1024 * 1024)
     if need <= 16 * 1024 * 1024:
         return None
@@ -528,7 +532,8 @@ def _spmv_tiles(A: DeviceTiles, x2d, nrows_out: int):
         functools.partial(_fused_kernel, A.gather_rows, rspan, tps),
         compiler_params=_vmem_params(
             x2d.size * x2d.dtype.itemsize
-            + mb * LANES * np.dtype(A.vals.dtype).itemsize, tps, rspan),
+            + mb * LANES * np.dtype(A.vals.dtype).itemsize, tps, rspan,
+            idx_bytes=np.dtype(A.local_cols.dtype).itemsize),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,  # rblk, cblk, cspan
             grid=(steps,),

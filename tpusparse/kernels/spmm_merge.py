@@ -149,7 +149,8 @@ def _spmm_tiles(A: DeviceTiles, x3, mb: int, T: int):
     y3 = pl.pallas_call(
         functools.partial(_spmm_kernel, A.gather_rows, rspan, L, T),
         compiler_params=_vmem_params(
-            (x3.size + mb * L * LANES) * itemsize, T, rspan),
+            (x3.size + mb * L * LANES) * itemsize, T, rspan,
+            idx_bytes=np.dtype(A.local_cols.dtype).itemsize),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(steps,),

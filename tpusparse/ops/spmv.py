@@ -61,10 +61,14 @@ class SpmvStrategy(enum.Enum):
 def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1):
     """Build the device operand for a host CsrMatrix.
 
-    AUTO policy: fp64 -> reference CSR (Mosaic has no 64-bit types);
-    fp32 -> layered-ELL when the packing is efficient (occupancy >=
-    0.4, per-chunk gather span <= 32) and the RHS block fits VMEM,
-    else merge tiles.
+    AUTO policy: fp64 -> the double-float ELL plan (two-f32 planes,
+    ~1e-14 relative accuracy and f32 exponent range — NOT strict IEEE
+    fp64; callers that need genuine fp64 semantics must pass
+    strategy='reference', the XLA fp64 path) whenever the padded
+    payload fits a memory budget, since even at low occupancy it
+    measures ~12x the XLA fp64 gather path. fp32 -> BSR MXU panels for
+    block-structured fill, layered-ELL when the packing is efficient
+    and the RHS block fits VMEM, else merge tiles.
     """
     import numpy as np
 

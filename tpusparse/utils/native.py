@@ -244,6 +244,18 @@ def coo_sort_order(num_rows, rows, cols):
     lib = _load()
     if lib is None:
         return None
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    # the native counting sort indexes start[rows[e] + 1] unchecked, so
+    # out-of-range / non-int32 values would corrupt memory rather than
+    # raise — validate here and let callers fall back to lexsort
+    if rows.size:
+        if int(rows.min()) < 0 or int(rows.max()) >= int(num_rows):
+            return None
+        if int(cols.min()) < 0 or int(cols.max()) > np.iinfo(np.int32).max:
+            return None
+    if int(num_rows) > np.iinfo(np.int32).max:
+        return None
     rows = np.ascontiguousarray(rows, dtype=np.int32)
     cols = np.ascontiguousarray(cols, dtype=np.int32)
     order = np.empty(rows.size, dtype=np.int64)
