@@ -1,0 +1,211 @@
+"""DIA format + hybrid DIA/merge partition tests.
+
+Parity oracle: scipy.sparse (the reference's SpmvGold semantics,
+work_2025/spmm/sample.hpp:14-34).
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from tpusparse.formats.csr import CsrMatrix
+from tpusparse.formats.dia import (
+    DiaHost,
+    diagonal_profile,
+    partition_dia,
+    select_diagonals,
+    to_device_dia,
+)
+from tpusparse.io import generators
+from tpusparse.ops.dia import spmm_dia, spmv_dia
+from tpusparse.ops.hybrid import HybridPlan
+from tpusparse.ops.spmv import plan_matrix, spmm, spmv
+
+
+def _rng():
+    return np.random.default_rng(0)
+
+
+def test_diagonal_profile_tridiag():
+    n = 100
+    T = sp.diags(
+        [np.ones(n - 1), 4 * np.ones(n), np.ones(n - 1)],
+        [-1, 0, 1], format="csr",
+    )
+    csr = CsrMatrix.from_scipy(T.tocsr())
+    offs, counts, lengths = diagonal_profile(csr)
+    assert list(offs) == [-1, 0, 1]
+    assert list(counts) == [n - 1, n, n - 1]
+    assert list(lengths) == [n - 1, n, n - 1]
+
+
+def test_select_respects_occupancy_and_cap():
+    n = 200
+    # dense main diagonal + a single scattered entry far off-diagonal
+    rows = np.concatenate([np.arange(n), [0]])
+    cols = np.concatenate([np.arange(n), [n - 3]])
+    vals = np.ones(n + 1)
+    S = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    csr = CsrMatrix.from_scipy(S)
+    offs = select_diagonals(csr)
+    assert list(offs) == [0]  # the lone far entry's occupancy ~ 1/3
+
+
+def test_partition_exact_split():
+    n = 300
+    A = sp.diags([np.ones(n), 2 * np.ones(n - 7)], [0, 7],
+                 format="csr") + sp.random(
+        n, n, density=0.001, random_state=3, format="csr"
+    )
+    A = A.tocsr()
+    csr = CsrMatrix.from_scipy(A)
+    offs = select_diagonals(csr)
+    dia, rest = partition_dia(csr, offs)
+    # dia + rest reassembles the matrix exactly
+    D = sp.dia_matrix(
+        (np.zeros((len(dia.offsets), n)), dia.offsets), shape=(n, n)
+    ).tocsr()
+    recon = rest.to_scipy().astype(np.float64)
+    for k, off in enumerate(dia.offsets):
+        idx = np.arange(max(0, -off), min(n, n - off))
+        recon += sp.coo_matrix(
+            (dia.data[k, idx], (idx, idx + off)), shape=(n, n)
+        )
+    assert np.abs((recon - A).toarray()).max() < 1e-14
+
+
+def test_partition_accumulates_duplicates():
+    rows = np.array([0, 0, 1], dtype=np.int32)
+    cols = np.array([0, 0, 1], dtype=np.int32)
+    vals = np.array([1.0, 2.0, 5.0])
+    from tpusparse.formats.coo import CooMatrix
+
+    csr = CsrMatrix.from_coo(CooMatrix(2, 2, rows, cols, vals))
+    dia, rest = partition_dia(csr, np.array([0]))
+    assert rest.nnz == 0
+    assert dia.data[0, 0] == 3.0 and dia.data[0, 1] == 5.0
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_pure_dia_spmv_spmm_parity(dtype):
+    csr = generators.make_laplacian_grid3d(12, dtype=dtype).to_csr()
+    S = csr.to_scipy()
+    offs = select_diagonals(csr)
+    dia, rest = partition_dia(csr, offs)
+    assert rest.nnz == 0  # the stencil is entirely diagonal
+    D = to_device_dia(dia, dtype=dtype)
+    x = _rng().standard_normal(csr.num_cols).astype(dtype)
+    tol = 1e-5 if dtype == np.float32 else 1e-13
+    y = np.asarray(spmv_dia(D, x))
+    ref = S @ x
+    assert np.abs(y - ref).max() / np.abs(ref).max() < tol
+    X = _rng().standard_normal((csr.num_cols, 8)).astype(dtype)
+    Y = np.asarray(spmm_dia(D, X))
+    refM = S @ X
+    assert np.abs(Y - refM).max() / np.abs(refM).max() < tol
+
+
+def test_dia_alpha_beta():
+    csr = generators.make_laplacian_grid2d(16, dtype=np.float64).to_csr()
+    S = csr.to_scipy()
+    offs = select_diagonals(csr)
+    dia, _ = partition_dia(csr, offs)
+    D = to_device_dia(dia, dtype=np.float64)
+    x = _rng().standard_normal(csr.num_cols)
+    y0 = _rng().standard_normal(csr.num_rows)
+    got = np.asarray(spmv_dia(D, x, alpha=2.5, beta=-0.5, y=y0))
+    want = 2.5 * (S @ x) - 0.5 * y0
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-13
+
+
+def test_rectangular_dia():
+    n, m = 130, 170
+    A = sp.diags([np.ones(n), np.ones(n)], [0, 30], shape=(n, m),
+                 format="csr")
+    csr = CsrMatrix.from_scipy(A.tocsr())
+    plan = plan_matrix(csr, strategy="dia", dtype=np.float64)
+    x = _rng().standard_normal(m)
+    y = np.asarray(spmv(plan, x))
+    ref = A @ x
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-13
+
+
+def test_negative_offset_only():
+    n = 90
+    A = sp.diags([np.ones(n - 11)], [-11], shape=(n, n), format="csr")
+    csr = CsrMatrix.from_scipy(A.tocsr())
+    plan = plan_matrix(csr, strategy="dia", dtype=np.float32)
+    x = _rng().standard_normal(n).astype(np.float32)
+    y = np.asarray(spmv(plan, x))
+    ref = A @ x
+    assert np.abs(y - ref).max() / max(np.abs(ref).max(), 1e-9) < 1e-5
+
+
+class TestAutoGating:
+    def test_stencil_goes_pure_dia(self):
+        csr = generators.make_laplacian_grid3d(
+            12, dtype=np.float32
+        ).to_csr()
+        plan = plan_matrix(csr, dtype=np.float32)
+        assert isinstance(plan, HybridPlan) and plan.rest is None
+
+    def test_fp64_stencil_goes_dia(self):
+        csr = generators.make_laplacian_grid3d(
+            12, dtype=np.float64
+        ).to_csr()
+        plan = plan_matrix(csr, dtype=np.float64)
+        assert isinstance(plan, HybridPlan)
+        assert plan.dia.data.dtype == np.float64
+
+    def test_random_stays_merge(self):
+        R = sp.random(2000, 2000, density=0.002, random_state=1,
+                      format="csr")
+        csr = CsrMatrix.from_scipy(R.tocsr().astype(np.float32))
+        plan = plan_matrix(csr, dtype=np.float32)
+        assert not isinstance(plan, HybridPlan)
+
+    def test_band_plus_noise_goes_hybrid(self):
+        n = 3000
+        T = sp.diags(
+            [np.ones(n - 1), 4 * np.ones(n), np.ones(n - 1)],
+            [-1, 0, 1], format="csr",
+        )
+        N = sp.random(n, n, density=0.001, random_state=2, format="csr")
+        csr = CsrMatrix.from_scipy((T + N).tocsr().astype(np.float32))
+        plan = plan_matrix(csr, dtype=np.float32)
+        assert isinstance(plan, HybridPlan) and plan.rest is not None
+        S = csr.to_scipy()
+        x = _rng().standard_normal(n).astype(np.float32)
+        y = np.asarray(spmv(plan, x))
+        ref = S @ x
+        assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+        X = _rng().standard_normal((n, 4)).astype(np.float32)
+        Y = np.asarray(spmm(plan, X))
+        refM = S @ X
+        assert np.abs(Y - refM).max() / np.abs(refM).max() < 1e-5
+
+    def test_explicit_dia_on_undiagonal_falls_back(self):
+        R = sp.random(800, 800, density=0.003, random_state=4,
+                      format="csr")
+        csr = CsrMatrix.from_scipy(R.tocsr().astype(np.float32))
+        plan = plan_matrix(csr, strategy="dia", dtype=np.float32)
+        # no usable diagonals -> graceful fallback, still correct
+        x = _rng().standard_normal(800).astype(np.float32)
+        y = np.asarray(spmv(plan, x))
+        ref = R @ x
+        assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+
+def test_cg_on_hybrid_plan():
+    from tpusparse.solvers.cg import cg_solve
+
+    csr = generators.make_laplacian_grid3d(8, dtype=np.float64).to_csr()
+    plan = plan_matrix(csr, dtype=np.float64)
+    assert isinstance(plan, HybridPlan)
+    import jax.numpy as jnp
+
+    b = jnp.asarray(_rng().standard_normal(csr.num_rows))
+    res = cg_solve(plan, b, max_iters=2000, tolerance=1e-10)
+    x = np.asarray(res.x)
+    r = np.asarray(b) - csr.to_scipy() @ x
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-9

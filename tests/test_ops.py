@@ -87,28 +87,38 @@ def test_plan_matrix_auto(rng):
     from tpusparse.kernels.ell_spmm import DeviceEll
     from tpusparse.kernels.merge_spmv import DeviceTiles
 
-    # regular stencil, multi-RHS -> gather-job ELL
+    from tpusparse.ops.hybrid import HybridPlan
+
+    # regular stencil -> pure DIA (entirely diagonal) for any L/dtype
     csr = generators.make_laplacian_grid2d(16).to_csr()
     A = plan_matrix(csr, dtype=np.float32, L=16)
-    assert isinstance(A, DeviceEll)
-    # single RHS -> merge tiles
+    assert isinstance(A, HybridPlan) and A.rest is None
     A1 = plan_matrix(csr, dtype=np.float32, L=1)
-    assert isinstance(A1, DeviceTiles)
-    # skewed wheel -> merge tiles even for multi-RHS
+    assert isinstance(A1, HybridPlan) and A1.rest is None
+    # skewed wheel: ring diagonals peel to DIA, hub/spokes -> merge
     wheel = generators.make_wheel(2000).to_csr()
     A2 = plan_matrix(wheel, dtype=np.float32, L=16)
-    assert isinstance(A2, DeviceTiles)
-    # fp64, regular stencil -> double-float gather-job kernel (even at
-    # L=1: still orders of magnitude faster than the XLA fp64 path)
+    assert isinstance(A2, HybridPlan)
+    assert isinstance(A2.rest, DeviceTiles)
+    # fp64 stencil -> native-f64 DIA planes
+    A3 = plan_matrix(csr, dtype=np.float64)
+    assert isinstance(A3, HybridPlan) and A3.rest is None
+    assert A3.dia.data.dtype == np.float64
+    # the non-DIA fp64 path still routes to the double-float gather-job
+    # kernel (orders of magnitude faster than the XLA fp64 path)
     from tpusparse.kernels.ell_df import DeviceEllDF
 
-    A3 = plan_matrix(csr, dtype=np.float64)
-    assert isinstance(A3, DeviceEllDF)
-    # fp64 skewed wheel: the df kernel wins even at terrible packing
-    # occupancy (measured ~12x the XLA fp64 path at occ 0.015), so the
-    # AUTO gate is about payload inflation, not occupancy
+    A3b = plan_matrix(csr, dtype=np.float64, _allow_dia=False)
+    assert isinstance(A3b, DeviceEllDF)
+    # fp64 wheel: DIA ring peeled; the remainder is just the hub
+    # row/spokes, whose packing occupancy is so hopeless the planner
+    # correctly falls back to the XLA reference CSR path for it
     A4 = plan_matrix(wheel, dtype=np.float64)
-    assert isinstance(A4, DeviceEllDF)
+    assert isinstance(A4, HybridPlan)
+    assert A4.rest is not None
+    # multi-RHS non-DIA fp32 stencil path -> gather-job ELL
+    Ae = plan_matrix(csr, dtype=np.float32, L=16, _allow_dia=False)
+    assert isinstance(Ae, DeviceEll)
     # pathological packing (one entry per 128-slot job) -> reference
     from tpusparse.formats.coo import CooMatrix
 

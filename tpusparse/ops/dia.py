@@ -1,0 +1,95 @@
+"""DIA SpMV/SpMM — shifted elementwise FMAs, the stream-bound path.
+
+For each stored diagonal ``off``: ``y[i] += data[k, i] * x[i + off]``.
+With x zero-padded by the offset range, every diagonal is a *static*
+slice of the padded vector, so the whole SpMV is K unrolled
+multiply-adds over unit-stride streams — XLA fuses them into a single
+pass (no gathers, no MXU, pure VPU). This is the operating point the
+merge/gather kernels cannot reach on this ISA (see
+``kernels/merge_spmv.py``'s VPU-op accounting): the arithmetic
+intensity is that of a STREAM triad per diagonal. Measured lap3d-48:
+~210 GF fp32 / ~92 GF native fp64 versus the merge kernel's 25 GF.
+
+fp64 runs in *native* f64 (XLA-TPU software emulation) — measured 3x
+faster than a Dekker double-float formulation for this elementwise
+workload, with genuine IEEE semantics (~7e-15 vs scipy, reordering
+only).
+
+Reference capability this accelerates: the grid2d/grid3d stencil
+fixtures (``/root/reference/sparse_matrix.h:458-623``) under the SpMV
+drivers (``cpu_spmv.cpp:750-923``); correctness is defined by
+``SpmvGold`` (``work_2025/spmm/sample.hpp:14-34``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpusparse.formats.dia import DiaDevice
+
+
+def _pads(D: DiaDevice) -> tuple[int, int]:
+    offs = D.offsets
+    pad_lo = max(0, -min(offs)) if offs else 0
+    pad_hi = max(0, (max(offs) if offs else 0)
+                 + D.num_rows - D.num_cols)
+    return pad_lo, pad_hi
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _spmm_dia(data, X, meta):
+    """X: (num_cols, L) in data's dtype; returns (num_rows, L)."""
+    offsets, num_rows, pad_lo, pad_hi = meta
+    n = num_rows
+    L = X.shape[1]
+    Xp = jnp.concatenate(
+        [
+            jnp.zeros((pad_lo, L), X.dtype),
+            X,
+            jnp.zeros((pad_hi, L), X.dtype),
+        ],
+        axis=0,
+    )
+    acc = jnp.zeros((n, L), X.dtype)
+    for k, off in enumerate(offsets):
+        sl = jax.lax.slice_in_dim(Xp, off + pad_lo, off + pad_lo + n)
+        acc = acc + data[k][:, None] * sl
+    return acc
+
+
+def spmm_dia(D: DiaDevice, X, alpha=1.0, beta=0.0, Y=None):
+    """Y = alpha * A @ X + beta * Y, X of shape (num_cols, L)."""
+    pad_lo, pad_hi = _pads(D)
+    meta = (D.offsets, D.num_rows, pad_lo, pad_hi)
+    Y_new = _spmm_dia(D.data, X.astype(D.data.dtype), meta)
+    if beta == 0.0 or Y is None:
+        return alpha * Y_new if alpha != 1.0 else Y_new
+    return alpha * Y_new + beta * Y
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _spmv_dia(data, x, meta):
+    """1-D variant: keeps the vector on the lane dimension."""
+    offsets, num_rows, pad_lo, pad_hi = meta
+    n = num_rows
+    xp = jnp.concatenate(
+        [jnp.zeros(pad_lo, x.dtype), x, jnp.zeros(pad_hi, x.dtype)]
+    )
+    acc = jnp.zeros(n, x.dtype)
+    for k, off in enumerate(offsets):
+        sl = jax.lax.slice_in_dim(xp, off + pad_lo, off + pad_lo + n)
+        acc = acc + data[k] * sl
+    return acc
+
+
+def spmv_dia(D: DiaDevice, x, alpha=1.0, beta=0.0, y=None):
+    """y = alpha * A @ x + beta * y."""
+    pad_lo, pad_hi = _pads(D)
+    meta = (D.offsets, D.num_rows, pad_lo, pad_hi)
+    y_new = _spmv_dia(D.data, x.astype(D.data.dtype), meta)
+    if beta == 0.0 or y is None:
+        return alpha * y_new if alpha != 1.0 else y_new
+    return alpha * y_new + beta * y

@@ -38,6 +38,7 @@ class SpmvStrategy(enum.Enum):
     ROW_SPLIT = "row_split"
     BSR = "bsr"
     BCOO = "bcoo"
+    DIA = "dia"
     AUTO = "auto"
 
     @classmethod
@@ -50,6 +51,7 @@ class SpmvStrategy(enum.Enum):
             "simple": "row_split",
             "ell": "row_split",
             "nonzero_split": "merge",
+            "hybrid": "dia",
             # the vendor baseline the reference benchmarks against is
             # MKL (cpu_spmv.cpp:631-664); the JAX-ecosystem analogue is
             # jax.experimental.sparse BCOO
@@ -58,7 +60,8 @@ class SpmvStrategy(enum.Enum):
         return cls(aliases.get(s, s))
 
 
-def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1):
+def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1,
+                _allow_dia: bool = True):
     """Build the device operand for a host CsrMatrix.
 
     AUTO policy: fp64 -> the double-float ELL plan (two-f32 planes,
@@ -77,6 +80,13 @@ def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1):
         dtype = np.asarray(csr.values).dtype
     if strategy == SpmvStrategy.BCOO:
         return ref.to_bcoo(csr, dtype=dtype)
+    # DIA / hybrid gate: dense diagonal runs beat every gather kernel
+    # by an order of magnitude (stream-bound shifted FMAs), so they are
+    # peeled off first; the scattered remainder re-enters the planner.
+    if _allow_dia and strategy in (SpmvStrategy.AUTO, SpmvStrategy.DIA):
+        plan = _try_plan_dia(csr, strategy, dtype, L)
+        if plan is not None:
+            return plan
     # The Pallas kernels keep x (and the merge kernel also y) resident
     # in VMEM. The kernels raise Mosaic's scoped-vmem budget to what
     # the call needs (merge_spmv._vmem_params, ~100 MB ceiling on the
@@ -156,6 +166,45 @@ def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1):
     return _plan_merge(csr, dtype)
 
 
+# AUTO moves to the DIA/hybrid path only when the selected diagonals
+# carry at least this fraction of the nonzeros (below it the extra
+# partial-product writeback isn't worth the peel).
+DIA_MIN_COVERAGE = 0.3
+
+
+def _try_plan_dia(csr, strategy, dtype, L):
+    """DIA / hybrid plan, or None when the matrix has no diagonal
+    structure worth peeling (explicit strategy='dia' skips the
+    coverage gate but still returns None with zero usable diagonals)."""
+    import numpy as np
+
+    from tpusparse.formats.dia import (
+        diagonal_profile,
+        partition_dia,
+        select_diagonals,
+        to_device_dia,
+    )
+    from tpusparse.ops.hybrid import HybridPlan
+
+    if csr.nnz == 0:
+        return None
+    offsets = select_diagonals(csr)
+    if offsets.size == 0:
+        return None
+    all_off, counts, _ = diagonal_profile(csr)
+    covered = int(counts[np.isin(all_off, offsets)].sum())
+    if (strategy != SpmvStrategy.DIA
+            and covered < DIA_MIN_COVERAGE * csr.nnz):
+        return None
+    dia_host, rest = partition_dia(csr, offsets)
+    dev = to_device_dia(dia_host, dtype=dtype)
+    rest_plan = None
+    if rest.nnz > 0:
+        rest_plan = plan_matrix(rest, strategy="auto", dtype=dtype,
+                                L=L, _allow_dia=False)
+    return HybridPlan(dev, rest_plan, csr.nnz)
+
+
 def _plan_merge(csr, dtype):
     """Merge-tile plan with the per-matrix window tuner: choose_tiling
     scores (row_window, col_window) by packing occupancy discounted by
@@ -179,7 +228,15 @@ def spmv(A, x, alpha=1.0, beta=0.0, y=None, strategy="auto"):
     type of ``A``)."""
     strategy = SpmvStrategy.parse(strategy)
     from tpusparse.formats.bcsr import BcsrMatrix
+    from tpusparse.formats.dia import DiaDevice
+    from tpusparse.ops.hybrid import HybridPlan, spmv_hybrid
 
+    if isinstance(A, HybridPlan):
+        return spmv_hybrid(A, x, alpha=alpha, beta=beta, y=y)
+    if isinstance(A, DiaDevice):
+        from tpusparse.ops.dia import spmv_dia
+
+        return spmv_dia(A, x, alpha=alpha, beta=beta, y=y)
     if isinstance(A, CsrMatrix):
         return ref.spmv_reference(A, x, alpha=alpha, beta=beta, y=y)
     import jax.experimental.sparse as jsparse
@@ -212,7 +269,15 @@ def spmm(A, X, alpha=1.0, beta=0.0, Y=None, strategy="auto"):
     """Y = alpha * A @ X + beta * Y, X of shape (num_cols, L)."""
     strategy = SpmvStrategy.parse(strategy)
     from tpusparse.formats.bcsr import BcsrMatrix
+    from tpusparse.formats.dia import DiaDevice
+    from tpusparse.ops.hybrid import HybridPlan, spmm_hybrid
 
+    if isinstance(A, HybridPlan):
+        return spmm_hybrid(A, X, alpha=alpha, beta=beta, Y=Y)
+    if isinstance(A, DiaDevice):
+        from tpusparse.ops.dia import spmm_dia
+
+        return spmm_dia(A, X, alpha=alpha, beta=beta, Y=Y)
     if isinstance(A, CsrMatrix):
         return ref.spmm_reference(A, X, alpha=alpha, beta=beta, Y=Y)
     import jax.experimental.sparse as jsparse
