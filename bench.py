@@ -1,8 +1,13 @@
 """Headline benchmark — prints ONE JSON line.
 
 Metric: fp32 CSR SpMV GFLOP/s on a 3-D Laplacian (110k rows, 760k nnz)
-via the Pallas merge-tile kernel — the reference's headline metric
-(``cpu_spmv.cpp:725,733``: GFLOP/s = 2*nnz/t).
+under the AUTO strategy planner — the reference's headline metric
+(``cpu_spmv.cpp:725,733``: GFLOP/s = 2*nnz/t) with the planner free to
+pick the best kernel for the matrix, exactly as the reference driver
+reports its best benchmarked strategy (``cpu_spmv.cpp:750-923``). For
+the stencil fixture AUTO selects the DIA stream path (the 7-point band
+is entirely diagonal); the merge-tile kernel remains the general
+scattered-matrix path and is reported alongside.
 
 Timing: chained-slope methodology (tpusparse.bench.timing) — the
 tunneled TPU platform has ~25 ms host<->device round-trip latency and
@@ -15,8 +20,9 @@ spread and best-set value reported alongside.
 denominator is the throughput its own byte model implies on its
 i9-9980XE host (~80 GB/s at 20 B/nnz fp64 -> ~4 Gnnz/s -> 8 GFLOP/s),
 i.e. the bandwidth-bound ceiling of the reference machine.
-``pct_of_roofline``: effective bytes over the measured 650 GB/s
-read-dominant stream ceiling of this chip (bench/models.py).
+``pct_of_roofline``: effective bytes (the reference's byte model,
+cpu_spmv.cpp:721-727) over the measured 650 GB/s read-dominant stream
+ceiling of this chip (bench/models.py).
 """
 
 import json
@@ -31,35 +37,48 @@ def main():
 
     from tpusparse.bench import models
     from tpusparse.bench.timing import slope_time
-    from tpusparse.formats.tiles import build_merge_tiles
     from tpusparse.io import generators
-    from tpusparse.kernels import merge_spmv
-    from tpusparse.ops.spmv import plan_matrix
+    from tpusparse.ops.spmv import plan_matrix, spmv
 
     width = 48  # 110k rows, ~760k nnz
     csr = generators.make_laplacian_grid3d(width, dtype=np.float32).to_csr()
-    A = plan_matrix(csr, strategy="merge", dtype=np.float32)
+    A = plan_matrix(csr, strategy="auto", dtype=np.float32)
+    strategy = type(A).__name__
+    from tpusparse.ops.hybrid import HybridPlan
+
+    if isinstance(A, HybridPlan):
+        strategy = "dia" if A.rest is None else "hybrid-dia"
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(csr.num_cols).astype(np.float32))
 
+    # chain lengths must put ~20+ ms between the two chains to clear
+    # the tunnel's ms-scale round-trip jitter: the merge kernel is
+    # ~60 us/op (420-op chain suffices) but the DIA stream path is
+    # ~7 us/op, needing ~3200
+    iters = (200, 3200) if strategy.startswith(("dia", "hybrid")) else (
+        20, 420
+    )
     st = slope_time(
-        # 420-op chain ≈ 17 ms of kernel time: the slope delta clears
-        # the tunnel's ms-scale round-trip jitter, which (10, 110)
-        # chains did not (spread ~2 under contention)
-        lambda v: merge_spmv.spmv_merge(A, v), x, iters=(20, 420),
+        lambda v: spmv(A, v), x, iters=iters,
         sets=8, reps=4,
     )
     per_op = st.median_s
     gf = 2.0 * csr.nnz / max(per_op, 1e-9) / 1e9
-    ebytes = models.spmv_bytes(csr.nnz, csr.num_rows, value_bytes=4)
+    if strategy == "dia":
+        # no index traffic on the DIA path; >100% roofline flags
+        # VMEM-resident planes (legitimate under solver-style reuse)
+        ebytes = models.dia_bytes(len(A.dia.offsets), csr.num_rows)
+    else:
+        ebytes = models.spmv_bytes(csr.nnz, csr.num_rows, value_bytes=4)
     print(
         json.dumps(
             {
-                "metric": "spmv_fp32_merge_gflops",
+                "metric": "spmv_fp32_auto_gflops",
                 "value": round(gf, 2),
                 "unit": "GFLOP/s",
                 "vs_baseline": round(gf / BASELINE_SPMV_GFLOPS, 3),
+                "strategy": strategy,
                 "spread": round(st.spread, 3),
                 "best_set_gflops": round(
                     2.0 * csr.nnz / max(st.min_s, 1e-9) / 1e9, 2

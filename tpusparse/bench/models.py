@@ -29,6 +29,16 @@ def spmv_bytes(nnz: int, rows: int, L: int = 1, value_bytes: int = 8,
     )
 
 
+def dia_bytes(n_diags: int, rows: int, L: int = 1,
+              value_bytes: int = 4) -> float:
+    """Byte model for the DIA stream path: K value planes + x + y,
+    each streamed once (no index traffic — offsets are static). A
+    roofline percentage above 100 on small matrices means the planes
+    stayed VMEM-resident across the timing chain (legitimate for
+    solver workloads, which reuse A every iteration)."""
+    return (n_diags + 2 * L) * rows * value_bytes
+
+
 def cg_flops(nnz: int, n: int, L: int, iters: int) -> float:
     return (2.0 * nnz + 10.0 * n) * L * iters
 
