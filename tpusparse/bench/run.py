@@ -80,8 +80,12 @@ def _plan(csr, strategy, dtype, L=1):
     from tpusparse.kernels.ell_spmm import DeviceEll
     from tpusparse.ops.spmv import plan_matrix
 
+    from tpusparse.ops.hybrid import HybridPlan
+
     A = plan_matrix(csr, strategy=strategy, dtype=dtype, L=L)
-    if isinstance(A, CsrMatrix):
+    if isinstance(A, HybridPlan):
+        kind = "dia" if A.rest is None else "hybrid_dia"
+    elif isinstance(A, CsrMatrix):
         kind = "reference"
     elif isinstance(A, jsparse.BCOO):
         kind = "bcoo"
@@ -130,15 +134,26 @@ def cmd_spmv(args):
     # the reference benches {Simple, Merge, NonzeroSplit, MKL} per run
     # (cpu_spmv.cpp:750-923)
     strategies = (args.strategy.split(",") if args.strategy
-                  else (["merge", "row_split", "reference", "bcoo"]
+                  else (["auto", "merge", "row_split", "reference",
+                         "bcoo"]
                         if dtype == np.float32
-                        # fp64: the double-float gather-job kernel is
-                        # the Pallas row (reference benches its kernels
-                        # in the default fp64 mode, cpu_spmv.cpp:979)
-                        else ["row_split", "reference", "bcoo"]))
+                        # fp64: AUTO (native-f64 DIA when the matrix
+                        # has diagonal structure) + the double-float
+                        # gather-job kernel as the Pallas row
+                        # (reference benches its kernels in the
+                        # default fp64 mode, cpu_spmv.cpp:979)
+                        else ["auto", "row_split", "reference",
+                              "bcoo"]))
     rows = []
+    seen_kinds = set()
     for strat in strategies:
         A, kind = _plan(csr, strat, dtype)
+        if strat == "auto" and not args.strategy:
+            # AUTO may resolve to a strategy already in the default
+            # list; dedupe so each kind is benched once
+            seen_kinds.add(kind)
+        elif kind in seen_kinds and not args.strategy:
+            continue
         xd = jnp.asarray(x)
         y = np.asarray(spmv(A, xd, alpha=args.alpha, beta=args.beta))
         scale = np.abs(golden).max() + 1.0
@@ -188,14 +203,22 @@ def cmd_spmm(args):
     golden = csr.to_scipy() @ X
 
     strategies = (args.strategy.split(",") if args.strategy
-                  else (["row_split", "merge", "reference", "bcoo"]
+                  else (["auto", "row_split", "merge", "reference",
+                         "bcoo"]
                         if dtype == np.float32
-                        # fp64: the double-float kernel row (78 GF at
-                        # L=32 vs ~0.4 for the XLA fp64 path)
-                        else ["row_split", "reference", "bcoo"]))
+                        # fp64: AUTO (DIA for diagonal structure) +
+                        # the double-float kernel row (78 GF at L=32
+                        # vs ~0.4 for the XLA fp64 path)
+                        else ["auto", "row_split", "reference",
+                              "bcoo"]))
     rows = []
+    seen_kinds = set()
     for strat in strategies:
         A, kind = _plan(csr, strat, dtype, L=L)
+        if strat == "auto" and not args.strategy:
+            seen_kinds.add(kind)
+        elif kind in seen_kinds and not args.strategy:
+            continue
         Xd = jnp.asarray(X)
         Y = np.asarray(spmm(A, Xd))
         scale = np.abs(golden).max() + 1.0
@@ -513,45 +536,51 @@ def cmd_axpy(args):
 def cmd_efficiency(args):
     """Multi-device scaling study (parity: verification/efficiency/
     parallel_efficiency.cpp:293-395 — thread counts become device
-    counts): times the sharded multi-RHS CG step over 1..D devices and
-    emits speedup/efficiency CSV + plot."""
+    counts): times the FULL jitted sharded multi-RHS CG solve
+    (parallel.solvers.cg_solve_multi_sharded, one device dispatch for
+    the whole while_loop — a Python step loop would time the ~25 ms
+    tunnel round trip, not the scaling) over 1..D devices and emits
+    speedup/efficiency CSV + plot. fp32 (the Pallas kernel path)."""
     import jax
     import jax.numpy as jnp
 
     from tpusparse.parallel import sharded as sh
+    from tpusparse.parallel.sharded_tiles import (
+        device_put_sharded_tiles,
+        shard_tiles,
+    )
+    from tpusparse.parallel.solvers import cg_solve_multi_sharded
 
     csr, name = _load_matrix(args)
-    dtype = np.float32 if args.fp32 else np.float64
     L = args.num_vectors
     rng = np.random.default_rng(0)
-    B = rng.standard_normal((csr.num_rows, L)).astype(dtype)
+    B = rng.standard_normal((csr.num_rows, L)).astype(np.float32)
+    # fixed iteration budget: tolerance=0 never converges, so every
+    # device count does exactly `iters` iterations of identical work
+    iters = max(min(args.max_iters // 10, 200), 20)
 
     devs = jax.devices()
     counts = [d for d in (1, 2, 4, 8, 16) if d <= len(devs)]
     times = []
     for nd in counts:
         mesh = sh.make_mesh(nd)
-        A = sh.shard_csr(csr, nd)
-        Ad = sh.device_put_sharded(A, mesh)
-        Bp = jnp.asarray(sh.to_padded_layout(B, A))
-        X, R, Pd = jnp.zeros_like(Bp), Bp, Bp
-        rs = jnp.sum(jnp.asarray(B) ** 2, axis=0)
-        step = jax.jit(
-            lambda X, R, Pd, rs, Ad=Ad, mesh=mesh: sh.cg_step_sharded(
-                Ad, (X, R, Pd, rs), mesh
-            )
+        st = shard_tiles(csr, nd, pad_layout_cols=True)
+        std = device_put_sharded_tiles(st, mesh)
+        Bp = sh.to_padded_layout(B, st)
+        solve = lambda: cg_solve_multi_sharded(
+            std, Bp, mesh, max_iters=iters, tolerance=0.0,
+            record_history=False,
         )
-        X, R, Pd, rs = step(X, R, Pd, rs)  # compile + warm
-        float(jnp.sum(rs))
-        reps = max(args.max_iters // 100, 10)
+        res = solve()  # compile + warm
+        float(jnp.sum(res.residual))
         t0 = time.perf_counter()
-        for _ in range(reps):
-            X, R, Pd, rs = step(X, R, Pd, rs)
-        float(jnp.sum(rs))
-        t = (time.perf_counter() - t0) / reps
+        res = solve()
+        float(jnp.sum(res.residual))
+        t = (time.perf_counter() - t0) / iters
         times.append(t)
         if not args.quiet:
-            print(f"{name} devices={nd}: {t*1e3:.3f} ms/step, "
+            print(f"{name} devices={nd}: {t*1e3:.3f} ms/step "
+                  f"({iters} jitted iters), "
                   f"speedup {times[0]/t:.2f}, "
                   f"efficiency {times[0]/t/nd:.2f}")
     out = args.output or "data/efficiency"

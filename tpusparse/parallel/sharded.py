@@ -79,18 +79,26 @@ class ShardedCsr:
         return int(self.values.shape[0])
 
 
-def shard_csr(csr: CsrMatrix, n_shards: int, by_nnz: bool = True
-              ) -> ShardedCsr:
+def shard_csr(csr: CsrMatrix, n_shards: int, by_nnz: bool = True,
+              bounds=None) -> ShardedCsr:
     """Split a host CSR into ``n_shards`` row slabs.
 
     ``by_nnz=True`` picks the row split by balancing nonzeros (the
     merge-path equal-work idea applied at the shard level); rows per
-    shard are then padded to the max so shapes are uniform."""
+    shard are then padded to the max so shapes are uniform.
+    ``bounds`` overrides the row split (n_shards+1 boundaries) so
+    several matrices — e.g. a system matrix and its preconditioner
+    factors — can share ONE padded shard layout."""
     ro = np.asarray(csr.row_offsets).astype(np.int64)
     ci = np.asarray(csr.col_indices)
     va = np.asarray(csr.values)
     M = csr.num_rows
-    if by_nnz and csr.nnz > 0:
+    if bounds is not None:
+        bounds = np.asarray(bounds, dtype=np.int64)
+        if bounds.shape[0] != n_shards + 1 or bounds[-1] != M:
+            raise ValueError("bounds must be (n_shards+1,) ending at "
+                             "num_rows")
+    elif by_nnz and csr.nnz > 0:
         targets = (np.arange(1, n_shards) * csr.nnz) // n_shards
         cuts = np.searchsorted(ro, targets, side="left")
         bounds = np.concatenate([[0], cuts, [M]])

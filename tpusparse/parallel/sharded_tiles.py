@@ -72,7 +72,8 @@ class ShardedTiles:
 
 
 def shard_tiles(csr: CsrMatrix, n_shards: int,
-                pad_layout_cols: bool = False, **tile_kwargs
+                pad_layout_cols: bool = False, bounds=None,
+                rows_per_shard: int | None = None, **tile_kwargs
                 ) -> ShardedTiles:
     """Split rows into nnz-balanced slabs and merge-tile each slab.
 
@@ -82,11 +83,19 @@ def shard_tiles(csr: CsrMatrix, n_shards: int,
     row_start[s]), the same remap as ``ShardedCsr.col_padded``. The
     per-shard kernel then gathers directly from an all-gathered
     row-sharded vector of length D*rows_per_shard — what the sharded CG
-    step needs."""
+    step needs.
+
+    ``bounds``/``rows_per_shard`` override the row split and slab
+    padding so several matrices (system matrix + preconditioner
+    factors) can share ONE padded shard layout."""
     from tpusparse.parallel.sharded import shard_csr
 
-    slabs = shard_csr(csr, n_shards)
+    slabs = shard_csr(csr, n_shards, bounds=bounds)
     rps = slabs.rows_per_shard
+    if rows_per_shard is not None:
+        if rows_per_shard < rps:
+            raise ValueError("rows_per_shard below the split's max slab")
+        rps = rows_per_shard
 
     pos = None
     gather_cols = csr.num_cols
@@ -106,6 +115,13 @@ def shard_tiles(csr: CsrMatrix, n_shards: int,
     per_shard = []
     for i in range(n_shards):
         ro = np.asarray(slabs.row_offsets[i])
+        if rps + 1 > ro.shape[0]:
+            # rows_per_shard override widened the slabs: extend with
+            # empty rows
+            ro = np.concatenate([
+                ro,
+                np.full(rps + 1 - ro.shape[0], ro[-1], dtype=ro.dtype),
+            ])
         nnz_i = int(ro[-1])
         ci = np.asarray(slabs.col_indices[i][:nnz_i])
         if pos is not None:
@@ -248,7 +264,9 @@ def spmv_sharded_tiles(st: ShardedTiles, x, mesh: Mesh,
 
 
 def _local_tiles(st: ShardedTiles, vals, lcols, epos, rblk, cblk, cspan):
-    """Reconstruct one shard's DeviceTiles from shard_map block args."""
+    """Reconstruct one shard's DeviceTiles from shard_map block args.
+    Only ``st``'s static aux fields are read (the arrays come from the
+    block args), so ``st`` may be a metadata-only skeleton."""
     empty_i = jnp.zeros((0,), jnp.int32)
     return merge_spmv.DeviceTiles(
         num_rows=st.rows_per_shard,
@@ -269,7 +287,7 @@ def _local_tiles(st: ShardedTiles, vals, lcols, epos, rblk, cblk, cspan):
         y_pad_rows=st.y_pad_rows,
         ovf_rows=empty_i,
         ovf_cols=empty_i,
-        ovf_vals=jnp.zeros((0,), st.vals.dtype),
+        ovf_vals=jnp.zeros((0,), vals.dtype),
     )
 
 
