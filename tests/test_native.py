@@ -87,3 +87,30 @@ def test_native_argsort_u64(rng):
     keys = rng.integers(0, 2**50, 100000).astype(np.uint64)
     order = native.argsort_u64(keys)
     assert np.array_equal(keys[order], np.sort(keys))
+
+
+def test_native_tri_levels_matches_fallback():
+    """Native O(nnz) level walk == the numpy frontier fallback, lower
+    and upper, on an IC(0) factor of a stencil."""
+    from tpusparse.io import generators
+    from tpusparse.precond import trisolve
+    from tpusparse.precond.ic0 import ic0_factorize
+
+    csr = generators.make_laplacian_grid2d(14).to_csr()
+    Lf = ic0_factorize(csr)
+    for T, lower in ((Lf, True), (Lf.transpose(), False)):
+        ro = np.asarray(T.row_offsets).astype(np.int64)
+        ci = np.asarray(T.col_indices).astype(np.int64)
+        lev_native, nlev = native.tri_levels(ro, ci, T.num_rows,
+                                             lower=lower)
+        assert lev_native is not None
+
+        # frontier fallback (bypass the native path)
+        import unittest.mock as mock
+
+        with mock.patch.object(native, "tri_levels",
+                               return_value=(None, None)):
+            lev_py = trisolve._dependency_levels(ro, ci, T.num_rows,
+                                                 lower)
+        np.testing.assert_array_equal(lev_native, lev_py)
+        assert nlev == int(lev_py.max()) + 1

@@ -146,6 +146,44 @@ def jacobi_trisolve_upper(L_host, sweeps: int = 12, to_plan=None,
 # Level-scheduled exact triangular solve
 # ---------------------------------------------------------------------------
 
+
+def _dependency_levels(ro, ci, n, lower):
+    """Topological levels of a triangular CSR: level[i] = 1 + max level
+    of row i's strict dependencies. Native O(nnz) walk when the C++
+    library is available (utils/native.tri_levels); numpy frontier
+    propagation otherwise (O(nlev) vectorized passes — the fallback,
+    not the fast path)."""
+    from tpusparse.utils import native
+
+    lev, _ = native.tri_levels(ro, ci, n, lower=lower)
+    if lev is not None:
+        return lev
+
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(ro))
+    strict = ci != rows
+    srow, scol = rows[strict], ci[strict]
+    level = np.full(n, -1, dtype=np.int64)
+    # roots: rows with no strict dependencies
+    ndeps = np.bincount(srow, minlength=n)
+    level[ndeps == 0] = 0
+    while True:
+        dep_lev = level[scol]
+        pending = level[srow] < 0
+        if not pending.any():
+            break
+        # a pending row becomes ready when ALL its deps are assigned
+        ready_min = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(ready_min, srow[pending], dep_lev[pending])
+        ready_max = np.full(n, -1, dtype=np.int64)
+        np.maximum.at(ready_max, srow[pending], dep_lev[pending])
+        ready = (level < 0) & (ready_min >= 0) & (
+            ready_min < np.iinfo(np.int64).max
+        )
+        if not ready.any():
+            raise ValueError("cycle in triangular structure")
+        level[ready] = ready_max[ready] + 1
+    return level
+
 class LevelScheduledSolver:
     """Exact triangular solve via dependency levels — the classic
     parallel re-expression of the reference's row-sequential
@@ -162,46 +200,45 @@ class LevelScheduledSolver:
     def __init__(self, T, lower: bool = True):
         import jax.numpy as jnp
 
-        ro = np.asarray(T.row_offsets)
-        ci = np.asarray(T.col_indices)
+        ro = np.asarray(T.row_offsets).astype(np.int64)
+        ci = np.asarray(T.col_indices).astype(np.int64)
         va = np.asarray(T.values)
         n = T.num_rows
-        rows = T.row_ids()
+        rows = T.row_ids().astype(np.int64)
         is_diag = ci == rows
         diag = np.zeros(n, dtype=np.float64)
         diag[rows[is_diag]] = va[is_diag]
 
-        # host: topological levels over the strict part
-        level = np.zeros(n, dtype=np.int64)
-        order = range(n) if lower else range(n - 1, -1, -1)
-        for i in order:
-            s0, s1 = ro[i], ro[i + 1]
-            deps = ci[s0:s1]
-            deps = deps[deps != i]
-            level[i] = 1 + (level[deps].max() if deps.size else -1)
+        level = _dependency_levels(ro, ci, n, lower)
         nlev = int(level.max()) + 1 if n else 1
 
-        # pad levels to (nlev, R) rows and (K,) strict slots per row
-        strict_counts = np.zeros(n, dtype=np.int64)
-        np.add.at(strict_counts, rows[~is_diag], 1)
+        # pad levels to (nlev, R) rows and (K,) strict slots per row —
+        # all scatter passes, no per-row/per-nnz Python loops (round-2
+        # weak #4: millions of interpreted iterations on big factors)
+        strict_counts = np.bincount(rows[~is_diag], minlength=n)
         R = max(int(np.bincount(level, minlength=nlev).max()), 1)
-        K = max(int(strict_counts.max()), 1)
+        K = max(int(strict_counts.max()) if n else 0, 1)
 
+        order = np.argsort(level, kind="stable")
+        lvl_sorted = level[order]
+        starts = np.searchsorted(lvl_sorted, np.arange(nlev))
+        rank = np.arange(n, dtype=np.int64) - starts[lvl_sorted]
         rows_of_level = np.full((nlev, R), n, dtype=np.int32)  # pad -> n
-        for lv in range(nlev):
-            members = np.flatnonzero(level == lv)
-            rows_of_level[lv, : members.size] = members
+        rows_of_level[lvl_sorted, rank] = order.astype(np.int32)
 
+        # strict slot index within the row: position in the CSR stream
+        # minus one if the row's diagonal entry precedes it
+        within = np.arange(ci.size, dtype=np.int64) - ro[rows]
+        diag_within = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        diag_within[rows[is_diag]] = within[is_diag]
+        k_slot = within - (diag_within[rows] < within)
         cols_pad = np.full((n + 1, K), n, dtype=np.int32)
         vals_pad = np.zeros((n + 1, K), dtype=va.dtype)
-        k_fill = np.zeros(n, dtype=np.int64)
-        for idx in range(ci.size):
-            i, c = int(rows[idx]), int(ci[idx])
-            if c == i:
-                continue
-            cols_pad[i, k_fill[i]] = c
-            vals_pad[i, k_fill[i]] = va[idx]
-            k_fill[i] += 1
+        strict = ~is_diag
+        cols_pad[rows[strict], k_slot[strict]] = ci[strict].astype(
+            np.int32
+        )
+        vals_pad[rows[strict], k_slot[strict]] = va[strict]
 
         self.n = n
         self.nlev = nlev

@@ -34,20 +34,20 @@ def _load():
         return _LIB
     _TRIED = True
     path = _lib_path()
-    if not os.path.exists(path):
-        # first use: try a one-shot build (the .so is a build artifact,
-        # not committed)
-        native_dir = os.path.dirname(path)
-        if os.path.exists(os.path.join(native_dir, "Makefile")):
-            import subprocess
+    # (re)build on use: a no-op when the .so is fresh, and keeps a
+    # stale .so (missing newly added symbols) from breaking the
+    # bindings below
+    native_dir = os.path.dirname(path)
+    if os.path.exists(os.path.join(native_dir, "Makefile")):
+        import subprocess
 
-            try:
-                subprocess.run(
-                    ["make", "-C", native_dir], check=False,
-                    capture_output=True, timeout=120,
-                )
-            except Exception:
-                pass
+        try:
+            subprocess.run(
+                ["make", "-C", native_dir], check=False,
+                capture_output=True, timeout=120,
+            )
+        except Exception:
+            pass
     if not os.path.exists(path):
         return None
     try:
@@ -121,8 +121,16 @@ def _load():
             np.ctypeslib.ndpointer(np.float64, flags="C"),
             ctypes.c_int, ctypes.c_double,
         ]
+        lib.tri_levels.restype = ctypes.c_int32
+        lib.tri_levels.argtypes = [
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C"),
+            np.ctypeslib.ndpointer(np.int32, flags="C"),
+            ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int32, flags="C"),
+        ]
         _LIB = lib
-    except OSError:
+    except (OSError, AttributeError):  # missing .so or stale symbols
         _LIB = None
     return _LIB
 
@@ -261,6 +269,21 @@ def coo_sort_order(num_rows, rows, cols):
     order = np.empty(rows.size, dtype=np.int64)
     lib.coo_sort_order(int(num_rows), int(rows.size), rows, cols, order)
     return order
+
+
+def tri_levels(row_offsets, col_indices, num_rows, lower=True):
+    """Dependency levels of a triangular CSR (level-scheduled solve
+    setup) in one native O(nnz) walk. Returns (level int64 array,
+    nlevels) or (None, None) when the library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "tri_levels"):
+        return None, None
+    ro = np.ascontiguousarray(row_offsets, dtype=np.int64)
+    ci = np.ascontiguousarray(col_indices, dtype=np.int32)
+    out = np.zeros(max(int(num_rows), 1), dtype=np.int32)
+    nlev = lib.tri_levels(int(num_rows), ro, ci,
+                          1 if lower else 0, out)
+    return out[:num_rows].astype(np.int64), int(nlev)
 
 
 def ell_jobs_per_rowblock(csr):
