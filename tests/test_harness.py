@@ -288,7 +288,9 @@ def test_cli_mtx_file_roundtrip(tmp_path, capsys):
     cli(["spmv", "--mtx", str(p), "--fp64",
          "--strategy", "reference", "--quiet"])
     out = capsys.readouterr().out.strip().splitlines()[-1]
-    assert "PASS" in out and "m.mtx" in out
+    # matrix names in CSV rows drop the .mtx extension (reference
+    # naming, eval_simple_gflops.sh:55)
+    assert "PASS" in out and out.startswith("m,")
 
 
 def test_cli_bsr_strategy(capsys):
@@ -298,3 +300,52 @@ def test_cli_bsr_strategy(capsys):
          "--quiet"])
     out = capsys.readouterr().out.strip().splitlines()[-1]
     assert "PASS" in out and "bsr" in out
+
+
+def test_sweep_scripts_smoke(tmp_path):
+    """The one-command reproduction scripts (eval_spmm/eval_para/
+    eval_simple_gflops — parity with the reference's eval_csrmm.sh /
+    eval_para.sh / eval_simple_gflops.sh) run end-to-end on a tiny
+    matrix. Subprocesses pin TPUSPARSE_PLATFORM=cpu so the smoke test
+    is hermetic."""
+    import subprocess
+
+    from tpusparse.io import generators
+    from tpusparse.io.market import write_market
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    mdir = tmp_path / "mtx"
+    mdir.mkdir()
+    write_market(str(mdir / "lap2d8.mtx"),
+                 generators.make_laplacian_grid2d(8).to_csr())
+    env = dict(os.environ)
+    env["TPUSPARSE_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+
+    out1 = tmp_path / "spmm.csv"
+    r = subprocess.run(
+        ["bash", os.path.join(repo, "scripts", "eval_spmm.sh"),
+         str(mdir), "4", str(out1)],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert out1.read_text().count("\n") >= 2  # header + >= 1 row
+
+    out2 = tmp_path / "eff"
+    r = subprocess.run(
+        ["bash", os.path.join(repo, "scripts", "eval_para.sh"),
+         str(mdir), "2", str(out2)],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (out2 / "lap2d8_efficiency.csv").exists()
+
+    out3 = tmp_path / "simple"
+    r = subprocess.run(
+        ["bash", os.path.join(repo, "scripts",
+                              "eval_simple_gflops.sh"),
+         str(mdir), "0", str(out3)],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (out3 / "lap2d8_gflops.csv").exists()

@@ -42,7 +42,13 @@ def _load_matrix(args):
     dtype = np.float32 if args.fp32 else np.float64
     if args.mtx:
         coo = read_market(args.mtx, dtype=dtype)
+        # basename without extension (reference CSV naming:
+        # eval_simple_gflops.sh:55 `basename "${mtx_file}" .mtx`)
         name = os.path.basename(args.mtx)
+        for ext in (".mtx.gz", ".mtx"):
+            if name.endswith(ext):
+                name = name[: -len(ext)]
+                break
     elif args.grid2d:
         coo = generators.make_grid2d(args.grid2d, self_loop=True,
                                      dtype=dtype)
@@ -672,6 +678,12 @@ def main(argv=None):
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    # Hermetic-CI escape hatch: the ambient axon TPU plugin ignores the
+    # JAX_PLATFORMS env var, so subprocess tests (script smoke tests)
+    # set TPUSPARSE_PLATFORM=cpu to pin the backend before first use.
+    plat = os.environ.get("TPUSPARSE_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     args = build_parser().parse_args(argv)
     if getattr(args, "profile", None):
         # TPU analogue of the reference's timer instrumentation
