@@ -1,0 +1,114 @@
+"""Realistic irregular-pattern validation (VERDICT r2 item 4).
+
+The reference's dataset is 2,757 SuiteSparse matrices
+(``ufl_matrices.txt``, vendored at data/ufl/); this host has no
+network egress, so the heavy-tailed R-MAT (Graph500 Kronecker)
+generator stands in for the web/social-graph class — the patterns
+where merge-path load balance and the AUTO gates earn their keep.
+Every test drives the FULL pipeline: generator -> .mtx write ->
+(native) parse -> AUTO plan -> golden check / solve.
+"""
+
+import numpy as np
+import pytest
+
+from tpusparse.formats.csr import CsrMatrix
+from tpusparse.io import generators
+from tpusparse.io.market import read_market, write_market
+from tpusparse.ops.spmv import plan_matrix, spmv
+from tpusparse.solvers.cg import cg_solve_multi
+
+
+def _degrees(csr):
+    return np.diff(np.asarray(csr.row_offsets))
+
+
+def test_rmat_is_heavy_tailed():
+    csr = generators.make_rmat(12, 16, seed=1).to_csr()
+    deg = _degrees(csr)
+    mean = deg.mean()
+    # a power-law-ish graph: hub degree far above the mean, positive
+    # skewness (the wheel is the extreme case; RMAT is the realistic one)
+    assert deg.max() > 20 * mean
+    skew = ((deg - mean) ** 3).mean() / max(deg.std() ** 3, 1e-30)
+    assert skew > 5
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_rmat_mtx_pipeline_golden(tmp_path, dtype):
+    """generator -> write_market -> read_market (native parser when
+    built) -> AUTO plan -> SpMV golden vs scipy."""
+    coo = generators.make_rmat(10, 8, seed=3, dtype=np.float64)
+    p = tmp_path / "rmat10.mtx"
+    write_market(str(p), coo.to_csr())
+    csr = CsrMatrix.from_coo(read_market(str(p), dtype=np.float64))
+    S = csr.to_scipy()
+
+    plan = plan_matrix(csr, dtype=dtype)
+    x = np.random.default_rng(0).standard_normal(
+        csr.num_cols
+    ).astype(dtype)
+    y = np.asarray(spmv(plan, x))
+    ref = S.astype(dtype) @ x
+    tol = 2e-5 if dtype == np.float32 else 1e-10
+    scale = np.abs(ref).max() + 1.0
+    assert np.abs(y - ref).max() / scale < tol
+
+
+def test_rmat_spd_cg_iteration_parity():
+    """CG on a heavy-tailed SPD pattern: every strategy (AUTO, merge,
+    reference) converges with identical iteration counts (+-1) — the
+    reference's cross-implementation-agreement test shape
+    (cpu_spmv.cpp:866-895) on a realistic matrix."""
+    import jax.numpy as jnp
+
+    csr = generators.make_rmat_spd(10, 8, seed=5).to_csr()
+    L = 3
+    B = np.random.default_rng(1).standard_normal(
+        (csr.num_rows, L)
+    ).astype(np.float64)
+    iters = {}
+    for strat in ("auto", "merge", "reference"):
+        A = plan_matrix(csr.astype(np.float64), strategy=strat,
+                        dtype=np.float64, L=L)
+        res = cg_solve_multi(A, jnp.asarray(B), max_iters=2000,
+                             tolerance=1e-8)
+        assert bool(np.all(np.asarray(res.converged))), strat
+        iters[strat] = int(res.iterations)
+    # strict IEEE paths: identical counts +-1
+    assert abs(iters["merge"] - iters["reference"]) <= 1, iters
+    # AUTO may route the fp64 remainder through the ~1e-14 double-float
+    # kernel (documented in plan_matrix): allow a few extra iterations
+    # at tol 1e-8, but it must stay in the same ballpark
+    assert iters["auto"] <= iters["reference"] + max(
+        2, iters["reference"] // 20
+    ), iters
+
+
+def test_rmat_auto_plan_handles_skew():
+    """The planner must not blow up the payload on hub rows; whatever
+    strategy AUTO picks, the result is correct on the skewed pattern."""
+    csr = generators.make_rmat(11, 12, seed=7).to_csr()
+    plan = plan_matrix(csr, dtype=np.float32)
+    S = csr.to_scipy()
+    x = np.random.default_rng(2).standard_normal(
+        csr.num_cols
+    ).astype(np.float32)
+    y = np.asarray(spmv(plan, x))
+    ref = (S @ x).astype(np.float32)
+    scale = np.abs(ref).max() + 1.0
+    assert np.abs(y - ref).max() / scale < 2e-5
+
+
+def test_ufl_lists_vendored():
+    """The reference's SuiteSparse manifests ship with the repo so the
+    fetch pipeline is one command when the network allows
+    (get_uf_datasets.sh; reference get_uf_datasets.sh:10-24)."""
+    import os
+
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "ufl")
+    mats = open(os.path.join(root, "ufl_matrices.txt")).read().split()
+    urls = open(os.path.join(root, "ufl_urls.txt")).read().split()
+    assert len(mats) == 2757 and len(urls) == 2757
+    assert all(u.endswith(".tar.gz") for u in urls[:10])

@@ -178,3 +178,62 @@ def make_block_random(block_grid: int, blocks_per_row: int = 4,
     idt = np.int32
     coo = CooMatrix(n_r, n_c, rows.astype(idt), cols.astype(idt), vals)
     return coo.sum_duplicates()
+
+
+def make_rmat(scale: int, edge_factor: int = 16,
+              a: float = 0.57, b: float = 0.19, c: float = 0.19,
+              seed: int = 0, symmetric: bool = True,
+              dtype=np.float64) -> CooMatrix:
+    """R-MAT (Graph500 Kronecker) power-law graph: 2^scale vertices,
+    ~edge_factor * 2^scale edges sampled by recursive quadrant
+    probabilities (a, b, c, d). This is the standard realistic-skew
+    synthetic — heavy-tailed degree distributions like the SuiteSparse
+    web/social matrices the reference's dataset pipeline targets
+    (``ufl_matrices.txt``; fetch offline-blocked, see data/ufl/).
+
+    Duplicate edges accumulate (CSR semantics); ``symmetric=True``
+    mirrors edges so the pattern is structurally symmetric.
+    """
+    n = 1 << scale
+    ne = edge_factor * n
+    rng = np.random.default_rng(seed)
+    rows = np.zeros(ne, dtype=np.int64)
+    cols = np.zeros(ne, dtype=np.int64)
+    for lvl in range(scale):
+        u = rng.random(ne)
+        # quadrant thresholds: a | b | c | d
+        hi_r = u >= a + b                      # lower half (c or d)
+        hi_c = (u >= a) & (u < a + b) | (u >= a + b + c)  # right (b|d)
+        rows |= hi_r.astype(np.int64) << lvl
+        cols |= hi_c.astype(np.int64) << lvl
+    vals = rng.standard_normal(ne).astype(dtype)
+    if symmetric:
+        rows, cols = (np.concatenate([rows, cols]),
+                      np.concatenate([cols, rows]))
+        vals = np.concatenate([vals, vals])
+    idt = np.int32 if n <= np.iinfo(np.int32).max else np.int64
+    return CooMatrix(n, n, rows.astype(idt), cols.astype(idt),
+                     vals)
+
+
+def make_rmat_spd(scale: int, edge_factor: int = 8, seed: int = 0,
+                  dtype=np.float64) -> CooMatrix:
+    """SPD power-law fixture: symmetric R-MAT with |values| off the
+    diagonal made diagonally dominant (graph-Laplacian style), so CG
+    convergence tests can run on realistic heavy-tailed patterns."""
+    g = make_rmat(scale, edge_factor, seed=seed, symmetric=True,
+                  dtype=np.float64)
+    import scipy.sparse as sp
+
+    S = sp.coo_matrix(
+        (np.abs(g.vals), (g.rows, g.cols)), shape=g.shape
+    ).tocsr()
+    S.sum_duplicates()
+    S.setdiag(0)
+    S.eliminate_zeros()
+    off = -S
+    d = np.asarray(S.sum(axis=1)).ravel() + 1.0
+    A = (off + sp.diags(d)).tocoo()
+    return CooMatrix(g.num_rows, g.num_cols,
+                     A.row.astype(np.int32), A.col.astype(np.int32),
+                     A.data.astype(dtype))
