@@ -126,7 +126,9 @@ def test_fp64_cg_via_df64_iteration_parity(rng):
 
     csr = generators.make_laplacian_grid2d(24).to_csr()
     B = rng.standard_normal((csr.num_rows, 8))
-    A_df = plan_matrix(csr, dtype=np.float64, L=8)
+    # AUTO now peels the stencil to the native-f64 DIA path; request the
+    # double-float plan explicitly (row_split is its strategy name).
+    A_df = plan_matrix(csr, strategy="row_split", dtype=np.float64, L=8)
     from tpusparse.kernels.ell_df import DeviceEllDF
 
     assert isinstance(A_df, DeviceEllDF)

@@ -209,3 +209,129 @@ def test_cg_on_hybrid_plan():
     x = np.asarray(res.x)
     r = np.asarray(b) - csr.to_scipy() @ x
     assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-9
+
+
+class TestDiaStream:
+    """Pallas streaming DIA kernel (kernels/dia_stream.py) — the
+    large-matrix diagonal path. CPU runs use interpret mode."""
+
+    def _band(self, n, offsets, seed=0):
+        rng = np.random.default_rng(seed)
+        diags = [rng.standard_normal(n) for _ in offsets]
+        A = sp.diags(diags, offsets, shape=(n, n), format="csr")
+        return CsrMatrix.from_scipy(A.tocsr().astype(np.float32)), A
+
+    def test_stream_parity_lane_crossing_offsets(self):
+        from tpusparse.kernels.dia_stream import (
+            spmv_dia_stream,
+            to_device_dia_stream,
+        )
+
+        n = 2048
+        offsets = [-300, -128, -127, -1, 0, 1, 127, 129, 300]
+        csr, A = self._band(n, offsets)
+        dia, rest = partition_dia(csr, np.array(offsets))
+        assert rest.nnz == 0
+        D = to_device_dia_stream(dia, block_rows=512)
+        x = _rng().standard_normal(n).astype(np.float32)
+        y = np.asarray(spmv_dia_stream(D, x))
+        ref = (A @ x).astype(np.float32)
+        assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+    def test_stream_block_boundary_offsets(self):
+        # |off| == block_rows exercises the halo edge slices
+        from tpusparse.kernels.dia_stream import (
+            fits_stream,
+            spmv_dia_stream,
+            to_device_dia_stream,
+        )
+
+        n = 2048
+        offsets = [-512, -511, 0, 511, 512]
+        csr, A = self._band(n, offsets, seed=1)
+        dia, _ = partition_dia(csr, np.array(offsets))
+        assert fits_stream(dia.offsets, block_rows=512)
+        assert not fits_stream(dia.offsets, block_rows=256)
+        D = to_device_dia_stream(dia, block_rows=512)
+        x = _rng().standard_normal(n).astype(np.float32)
+        y = np.asarray(spmv_dia_stream(D, x))
+        ref = (A @ x).astype(np.float32)
+        assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+    def test_stream_ragged_last_block(self):
+        # n not a multiple of block_rows: zero-padded tail block
+        from tpusparse.kernels.dia_stream import (
+            spmv_dia_stream,
+            to_device_dia_stream,
+        )
+
+        n = 1000
+        offsets = [-5, 0, 3]
+        csr, A = self._band(n, offsets, seed=2)
+        dia, _ = partition_dia(csr, np.array(offsets))
+        D = to_device_dia_stream(dia, block_rows=256)
+        x = _rng().standard_normal(n).astype(np.float32)
+        y = np.asarray(spmv_dia_stream(D, x))
+        assert y.shape == (n,)
+        ref = (A @ x).astype(np.float32)
+        assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+    def test_stream_alpha_beta_and_spmm(self):
+        from tpusparse.kernels.dia_stream import (
+            spmm_dia_stream,
+            spmv_dia_stream,
+            to_device_dia_stream,
+        )
+
+        n = 640
+        offsets = [-2, 0, 2]
+        csr, A = self._band(n, offsets, seed=3)
+        dia, _ = partition_dia(csr, np.array(offsets))
+        D = to_device_dia_stream(dia, block_rows=128)
+        x = _rng().standard_normal(n).astype(np.float32)
+        y0 = _rng().standard_normal(n).astype(np.float32)
+        got = np.asarray(spmv_dia_stream(D, x, alpha=2.0, beta=-0.5,
+                                         y=y0))
+        want = 2.0 * (A @ x).astype(np.float32) - 0.5 * y0
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+        X = _rng().standard_normal((n, 3)).astype(np.float32)
+        Y = np.asarray(spmm_dia_stream(D, X))
+        refM = (A @ X).astype(np.float32)
+        assert np.abs(Y - refM).max() / np.abs(refM).max() < 1e-5
+
+    def test_auto_gates_stream_past_plane_budget(self, monkeypatch):
+        import importlib
+
+        spmv_mod = importlib.import_module("tpusparse.ops.spmv")
+        from tpusparse.kernels.dia_stream import DiaStreamDevice
+
+        monkeypatch.setattr(spmv_mod, "DIA_STREAM_MIN_BYTES", 1024)
+        csr = generators.make_laplacian_grid3d(
+            12, dtype=np.float32
+        ).to_csr()
+        plan = plan_matrix(csr, dtype=np.float32)
+        assert isinstance(plan, HybridPlan)
+        assert isinstance(plan.dia, DiaStreamDevice)
+        S = csr.to_scipy()
+        x = _rng().standard_normal(csr.num_cols).astype(np.float32)
+        y = np.asarray(spmv(plan, x))
+        ref = (S @ x).astype(np.float32)
+        assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
+
+    def test_auto_keeps_xla_dia_for_multirhs_and_fp64(self, monkeypatch):
+        import importlib
+
+        spmv_mod = importlib.import_module("tpusparse.ops.spmv")
+        from tpusparse.formats.dia import DiaDevice
+
+        monkeypatch.setattr(spmv_mod, "DIA_STREAM_MIN_BYTES", 1024)
+        csr32 = generators.make_laplacian_grid3d(
+            12, dtype=np.float32
+        ).to_csr()
+        plan = plan_matrix(csr32, dtype=np.float32, L=8)
+        assert isinstance(plan.dia, DiaDevice)
+        csr64 = generators.make_laplacian_grid3d(
+            12, dtype=np.float64
+        ).to_csr()
+        plan64 = plan_matrix(csr64, dtype=np.float64)
+        assert isinstance(plan64.dia, DiaDevice)

@@ -22,6 +22,11 @@ from typing import Any
 import jax
 
 from tpusparse.formats.dia import DiaDevice
+from tpusparse.kernels.dia_stream import (
+    DiaStreamDevice,
+    spmm_dia_stream,
+    spmv_dia_stream,
+)
 from tpusparse.ops.dia import spmm_dia, spmv_dia
 
 
@@ -31,7 +36,7 @@ class HybridPlan:
     """DIA part + any other device plan for the remainder (None when
     the diagonals cover the whole matrix — then this is pure DIA)."""
 
-    dia: DiaDevice
+    dia: Any            # DiaDevice (XLA op) or DiaStreamDevice (Pallas)
     rest: Any           # merge/ELL/CSR plan or None
     nnz: int            # real nonzeros (for flop accounting)
 
@@ -46,7 +51,10 @@ class HybridPlan:
 def spmv_hybrid(H: HybridPlan, x, alpha=1.0, beta=0.0, y=None):
     from tpusparse.ops.spmv import spmv
 
-    y_new = spmv_dia(H.dia, x)
+    if isinstance(H.dia, DiaStreamDevice):
+        y_new = spmv_dia_stream(H.dia, x)
+    else:
+        y_new = spmv_dia(H.dia, x)
     if H.rest is not None:
         y_new = spmv(H.rest, x, beta=1.0, y=y_new)
     if beta == 0.0 or y is None:
@@ -57,7 +65,10 @@ def spmv_hybrid(H: HybridPlan, x, alpha=1.0, beta=0.0, y=None):
 def spmm_hybrid(H: HybridPlan, X, alpha=1.0, beta=0.0, Y=None):
     from tpusparse.ops.spmv import spmm
 
-    Y_new = spmm_dia(H.dia, X)
+    if isinstance(H.dia, DiaStreamDevice):
+        Y_new = spmm_dia_stream(H.dia, X)
+    else:
+        Y_new = spmm_dia(H.dia, X)
     if H.rest is not None:
         Y_new = spmm(H.rest, X, beta=1.0, Y=Y_new)
     if beta == 0.0 or Y is None:

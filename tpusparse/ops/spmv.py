@@ -171,6 +171,13 @@ def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1,
 # partial-product writeback isn't worth the peel).
 DIA_MIN_COVERAGE = 0.3
 
+# Beyond this many bytes of value planes, XLA's elementwise fusion of
+# the shifted slices stops holding them on-chip and the DIA op
+# collapses (measured lap3d: 530 GF at 115 MB planes -> 36 GF at
+# 198 MB); the Pallas streaming kernel (kernels/dia_stream.py) holds
+# ~330-365 GF at any size, so it takes over past the VMEM scale.
+DIA_STREAM_MIN_BYTES = 128 * 1024 * 1024
+
 
 def _try_plan_dia(csr, strategy, dtype, L):
     """DIA / hybrid plan, or None when the matrix has no diagonal
@@ -197,7 +204,17 @@ def _try_plan_dia(csr, strategy, dtype, L):
             and covered < DIA_MIN_COVERAGE * csr.nnz):
         return None
     dia_host, rest = partition_dia(csr, offsets)
-    dev = to_device_dia(dia_host, dtype=dtype)
+    from tpusparse.kernels import dia_stream
+
+    plane_bytes = dia_host.data.size * 4
+    if (np.dtype(dtype).itemsize <= 4
+            and L <= 1
+            and csr.num_rows == csr.num_cols
+            and plane_bytes > DIA_STREAM_MIN_BYTES
+            and dia_stream.fits_stream(dia_host.offsets)):
+        dev = dia_stream.to_device_dia_stream(dia_host)
+    else:
+        dev = to_device_dia(dia_host, dtype=dtype)
     rest_plan = None
     if rest.nnz > 0:
         rest_plan = plan_matrix(rest, strategy="auto", dtype=dtype,
@@ -237,6 +254,12 @@ def spmv(A, x, alpha=1.0, beta=0.0, y=None, strategy="auto"):
         from tpusparse.ops.dia import spmv_dia
 
         return spmv_dia(A, x, alpha=alpha, beta=beta, y=y)
+    from tpusparse.kernels.dia_stream import DiaStreamDevice
+
+    if isinstance(A, DiaStreamDevice):
+        from tpusparse.kernels.dia_stream import spmv_dia_stream
+
+        return spmv_dia_stream(A, x, alpha=alpha, beta=beta, y=y)
     if isinstance(A, CsrMatrix):
         return ref.spmv_reference(A, x, alpha=alpha, beta=beta, y=y)
     import jax.experimental.sparse as jsparse
@@ -278,6 +301,12 @@ def spmm(A, X, alpha=1.0, beta=0.0, Y=None, strategy="auto"):
         from tpusparse.ops.dia import spmm_dia
 
         return spmm_dia(A, X, alpha=alpha, beta=beta, Y=Y)
+    from tpusparse.kernels.dia_stream import DiaStreamDevice
+
+    if isinstance(A, DiaStreamDevice):
+        from tpusparse.kernels.dia_stream import spmm_dia_stream
+
+        return spmm_dia_stream(A, X, alpha=alpha, beta=beta, Y=Y)
     if isinstance(A, CsrMatrix):
         return ref.spmm_reference(A, X, alpha=alpha, beta=beta, Y=Y)
     import jax.experimental.sparse as jsparse
