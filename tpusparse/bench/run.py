@@ -72,6 +72,12 @@ def _load_matrix(args):
     elif args.spd:
         coo = generators.make_random_spd(args.spd, dtype=dtype)
         name = f"spd_{args.spd}"
+    elif args.rmat:
+        coo = generators.make_rmat(args.rmat, dtype=dtype)
+        name = f"rmat_{args.rmat}"
+    elif args.rmat_spd:
+        coo = generators.make_rmat_spd(args.rmat_spd, dtype=dtype)
+        name = f"rmat_spd_{args.rmat_spd}"
     else:
         raise SystemExit("no matrix source given (--mtx/--grid2d/...)")
     return coo.to_csr(), name
@@ -631,6 +637,10 @@ def build_parser():
         sp.add_argument("--lap2d", type=int)
         sp.add_argument("--lap3d", type=int)
         sp.add_argument("--spd", type=int)
+        sp.add_argument("--rmat", type=int, metavar="SCALE",
+                        help="R-MAT power-law graph, 2^SCALE vertices")
+        sp.add_argument("--rmat_spd", type=int, metavar="SCALE",
+                        help="SPD R-MAT variant (solver drivers)")
         sp.add_argument("--fp32", action="store_true")
         sp.add_argument("--fp64", action="store_true")
         sp.add_argument("--alpha", type=float, default=1.0)

@@ -1,0 +1,309 @@
+"""Distributed DIA — halo-exchange stencil solves across the mesh.
+
+The merge-kernel distributed path all_gathers the FULL search vector
+every iteration (``parallel/solvers.py``): O(n·L) bytes over ICI per
+matvec, because a general sparse shard may read any column. Banded /
+stencil matrices need none of that: a row slab [r0, r1) only reads
+x[r0 - H : r1 + H] where ``H = max|offset|`` — a fixed-width *halo*.
+This module shards the DIA value planes into uniform row slabs and
+exchanges just the two H-row edges with the neighbouring devices via
+``jax.lax.ppermute`` — O(H·L) bytes per matvec, independent of n, the
+textbook distributed-stencil pattern expressed in XLA collectives.
+
+Per CG iteration the wire traffic drops from ``n·L`` (all_gather) to
+``2·H·L`` (two edge permutes) — for lap3d-192 on 8 devices that is
+7.1M vs 2·36.9k rows, ~96x less ICI traffic.
+
+Layout: uniform row slabs of ``S = ceil(n / D)`` rows, padding at the
+global tail only, so padded slot index == global row index for every
+real row and the diagonal shift arithmetic stays exact. Cyclic
+wraparound halos are harmless: any out-of-range read is multiplied by
+a zero plane value (``partition_dia`` zero-fills out-of-range slots).
+
+Reference capability: the stencil fixtures (``/root/reference/
+sparse_matrix.h:458-623``) under the CG drivers (``no_pretreatment.hpp:
+35-197``); the reference's NUMA row placement (``sparse_matrix.h:
+691-697``) generalized to mesh sharding with neighbour-only traffic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpusparse.formats.dia import DiaHost
+from tpusparse.solvers.cg import CgResult
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ShardedDia:
+    """Row-slab-sharded DIA planes in the padded layout.
+
+    data: (D * rows_per_shard, K) — row-major value planes, zero on
+    padding rows; shard d holds global rows [d*S, (d+1)*S).
+    """
+
+    num_rows: int
+    num_cols: int
+    rows_per_shard: int
+    n_shards: int
+    offsets: tuple          # static python ints, sorted
+    halo: int               # max |offset|
+    data: Any
+
+    def tree_flatten(self):
+        return (
+            (self.data,),
+            (self.num_rows, self.num_cols, self.rows_per_shard,
+             self.n_shards, self.offsets, self.halo),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*aux, *children)
+
+    # duck-typing for sharded.to_padded_layout / from_padded_layout
+    @property
+    def num_shards(self) -> int:
+        return self.n_shards
+
+    @property
+    def row_start(self):
+        return np.arange(self.n_shards, dtype=np.int64) \
+            * self.rows_per_shard
+
+
+def fits_halo(dia: DiaHost, n_shards: int) -> bool:
+    """The halo pattern needs max|offset| <= rows_per_shard (each edge
+    exchange reaches exactly one neighbour)."""
+    if dia.offsets.size == 0:
+        return False
+    S = -(-dia.num_rows // n_shards)
+    return int(np.max(np.abs(dia.offsets))) <= S
+
+
+def shard_dia(dia: DiaHost, n_shards: int) -> ShardedDia:
+    """Uniform row-slab split of a host DIA plan (square matrices)."""
+    if dia.num_rows != dia.num_cols:
+        raise ValueError("sharded DIA requires a square matrix")
+    if not fits_halo(dia, n_shards):
+        raise ValueError(
+            "max|offset| exceeds rows_per_shard — band too wide for "
+            "neighbour halo exchange; use the all_gather merge path"
+        )
+    n = dia.num_rows
+    S = -(-n // n_shards)
+    K = dia.offsets.shape[0]
+    data = np.zeros((n_shards * S, K), dtype=dia.data.dtype)
+    data[:n] = dia.data.T
+    return ShardedDia(
+        num_rows=n, num_cols=n, rows_per_shard=S, n_shards=n_shards,
+        offsets=tuple(int(o) for o in dia.offsets),
+        halo=int(np.max(np.abs(dia.offsets))),
+        data=data,
+    )
+
+
+def device_put_sharded_dia(sd: ShardedDia, mesh: Mesh,
+                           axis: str = "rows") -> ShardedDia:
+    spec = NamedSharding(mesh, P(axis))
+    return ShardedDia(
+        sd.num_rows, sd.num_cols, sd.rows_per_shard, sd.n_shards,
+        sd.offsets, sd.halo, jax.device_put(jnp.asarray(sd.data), spec),
+    )
+
+
+def _halo_exchange(x_loc, halo: int, axis: str, n_shards: int):
+    """(S, ...) local block -> (S + 2H, ...) with neighbour edges.
+    Cyclic ppermute; wraparound reads are masked by zero planes."""
+    if halo == 0 or n_shards == 1:
+        pad = jnp.zeros((halo,) + x_loc.shape[1:], x_loc.dtype)
+        return jnp.concatenate([pad, x_loc, pad], axis=0) \
+            if halo else x_loc
+    fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    left = jax.lax.ppermute(x_loc[-halo:], axis, fwd)
+    right = jax.lax.ppermute(x_loc[:halo], axis, bwd)
+    return jnp.concatenate([left, x_loc, right], axis=0)
+
+
+def _dia_apply(data_loc, xh, offsets, halo: int, S: int):
+    """y[i] = sum_k data[i, k] * xh[H + i + off_k] on one slab.
+    ``xh`` is the halo-extended block (S + 2H, ...)."""
+    multi = xh.ndim == 2
+    y = jnp.zeros(
+        (S,) + xh.shape[1:],
+        jnp.result_type(data_loc.dtype, xh.dtype),
+    )
+    for k, off in enumerate(offsets):
+        w = jax.lax.slice_in_dim(xh, halo + off, halo + off + S, axis=0)
+        d = data_loc[:, k]
+        y = y + (d[:, None] if multi else d) * w
+    return y
+
+
+def _matvec_factory(sd_aux, axis: str):
+    """Local halo matvec closure from static ShardedDia metadata
+    (num_rows, num_cols, S, D, offsets, halo)."""
+    _, _, S, D, offsets, halo = sd_aux
+
+    def matvec(data_loc, v_loc):
+        vh = _halo_exchange(v_loc, halo, axis, D)
+        return _dia_apply(data_loc, vh, offsets, halo, S)
+
+    return matvec
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("aux", "mesh", "axis"))
+def _spmv_dia_sharded_jit(data, x, *, aux, mesh, axis):
+    mv = _matvec_factory(aux, axis)
+    return jax.shard_map(
+        mv, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+    )(data, x)
+
+
+def _aux(sd: ShardedDia):
+    return sd.tree_flatten()[1]
+
+
+def _put(v, mesh, axis):
+    return jax.device_put(jnp.asarray(v), NamedSharding(mesh, P(axis)))
+
+
+def spmv_dia_sharded(sd: ShardedDia, x, mesh: Mesh,
+                     axis: str = "rows"):
+    """y = A @ x, rows sharded, x row-sharded in the padded layout
+    (NOT replicated — only the H-row edges move over ICI)."""
+    return _spmv_dia_sharded_jit(
+        sd.data, _put(x, mesh, axis), aux=_aux(sd), mesh=mesh,
+        axis=axis,
+    )
+
+
+def spmm_dia_sharded(sd: ShardedDia, X, mesh: Mesh,
+                     axis: str = "rows"):
+    """Y = A @ X, X (D*S, L) row-sharded; same halo exchange, the
+    L lanes ride along each edge transfer."""
+    return _spmv_dia_sharded_jit(
+        sd.data, _put(X, mesh, axis), aux=_aux(sd), mesh=mesh,
+        axis=axis,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("aux", "mesh", "axis", "max_iters",
+                              "tolerance", "record_history"),
+)
+def _cg_dia_sharded_jit(data, b, *, aux, mesh, axis, max_iters,
+                        tolerance, record_history):
+    mv_local = _matvec_factory(aux, axis)
+
+    def solve(data_loc, b_loc):
+        mv = lambda p: mv_local(data_loc, p)
+        b_norm = jnp.sqrt(jax.lax.psum(jnp.sum(b_loc * b_loc), axis))
+        b_norm = jnp.where(b_norm == 0.0, 1.0, b_norm)
+        x = jnp.zeros_like(b_loc)
+        r = b_loc
+        p = b_loc
+        rs = jax.lax.psum(jnp.sum(r * r), axis)
+        hist0 = (
+            jnp.full((max_iters,), jnp.nan, dtype=b_loc.dtype)
+            if record_history
+            else jnp.zeros((0,), dtype=b_loc.dtype)
+        )
+
+        def cond(state):
+            i, x, r, p, rs, hist = state
+            return (i < max_iters) & (jnp.sqrt(rs)
+                                      >= b_norm * tolerance)
+
+        def body(state):
+            i, x, r, p, rs, hist = state
+            Ap = mv(p)
+            pAp = jax.lax.psum(jnp.sum(p * Ap), axis)
+            alpha = jnp.where(pAp == 0, 0.0, rs / pAp)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            rs_new = jax.lax.psum(jnp.sum(r * r), axis)
+            if record_history:
+                hist = hist.at[i].set(jnp.sqrt(rs_new) / b_norm)
+            beta = jnp.where(rs == 0, 0.0, rs_new / rs)
+            p = r + beta * p
+            return (i + 1, x, r, p, rs_new, hist)
+
+        i, x, r, p, rs, hist = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), x, r, p, rs, hist0)
+        )
+        rel = jnp.sqrt(rs) / b_norm
+        return x, i, rel < tolerance, rel, hist
+
+    return jax.shard_map(
+        solve, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(), P(), P(), P()),
+    )(data, b)
+
+
+def cg_solve_dia_sharded(sd: ShardedDia, b, mesh: Mesh,
+                         axis: str = "rows", max_iters: int = 10000,
+                         tolerance: float = 1e-5,
+                         record_history: bool = False) -> CgResult:
+    """Single-RHS CG across the mesh, ONE dispatch, neighbour-halo
+    matvecs — 2·H rows over ICI per iteration instead of n."""
+    x, i, conv, rel, hist = _cg_dia_sharded_jit(
+        sd.data, _put(b, mesh, axis), aux=_aux(sd), mesh=mesh,
+        axis=axis, max_iters=int(max_iters),
+        tolerance=float(tolerance),
+        record_history=bool(record_history),
+    )
+    return CgResult(x=x, iterations=i, converged=conv, residual=rel,
+                    history=hist)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("aux", "mesh", "axis", "max_iters",
+                              "tolerance", "record_history"),
+)
+def _cg_multi_dia_sharded_jit(data, B, *, aux, mesh, axis, max_iters,
+                              tolerance, record_history):
+    from tpusparse.parallel.solvers import _multi_recurrence
+
+    mv_local = _matvec_factory(aux, axis)
+
+    def solve(data_loc, B_loc):
+        return _multi_recurrence(
+            lambda Pl: mv_local(data_loc, Pl), lambda R: R, B_loc,
+            axis, max_iters, tolerance, record_history,
+        )
+
+    return jax.shard_map(
+        solve, mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(), P(), P(), P()),
+    )(data, B)
+
+
+def cg_solve_multi_dia_sharded(sd: ShardedDia, B, mesh: Mesh,
+                               axis: str = "rows",
+                               max_iters: int = 10000,
+                               tolerance: float = 1e-5,
+                               record_history: bool = True
+                               ) -> CgResult:
+    """Blocked multi-RHS CG with per-lane convergence masks across the
+    mesh — the halo-exchange counterpart of cg_solve_multi_sharded."""
+    X, i, conv, rel, hist = _cg_multi_dia_sharded_jit(
+        sd.data, _put(B, mesh, axis), aux=_aux(sd), mesh=mesh,
+        axis=axis, max_iters=int(max_iters),
+        tolerance=float(tolerance),
+        record_history=bool(record_history),
+    )
+    return CgResult(x=X, iterations=i, converged=conv, residual=rel,
+                    history=hist)

@@ -143,7 +143,9 @@ def _multi_recurrence(matmat, precond, b_loc, axis, max_iters,
                       tolerance, record_history):
     """Shared blocked-CG/PCG recurrence on local shards. ``precond``
     maps the local residual block to the local z block (identity for
-    plain CG); ``matmat`` consumes the *gathered* search block."""
+    plain CG); ``matmat`` consumes the LOCAL search block and owns its
+    communication (all_gather for the merge kernels, ppermute halo
+    exchange for the DIA path — see parallel.sharded_dia)."""
     L = b_loc.shape[1]
     b_norms = jnp.sqrt(jax.lax.psum(jnp.sum(b_loc * b_loc, axis=0),
                                     axis))
@@ -166,8 +168,7 @@ def _multi_recurrence(matmat, precond, b_loc, axis, max_iters,
 
     def body(state):
         i, X, R, Pd, rho, converged, hist = state
-        P_full = jax.lax.all_gather(Pd, axis, axis=0, tiled=True)
-        AP = matmat(P_full)
+        AP = matmat(Pd)
         pAp = jax.lax.psum(jnp.sum(Pd * AP, axis=0), axis)
         # converged lanes freeze (alpha = beta = 0), SpMM stays
         # full-width — exactly no_pretreatment.hpp:109-120
@@ -203,8 +204,12 @@ def _cg_multi_sharded_jit(tiles, B, *, aux, mesh, axis,
 
     def solve(v, lc, ep, rb, cb, cs, B_loc):
         A = _local_tiles(st, v, lc, ep, rb, cb, cs)
+        def matmat(Pl):
+            Pf = jax.lax.all_gather(Pl, axis, axis=0, tiled=True)
+            return spmm_merge(A, Pf)
+
         return _multi_recurrence(
-            lambda Pf: spmm_merge(A, Pf), lambda R: R, B_loc, axis,
+            matmat, lambda R: R, B_loc, axis,
             max_iters, tolerance, record_history,
         )
 
@@ -267,8 +272,12 @@ def _pcg_multi_sharded_jit(tiles, ltiles, utiles,
             Y = jacobi(Ls, d_loc, R)
             return jacobi(Us, d_loc, Y)
 
+        def matmat(Pl):
+            Pf = jax.lax.all_gather(Pl, axis, axis=0, tiled=True)
+            return spmm_merge(A, Pf)
+
         return _multi_recurrence(
-            lambda Pf: spmm_merge(A, Pf), precond, B_loc, axis,
+            matmat, precond, B_loc, axis,
             max_iters, tolerance, record_history,
         )
 
@@ -325,8 +334,12 @@ def _spai_multi_sharded_jit(tiles, mtiles, B, *, aux, maux, mesh, axis,
             Rf = jax.lax.all_gather(R, axis, axis=0, tiled=True)
             return spmm_merge(M, Rf)
 
+        def matmat(Pl):
+            Pf = jax.lax.all_gather(Pl, axis, axis=0, tiled=True)
+            return spmm_merge(A, Pf)
+
         return _multi_recurrence(
-            lambda Pf: spmm_merge(A, Pf), precond, B_loc, axis,
+            matmat, precond, B_loc, axis,
             max_iters, tolerance, record_history,
         )
 
