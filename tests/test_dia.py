@@ -335,3 +335,37 @@ class TestDiaStream:
         ).to_csr()
         plan64 = plan_matrix(csr64, dtype=np.float64)
         assert isinstance(plan64.dia, DiaDevice)
+
+    def test_df_stream_parity_and_gating(self, monkeypatch):
+        import importlib
+
+        spmv_mod = importlib.import_module("tpusparse.ops.spmv")
+        from tpusparse.kernels.dia_stream import (
+            DiaStreamDFDevice,
+            spmv_dia_stream_df,
+            to_device_dia_stream_df,
+        )
+
+        n = 1280
+        offsets = [-130, -1, 0, 1, 130]
+        rng = np.random.default_rng(7)
+        A = sp.diags([rng.standard_normal(n) for _ in offsets], offsets,
+                     shape=(n, n), format="csr")
+        csr = CsrMatrix.from_scipy(A.tocsr())
+        dia, _ = partition_dia(csr, np.array(offsets))
+        D = to_device_dia_stream_df(dia, block_rows=256)
+        x = rng.standard_normal(n)
+        y = np.asarray(spmv_dia_stream_df(D, x))
+        ref = A @ x
+        assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-13
+
+        monkeypatch.setattr(spmv_mod, "DIA_STREAM_F64_MIN_BYTES", 1024)
+        plan = plan_matrix(csr, dtype=np.float64)
+        assert isinstance(plan, HybridPlan)
+        assert isinstance(plan.dia, DiaStreamDFDevice)
+        y2 = np.asarray(spmv(plan, x))
+        assert np.abs(y2 - ref).max() / np.abs(ref).max() < 1e-13
+        X = rng.standard_normal((n, 3))
+        Y = np.asarray(spmm(plan, X))
+        refM = A @ X
+        assert np.abs(Y - refM).max() / np.abs(refM).max() < 1e-13

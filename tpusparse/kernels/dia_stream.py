@@ -22,8 +22,12 @@ each block's x-halo in VMEM exactly once per step:
     stream-bound operating point at any matrix size.
 
 Requires max |offset| <= B (the planner falls back to the XLA op for
-pathologically wide bands). fp32 only (Mosaic has no 64-bit types);
-fp64 stays on the XLA op.
+pathologically wide bands). Mosaic has no 64-bit types, so fp64 at
+scale runs the double-float variant (`_spmv_dia_stream_df`): hi/lo f32
+plane pairs, Dekker products + Knuth two-sums sequentially over the K
+offsets — ~1e-14 relative accuracy, 86 GF at 7.1M rows where the
+fused XLA f64 path collapses to 13 GF. Below the collapse thresholds
+the XLA op keeps both dtypes (and strict IEEE f64).
 
 Reference capability: the grid2d/grid3d stencil fixtures at scale
 (``/root/reference/sparse_matrix.h:458-623``) under the SpMV drivers
@@ -105,6 +109,169 @@ def _spmv_dia_stream(data_b, xpad_b, offsets, R):
     )(xpad_b, xpad_b, xpad_b, data_b)
 
 
+def _dia_stream_kernel_df(offsets, R, interpret, xh0, xh1, xh2,
+                          xl0, xl1, xl2, dh_ref, dl_ref,
+                          yh_ref, yl_ref):
+    """Double-float (two-f32) variant: Dekker product + Knuth two-sum
+    per diagonal. The accumulation is SEQUENTIAL over the K offsets —
+    compensated arithmetic cannot ride a parallel scan — but K is
+    small (<= 64), so the kernel stays stream-shaped. ~1e-14 relative
+    accuracy at f32 exponent range (same semantics as kernels/ell_df).
+    """
+    from tpusparse.kernels.ell_df import _df_add, _df_mul
+
+    bufh = jnp.concatenate([xh0[0], xh1[0], xh2[0]], axis=0)
+    bufl = jnp.concatenate([xl0[0], xl1[0], xl2[0]], axis=0)
+    acc_h = jnp.zeros((R, LANES), jnp.float32)
+    acc_l = jnp.zeros((R, LANES), jnp.float32)
+    for k, off in enumerate(offsets):
+        wh = _shifted(bufh, off, R, interpret)
+        wl = _shifted(bufl, off, R, interpret)
+        ph, pl = _df_mul(dh_ref[0, k], dl_ref[0, k], wh, wl)
+        acc_h, acc_l = _df_add(acc_h, acc_l, ph, pl)
+    yh_ref[0] = acc_h
+    yl_ref[0] = acc_l
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "R"))
+@kernel_no_x64
+def _spmv_dia_stream_df(dh_b, dl_b, xh_b, xl_b, offsets, R):
+    """hi/lo planes (nb, K, R, 128) x2; hi/lo x (nb+2, R, 128) x2
+    -> ((nb, R, 128), (nb, R, 128)) double-float y."""
+    nb, K, _, _ = dh_b.shape
+    kernel = functools.partial(_dia_stream_kernel_df, offsets, R,
+                               _interpret())
+    xspec = lambda d: pl.BlockSpec((1, R, LANES),
+                                   lambda i, d=d: (i + d, 0, 0))
+    # per step: 6 halo x blocks + 2 K-plane blocks + 2 y blocks,
+    # double-buffered — ~22 MB at the default 128k-row block, over
+    # Mosaic's 16 MB default scoped-vmem budget
+    if _interpret():
+        params = {}
+    else:
+        from jax.experimental.pallas import tpu as pltpu
+
+        step = (6 + 2 * (K + 1)) * R * LANES * 4
+        params = {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=min(2 * step + (8 << 20), 100 << 20)
+        )}
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            xspec(0), xspec(1), xspec(2),
+            xspec(0), xspec(1), xspec(2),
+            pl.BlockSpec((1, K, R, LANES), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, K, R, LANES), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, R, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((nb, R, LANES), jnp.float32),
+        ),
+        interpret=_interpret(),
+        **params,
+    )(xh_b, xh_b, xh_b, xl_b, xl_b, xl_b, dh_b, dl_b)
+
+
+@jax.tree_util.register_pytree_node_class
+class DiaStreamDFDevice:
+    """Double-float streaming DIA operand (hi/lo f32 plane pairs).
+
+    ~1e-14 relative accuracy and f32 exponent range — NOT strict IEEE
+    fp64 (the same semantics as the df-ELL plan; plan_matrix documents
+    the trade). Chosen for fp64 matrices whose f64 planes outgrow the
+    XLA DIA op's fusion capacity (collapse measured 110 -> 13 GF
+    between 229 MB and 396 MB of planes on lap3d)."""
+
+    def __init__(self, num_rows, num_cols, offsets, block_rows,
+                 data_hi, data_lo):
+        self.num_rows = num_rows
+        self.num_cols = num_cols
+        self.offsets = offsets
+        self.block_rows = block_rows
+        self.data_hi = data_hi
+        self.data_lo = data_lo
+
+    def tree_flatten(self):
+        return (self.data_hi, self.data_lo), (
+            self.num_rows, self.num_cols, self.offsets,
+            self.block_rows,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*aux, *children)
+
+
+def to_device_dia_stream_df(dia_host,
+                            block_rows: int = BLOCK_ROWS
+                            ) -> DiaStreamDFDevice:
+    from tpusparse.kernels.ell_df import split_f64
+
+    if not jax.config.jax_enable_x64:
+        raise TypeError(
+            "the double-float DIA stream plan requires "
+            "jax_enable_x64=True (x splits and the hi+lo recombine "
+            "run in f64 outside the kernel)"
+        )
+    hi, lo = split_f64(dia_host.data)
+    n = dia_host.num_rows
+    B = int(block_rows)
+    nb = -(-n // B)
+
+    def block(flat):
+        out = np.zeros((flat.shape[0], nb * B), dtype=np.float32)
+        out[:, :n] = flat
+        return np.ascontiguousarray(
+            out.reshape(-1, nb, B // LANES, LANES).transpose(1, 0, 2, 3)
+        )
+
+    return DiaStreamDFDevice(
+        n, dia_host.num_cols,
+        tuple(int(o) for o in dia_host.offsets), B,
+        jnp.asarray(block(hi)), jnp.asarray(block(lo)),
+    )
+
+
+def spmv_dia_stream_df(D: DiaStreamDFDevice, x, alpha=1.0, beta=0.0,
+                       y=None):
+    """y = alpha * A @ x + beta * y, fp64 in/out via the double-float
+    stream kernel."""
+    B = D.block_rows
+    nb = D.data_hi.shape[0]
+    x = x.astype(jnp.float64)
+    xh = x.astype(jnp.float32)
+    xl = (x - xh.astype(jnp.float64)).astype(jnp.float32)
+
+    def padded(v):
+        p = jnp.zeros(((nb + 2) * B,), jnp.float32)
+        p = jax.lax.dynamic_update_slice(p, v, (B,))
+        return p.reshape(nb + 2, B // LANES, LANES)
+
+    yh, yl = _spmv_dia_stream_df(D.data_hi, D.data_lo, padded(xh),
+                                 padded(xl), D.offsets, B // LANES)
+    y_new = (yh.reshape(-1)[: D.num_rows].astype(jnp.float64)
+             + yl.reshape(-1)[: D.num_rows].astype(jnp.float64))
+    if beta == 0.0 or y is None:
+        return alpha * y_new if alpha != 1.0 else y_new
+    return alpha * y_new + beta * y
+
+
+def spmm_dia_stream_df(D: DiaStreamDFDevice, X, alpha=1.0, beta=0.0,
+                       Y=None):
+    """Column-at-a-time fallback (the df stream plan is gated to
+    L == 1 workloads; columns keep full single-vector accuracy)."""
+    cols = [spmv_dia_stream_df(D, X[:, j]) for j in range(X.shape[1])]
+    Y_new = jnp.stack(cols, axis=1)
+    if beta == 0.0 or Y is None:
+        return alpha * Y_new if alpha != 1.0 else Y_new
+    return alpha * Y_new + beta * Y
+
+
 def fits_stream(offsets, block_rows: int = BLOCK_ROWS) -> bool:
     offs = [int(o) for o in offsets]
     return bool(offs) and max(abs(o) for o in offs) <= block_rows
@@ -173,13 +340,67 @@ def spmv_dia_stream(D: DiaStreamDevice, x, alpha=1.0, beta=0.0,
     return alpha * y_new + beta * y
 
 
+def _dia_stream_kernel_mrhs(offsets, R, interpret, x0_ref, x1_ref,
+                            x2_ref, d_ref, y_ref):
+    buf = jnp.concatenate(
+        [x0_ref[0, 0], x1_ref[0, 0], x2_ref[0, 0]], axis=0
+    )  # (3R, 128)
+    acc = jnp.zeros((R, LANES), jnp.float32)
+    for k, off in enumerate(offsets):
+        acc = acc + d_ref[0, k] * _shifted(buf, off, R, interpret)
+    y_ref[0, 0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "R"))
+@kernel_no_x64
+def _spmm_dia_stream(data_b, xpad_b, offsets, R):
+    """Multi-RHS: xpad_b (L, nb+2, R, 128) -> (L, nb, R, 128).
+
+    The grid is (nb, L) with the RHS index l MINOR (fastest): the
+    plane block's index map depends only on the row block i, so Pallas
+    skips its DMA across the L consecutive steps that share it — the
+    planes stream from HBM once per row block, exactly like the
+    single-RHS kernel, while each step works on one RHS's halo window.
+    Total traffic = K planes + 4 x/y blocks per RHS: the same bytes as
+    an RHS-in-lanes layout, but with (R, 128) blocks whose VMEM
+    footprint is independent of L (no halo-width VMEM blowup)."""
+    L, nbp2, _, _ = xpad_b.shape
+    nb = nbp2 - 2
+    K = data_b.shape[1]
+    kernel = functools.partial(_dia_stream_kernel_mrhs, offsets, R,
+                               _interpret())
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb, L),
+        in_specs=[
+            pl.BlockSpec((1, 1, R, LANES), lambda i, l: (l, i, 0, 0)),
+            pl.BlockSpec((1, 1, R, LANES),
+                         lambda i, l: (l, i + 1, 0, 0)),
+            pl.BlockSpec((1, 1, R, LANES),
+                         lambda i, l: (l, i + 2, 0, 0)),
+            pl.BlockSpec((1, K, R, LANES), lambda i, l: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, R, LANES),
+                               lambda i, l: (l, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((L, nb, R, LANES), jnp.float32),
+        interpret=_interpret(),
+    )(xpad_b, xpad_b, xpad_b, data_b)
+    return out
+
+
 def spmm_dia_stream(D: DiaStreamDevice, X, alpha=1.0, beta=0.0,
                     Y=None):
-    """Column-at-a-time fallback: the stream plan is chosen only for
-    L == 1 workloads (plan_matrix gates on L); this keeps spmm() total
-    on the operand type at full single-vector speed per column."""
-    cols = [spmv_dia_stream(D, X[:, j]) for j in range(X.shape[1])]
-    Y_new = jnp.stack(cols, axis=1)
+    """Y = alpha * A @ X + beta * Y via the multi-RHS streaming kernel
+    (X of shape (num_cols, L))."""
+    B = D.block_rows
+    nb = D.data_b.shape[0]
+    L = X.shape[1]
+    Xf = X.astype(jnp.float32)
+    xpad = jnp.zeros((L, (nb + 2) * B), jnp.float32)
+    xpad = jax.lax.dynamic_update_slice(xpad, Xf.T, (0, B))
+    xpad = xpad.reshape(L, nb + 2, B // LANES, LANES)
+    Yb = _spmm_dia_stream(D.data_b, xpad, D.offsets, B // LANES)
+    Y_new = Yb.reshape(L, -1)[:, : D.num_rows].T
     if beta == 0.0 or Y is None:
         return alpha * Y_new if alpha != 1.0 else Y_new
     return alpha * Y_new + beta * Y

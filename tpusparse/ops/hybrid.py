@@ -24,8 +24,11 @@ import jax
 from tpusparse.formats.dia import DiaDevice
 from tpusparse.kernels.dia_stream import (
     DiaStreamDevice,
+    DiaStreamDFDevice,
     spmm_dia_stream,
+    spmm_dia_stream_df,
     spmv_dia_stream,
+    spmv_dia_stream_df,
 )
 from tpusparse.ops.dia import spmm_dia, spmv_dia
 
@@ -53,6 +56,8 @@ def spmv_hybrid(H: HybridPlan, x, alpha=1.0, beta=0.0, y=None):
 
     if isinstance(H.dia, DiaStreamDevice):
         y_new = spmv_dia_stream(H.dia, x)
+    elif isinstance(H.dia, DiaStreamDFDevice):
+        y_new = spmv_dia_stream_df(H.dia, x)
     else:
         y_new = spmv_dia(H.dia, x)
     if H.rest is not None:
@@ -67,6 +72,8 @@ def spmm_hybrid(H: HybridPlan, X, alpha=1.0, beta=0.0, Y=None):
 
     if isinstance(H.dia, DiaStreamDevice):
         Y_new = spmm_dia_stream(H.dia, X)
+    elif isinstance(H.dia, DiaStreamDFDevice):
+        Y_new = spmm_dia_stream_df(H.dia, X)
     else:
         Y_new = spmm_dia(H.dia, X)
     if H.rest is not None:

@@ -177,6 +177,10 @@ DIA_MIN_COVERAGE = 0.3
 # 198 MB); the Pallas streaming kernel (kernels/dia_stream.py) holds
 # ~330-365 GF at any size, so it takes over past the VMEM scale.
 DIA_STREAM_MIN_BYTES = 128 * 1024 * 1024
+# fp64 planes fuse further before collapsing (110 GF at 229 MB ->
+# 13 GF at 396 MB); past this the double-float stream kernel (~86 GF
+# at any size, ~1e-14 accuracy — NOT strict IEEE fp64) takes over.
+DIA_STREAM_F64_MIN_BYTES = 256 * 1024 * 1024
 
 
 def _try_plan_dia(csr, strategy, dtype, L):
@@ -206,13 +210,22 @@ def _try_plan_dia(csr, strategy, dtype, L):
     dia_host, rest = partition_dia(csr, offsets)
     from tpusparse.kernels import dia_stream
 
-    plane_bytes = dia_host.data.size * 4
-    if (np.dtype(dtype).itemsize <= 4
-            and L <= 1
-            and csr.num_rows == csr.num_cols
-            and plane_bytes > DIA_STREAM_MIN_BYTES
-            and dia_stream.fits_stream(dia_host.offsets)):
+    itemsize = np.dtype(dtype).itemsize
+    plane_bytes = dia_host.data.size * itemsize
+    stream_ok = (
+        L <= 1
+        and csr.num_rows == csr.num_cols
+        and dia_stream.fits_stream(dia_host.offsets)
+    )
+    if (itemsize <= 4 and stream_ok
+            and plane_bytes > DIA_STREAM_MIN_BYTES):
         dev = dia_stream.to_device_dia_stream(dia_host)
+    elif (itemsize > 4 and stream_ok
+            and plane_bytes > DIA_STREAM_F64_MIN_BYTES):
+        # double-float accuracy semantics (~1e-14, f32 exponent range)
+        # past the fp64 fusion collapse; strict-IEEE callers at this
+        # scale must pass strategy='reference'
+        dev = dia_stream.to_device_dia_stream_df(dia_host)
     else:
         dev = to_device_dia(dia_host, dtype=dtype)
     rest_plan = None
@@ -254,12 +267,19 @@ def spmv(A, x, alpha=1.0, beta=0.0, y=None, strategy="auto"):
         from tpusparse.ops.dia import spmv_dia
 
         return spmv_dia(A, x, alpha=alpha, beta=beta, y=y)
-    from tpusparse.kernels.dia_stream import DiaStreamDevice
+    from tpusparse.kernels.dia_stream import (
+        DiaStreamDevice,
+        DiaStreamDFDevice,
+    )
 
     if isinstance(A, DiaStreamDevice):
         from tpusparse.kernels.dia_stream import spmv_dia_stream
 
         return spmv_dia_stream(A, x, alpha=alpha, beta=beta, y=y)
+    if isinstance(A, DiaStreamDFDevice):
+        from tpusparse.kernels.dia_stream import spmv_dia_stream_df
+
+        return spmv_dia_stream_df(A, x, alpha=alpha, beta=beta, y=y)
     if isinstance(A, CsrMatrix):
         return ref.spmv_reference(A, x, alpha=alpha, beta=beta, y=y)
     import jax.experimental.sparse as jsparse
@@ -301,12 +321,19 @@ def spmm(A, X, alpha=1.0, beta=0.0, Y=None, strategy="auto"):
         from tpusparse.ops.dia import spmm_dia
 
         return spmm_dia(A, X, alpha=alpha, beta=beta, Y=Y)
-    from tpusparse.kernels.dia_stream import DiaStreamDevice
+    from tpusparse.kernels.dia_stream import (
+        DiaStreamDevice,
+        DiaStreamDFDevice,
+    )
 
     if isinstance(A, DiaStreamDevice):
         from tpusparse.kernels.dia_stream import spmm_dia_stream
 
         return spmm_dia_stream(A, X, alpha=alpha, beta=beta, Y=Y)
+    if isinstance(A, DiaStreamDFDevice):
+        from tpusparse.kernels.dia_stream import spmm_dia_stream_df
+
+        return spmm_dia_stream_df(A, X, alpha=alpha, beta=beta, Y=Y)
     if isinstance(A, CsrMatrix):
         return ref.spmm_reference(A, X, alpha=alpha, beta=beta, Y=Y)
     import jax.experimental.sparse as jsparse
