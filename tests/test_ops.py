@@ -104,15 +104,18 @@ def test_plan_matrix_auto(rng):
     A3 = plan_matrix(csr, dtype=np.float64)
     assert isinstance(A3, HybridPlan) and A3.rest is None
     assert A3.dia.data.dtype == np.float64
-    # the non-DIA fp64 path still routes to the double-float gather-job
-    # kernel (orders of magnitude faster than the XLA fp64 path)
+    # the non-DIA fp64 single-RHS path routes to the double-float
+    # MERGE kernel (skew-insensitive, 21x the df-ELL kernel on R-MAT);
+    # fp64 multi-RHS keeps the lane-filling df gather-job kernel
     from tpusparse.kernels.ell_df import DeviceEllDF
+    from tpusparse.kernels.merge_df import DfMergeTiles
 
     A3b = plan_matrix(csr, dtype=np.float64, _allow_dia=False)
-    assert isinstance(A3b, DeviceEllDF)
-    # fp64 wheel: DIA ring peeled; the remainder is just the hub
-    # row/spokes, whose packing occupancy is so hopeless the planner
-    # correctly falls back to the XLA reference CSR path for it
+    assert isinstance(A3b, DfMergeTiles)
+    A3c = plan_matrix(csr, dtype=np.float64, L=8, _allow_dia=False)
+    assert isinstance(A3c, DeviceEllDF)
+    # fp64 wheel: DIA ring peeled; the hub/spoke remainder rides the
+    # skew-insensitive df merge kernel
     A4 = plan_matrix(wheel, dtype=np.float64)
     assert isinstance(A4, HybridPlan)
     assert A4.rest is not None
@@ -127,8 +130,10 @@ def test_plan_matrix_auto(rng):
         n, n, np.arange(n), (np.arange(n) * 131) % n,
         np.ones(n),
     )
+    # scattered fp64 single-RHS: the df merge kernel takes it (the old
+    # df-ELL occupancy fallback to reference no longer applies at L=1)
     A5 = plan_matrix(CsrMatrix.from_coo(diagish), dtype=np.float64)
-    assert isinstance(A5, CsrMatrix)
+    assert isinstance(A5, DfMergeTiles)
 
 
 def test_empty_rows_produce_zeros():

@@ -105,6 +105,8 @@ def _plan(csr, strategy, dtype, L=1):
         kind = "row_split"
     elif isinstance(A, DeviceEllDF):
         kind = "row_split_df64"
+    elif type(A).__name__ == "DfMergeTiles":
+        kind = "merge_df64"
     else:
         kind = type(A).__name__ == "BcsrMatrix" and "bsr" or "merge"
     return A, kind
@@ -150,12 +152,13 @@ def cmd_spmv(args):
                          "bcoo"]
                         if dtype == np.float32
                         # fp64: AUTO (native-f64 DIA when the matrix
-                        # has diagonal structure) + the double-float
-                        # gather-job kernel as the Pallas row
+                        # has diagonal structure), the double-float
+                        # MERGE kernel (skew-insensitive Pallas row),
+                        # and the double-float gather-job kernel
                         # (reference benches its kernels in the
                         # default fp64 mode, cpu_spmv.cpp:979)
-                        else ["auto", "row_split", "reference",
-                              "bcoo"]))
+                        else ["auto", "merge", "row_split",
+                              "reference", "bcoo"]))
     rows = []
     seen_kinds = set()
     for strat in strategies:

@@ -95,9 +95,11 @@ def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1,
     # chunked block grid takes over.
     VMEM_DIM_LIMIT = 8_000_000
     too_big = max(csr.num_rows, csr.num_cols) > VMEM_DIM_LIMIT
+    # the df merge kernel keeps TWO resident x/y planes (hi + lo)
+    df_too_big = max(csr.num_rows, csr.num_cols) > VMEM_DIM_LIMIT // 2
     if np.dtype(dtype).itemsize > 4 and not too_big and (
         strategy in (SpmvStrategy.AUTO, SpmvStrategy.ROW_SPLIT)
-    ):
+    ) and (strategy == SpmvStrategy.ROW_SPLIT or L >= 2):
         # fp64 multi-RHS: the double-float gather-job kernel delivers
         # ~1e-14 agreement at ~half the fp32 kernel's speed — orders of
         # magnitude faster than the XLA fp64 gather path.
@@ -120,6 +122,19 @@ def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1,
             occ >= 0.01 and payload_ok
         ):
             return ell_df.to_device_ell_df(ell_df.build_df_tiles(csr))
+    if np.dtype(dtype).itemsize > 4 and not df_too_big and (
+        strategy in (SpmvStrategy.AUTO, SpmvStrategy.MERGE)
+    ):
+        # fp64 single-RHS: the double-float MERGE kernel — skew-
+        # insensitive like the f32 flagship (compensated register scan
+        # instead of the MXU scan; ~1e-14 accuracy, f32 exponent
+        # range). 7 GF on rmat-14 vs df-ELL's 0.33 and the XLA
+        # reference's 0.02; strict-IEEE callers pass
+        # strategy='reference'. Reference default mode:
+        # cpu_spmv.cpp:979-986.
+        from tpusparse.kernels import merge_df
+
+        return merge_df.to_device_tiles_df(_host_merge_tiles(csr))
     if too_big and np.dtype(dtype).itemsize <= 4 and (
         strategy in (SpmvStrategy.AUTO, SpmvStrategy.MERGE)
     ):
@@ -235,19 +250,25 @@ def _try_plan_dia(csr, strategy, dtype, L):
     return HybridPlan(dev, rest_plan, csr.nnz)
 
 
+def _host_merge_tiles(csr):
+    """Tuned host MergeTiles partition (shared by the f32 and df merge
+    plans)."""
+    from tpusparse.formats.tiles import build_merge_tiles, choose_tiling
+
+    wr, wc = choose_tiling(csr)
+    return build_merge_tiles(csr, row_window=wr, col_window=wc)
+
+
 def _plan_merge(csr, dtype):
     """Merge-tile plan with the per-matrix window tuner: choose_tiling
     scores (row_window, col_window) by packing occupancy discounted by
     the kernel's gather-loop and partial-writeback costs — the TPU
     analogue of the reference's per-arch dispatch policies
     (dispatch_spmv_orig.cuh:266-424)."""
-    from tpusparse.formats.tiles import build_merge_tiles, choose_tiling
     from tpusparse.kernels import merge_spmv
 
-    wr, wc = choose_tiling(csr)
-    return merge_spmv.to_device_tiles(
-        build_merge_tiles(csr, row_window=wr, col_window=wc), dtype=dtype
-    )
+    return merge_spmv.to_device_tiles(_host_merge_tiles(csr),
+                                      dtype=dtype)
 
 
 def spmv(A, x, alpha=1.0, beta=0.0, y=None, strategy="auto"):
@@ -299,6 +320,11 @@ def spmv(A, x, alpha=1.0, beta=0.0, y=None, strategy="auto"):
         return ell_spmm.spmv_ell(A, x, alpha=alpha, beta=beta, y=y)
     if isinstance(A, ell_df.DeviceEllDF):
         return ell_df.spmv_ell_df(A, x, alpha=alpha, beta=beta, y=y)
+    from tpusparse.kernels import merge_df
+
+    if isinstance(A, merge_df.DfMergeTiles):
+        return merge_df.spmv_merge_df(A, x, alpha=alpha, beta=beta,
+                                      y=y)
     from tpusparse.ops.chunked import ChunkedMerge, spmv_chunked
 
     if isinstance(A, ChunkedMerge):
@@ -353,6 +379,11 @@ def spmm(A, X, alpha=1.0, beta=0.0, Y=None, strategy="auto"):
         return ell_spmm.spmm_ell(A, X, alpha=alpha, beta=beta, Y=Y)
     if isinstance(A, ell_df.DeviceEllDF):
         return ell_df.spmm_ell_df(A, X, alpha=alpha, beta=beta, Y=Y)
+    from tpusparse.kernels import merge_df
+
+    if isinstance(A, merge_df.DfMergeTiles):
+        return merge_df.spmm_merge_df(A, X, alpha=alpha, beta=beta,
+                                      Y=Y)
     from tpusparse.ops.chunked import ChunkedMerge, spmm_chunked
 
     if isinstance(A, ChunkedMerge):
