@@ -96,6 +96,20 @@ class MergeTiles:
     ovf_cols: np.ndarray
     ovf_vals: np.ndarray
 
+    # Block-list partition (build_block_tiles): per-tile list of the
+    # distinct 128-wide x blocks the tile touches, (ntiles, max_blocks)
+    # int32, ascending, padded with 0 past col_span entries. When set,
+    # local_cols index THROUGH this list (col = blk_list[t, lc // 128]
+    # * 128 + lc % 128) and the tile's columns need not be contiguous —
+    # the kernel gathers each listed block independently. None for the
+    # contiguous-window partition of build_merge_tiles.
+    blk_list: np.ndarray | None = None
+
+    # which per-tile span the kernel's span-classing should bucket by:
+    # "row" (extraction-bound classic window plans) or "col" (greedy
+    # partitions with strongly bimodal gather spans)
+    span_class_by: str = "row"
+
     @property
     def ntiles(self) -> int:
         return int(self.vals.shape[0])
@@ -294,6 +308,388 @@ def build_merge_tiles(
     )
 
 
+def _block_prep(csr, row_window):
+    """Shared sort stage of :func:`build_block_tiles`: entries ordered
+    by (row window, column block, row, col) with the dense block rank.
+    One call serves every ``max_blocks`` candidate in
+    :func:`choose_partition` (the sort dominates build time)."""
+    Wr = row_window
+    ro = np.asarray(csr.row_offsets).astype(np.int64)
+    ci = np.asarray(csr.col_indices).astype(np.int64)
+    M = csr.num_rows
+    nnz = int(ci.shape[0])
+    rows_all = np.repeat(np.arange(M, dtype=np.int64), np.diff(ro))
+    wid = rows_all // Wr
+    colblk = ci // LANES
+    # local coords keep the packed sort key within 64 bits
+    nbc = int(colblk.max()) + 1
+    lrow = rows_all - wid * Wr
+    key = ((wid * nbc + colblk) * Wr + lrow) * LANES + (ci % LANES)
+    o = _argsort_u64(key.astype(np.uint64))
+    w_s, cb_s, r_s, c_s = wid[o], colblk[o], rows_all[o], ci[o]
+    # dense block rank: one increment per (wid, colblk) run
+    newblk = np.empty(nnz, dtype=bool)
+    newblk[0] = True
+    newblk[1:] = (w_s[1:] != w_s[:-1]) | (cb_s[1:] != cb_s[:-1])
+    brank = np.cumsum(newblk)  # 1-based, monotone
+    return o, w_s, cb_s, r_s, c_s, brank
+
+
+def _block_cuts(prep, tile_nnz, max_blocks, contiguous=False):
+    """Greedy tile cut points for a (tile_nnz, max_blocks) budget:
+    O(ntiles) searchsorted steps over the prep arrays. ``contiguous``
+    budgets the ABSOLUTE 128-block span (last - first + 1, including
+    untouched gap blocks) instead of the touched-block count — the cut
+    rule for the variable-width window partition, whose tiles keep the
+    cheap contiguous-window kernel gather."""
+    _, w_s, cb_s, _, _, brank = prep
+    nnz = len(w_s)
+    starts = []
+    s = 0
+    while s < nnz:
+        starts.append(s)
+        e_nnz = s + tile_nnz
+        e_wid = int(np.searchsorted(w_s, w_s[s], side="right"))
+        if contiguous:
+            # cb_s ascends within the row-window run [s, e_wid)
+            e_blk = s + int(np.searchsorted(
+                cb_s[s:e_wid], cb_s[s] + max_blocks, side="left"))
+        else:
+            e_blk = int(np.searchsorted(brank, brank[s] + max_blocks,
+                                        side="left"))
+        s = min(e_nnz, e_blk, e_wid)
+    return np.asarray(starts, dtype=np.int64)
+
+
+def build_block_tiles(
+    csr,
+    tile_nnz: int = 1024,
+    row_window: int = 1024,
+    max_blocks: int = 16,
+    contiguous: bool = False,
+    _prep=None,
+) -> MergeTiles:
+    """Block-LIST partition: tiles pack nonzeros from ARBITRARY columns.
+
+    ``build_merge_tiles`` requires every tile's columns to sit in one
+    contiguous window below a single 128-aligned anchor — on power-law
+    patterns (R-MAT) the gap-split clusters shatter into many underfull
+    tiles (occupancy 0.37 on rmat-16, and occupancy multiplies EVERY
+    per-slot kernel cost). This partitioner drops the contiguity
+    constraint: a tile instead carries an explicit list of at most
+    ``max_blocks`` distinct 128-wide x blocks, and the kernel gathers
+    each listed block independently (same static loop length as the
+    window span it replaces, one extra scalar indirection).
+
+    Entries are sorted by (row window, column block, row, col) and cut
+    into tiles greedily: a tile closes at ``tile_nnz`` nonzeros, at
+    ``max_blocks`` distinct column blocks, or at a row-window boundary,
+    whichever comes first — so a hub block with thousands of entries
+    fills whole span-1 tiles while supersparse regions pool up to
+    ``max_blocks`` blocks to fill theirs. An entry run belonging to one
+    block may split across tiles (both tiles list the block); the
+    sequential-grid y accumulation makes the split exact, like any
+    merge-tile row split.
+
+    Kernel invariants preserved: all rows of a tile in one aligned
+    ``row_window``; slots sorted by row within the tile; ``col_span``
+    = list length <= max_blocks; ``local_cols`` in
+    [0, max_blocks * 128).
+
+    ``contiguous=True`` applies the same greedy nnz/span cuts but
+    budgets the ABSOLUTE block span (including untouched gap blocks),
+    producing variable-width contiguous-WINDOW tiles (no block list):
+    the kernel keeps its cheap one-slice window gather, while the
+    variable cut still adapts tile width to local density — the middle
+    ground that wins when most blocks in a region are touched anyway.
+
+    Reference capability: the merge-based SpMV's equal-nnz load
+    balancing (``cub/agent/agent_spmv_orig.cuh:289-406``) on the
+    scattered/power-law matrices it targets; the block list is the TPU
+    answer to the GPU's free shared-memory gather — there is no
+    counterpart structure in the reference.
+    """
+    assert tile_nnz % SUBLANES == 0
+    assert row_window % LANES == 0
+    T, Wr, G = tile_nnz, row_window, max_blocks
+
+    va = np.asarray(csr.values)
+    M = csr.num_rows
+    nnz = int(np.asarray(csr.col_indices).shape[0])
+    dtype = va.dtype
+
+    if nnz == 0:
+        e = build_merge_tiles(csr, T, Wr, LANES)
+        if not contiguous:
+            e.blk_list = np.zeros((1, 1), dtype=np.int32)
+        e.span_class_by = "col"
+        return e
+
+    # Native single-pass partitioner (block histogram + greedy walk +
+    # two counting sorts per window, native/src/block_tiles.cpp) —
+    # bit-identical output, no nnz-scale sorts. TPUSPARSE_NO_NATIVE=1
+    # forces the numpy path (used by the parity tests).
+    import os
+
+    if os.environ.get("TPUSPARSE_NO_NATIVE") != "1" and _prep is None:
+        try:
+            from tpusparse.utils import native
+
+            out = native.build_block_tiles(csr, T, Wr, G, contiguous)
+        except ImportError:
+            out = None
+        if out is not None:
+            vals_t, lcols_t, epos_t, rblk, cblk, cspan, nblk = out
+            Gmax = max(int(cspan.max()), 1)
+            return MergeTiles(
+                num_rows=M, num_cols=csr.num_cols, nnz=nnz, tile_nnz=T,
+                row_window=Wr, col_window=Gmax * LANES,
+                vals=vals_t, local_cols=lcols_t, end_pos=epos_t,
+                row_block=rblk, col_block=cblk, col_span=cspan,
+                ovf_rows=np.zeros(0, dtype=np.int32),
+                ovf_cols=np.zeros(0, dtype=np.int32),
+                ovf_vals=np.zeros(0, dtype=dtype),
+                blk_list=nblk,
+                span_class_by="col",
+            )
+
+    prep = _prep if _prep is not None else _block_prep(csr, Wr)
+    o, w_s, cb_s, r_s, c_s, brank = prep
+    v_s = va[o]
+
+    starts = _block_cuts(prep, T, G, contiguous=contiguous)
+    ntiles = len(starts)
+    lens = np.diff(np.append(starts, nnz))
+    tile_of = np.repeat(np.arange(ntiles, dtype=np.int64), lens)
+
+    if contiguous:
+        # variable-width WINDOW tiles: local cols relative to the
+        # tile's first touched block (absolute span <= max_blocks by
+        # the cut rule); the kernel keeps its contiguous-window gather
+        blkidx = (cb_s - cb_s[starts][tile_of]).astype(np.int64)
+        blk_list = None
+    else:
+        # per-entry block index within its tile (< G by construction)
+        blkidx = (brank - brank[starts][tile_of]).astype(np.int64)
+    lcol_s = blkidx * LANES + (c_s % LANES)
+
+    Gmax = int(blkidx.max()) + 1
+    if not contiguous:
+        # block lists: ascending by construction (entries colblk-sorted)
+        blk_list = np.zeros((ntiles, Gmax), dtype=np.int32)
+        blk_list[tile_of, blkidx] = cb_s
+    cspan = np.zeros(ntiles, dtype=np.int64)
+    np.maximum.at(cspan, tile_of, blkidx + 1)
+
+    # re-sort within each tile by (row, col): tiles are contiguous
+    # runs, so one stable lexsort with tile as the primary key does it
+    o2 = np.lexsort((c_s, r_s, tile_of))
+    t2, r2, v2, l2 = tile_of[o2], r_s[o2], v_s[o2], lcol_s[o2]
+    slot = np.arange(nnz, dtype=np.int64) - starts[t2]
+
+    vals_t = np.zeros((ntiles, T), dtype=dtype)
+    lcols_t = np.zeros((ntiles, T), dtype=np.int32)
+    vals_t[t2, slot] = v2
+    lcols_t[t2, slot] = l2.astype(np.int32)
+
+    wid_t = w_s[starts]
+    rblk = (wid_t * (Wr // LANES)).astype(np.int32)
+
+    lrow2 = (r2 - wid_t[t2] * Wr).astype(np.int64)
+    epos_t = np.full((ntiles, Wr), -1, dtype=np.int64)
+    np.maximum.at(epos_t, (t2, lrow2), slot)
+    epos_t = np.maximum.accumulate(epos_t, axis=1)
+
+    return MergeTiles(
+        num_rows=M,
+        num_cols=csr.num_cols,
+        nnz=nnz,
+        tile_nnz=T,
+        row_window=Wr,
+        col_window=Gmax * LANES,  # local_cols bound (int16-safe)
+        vals=vals_t,
+        local_cols=lcols_t,
+        end_pos=epos_t.astype(np.int32),
+        row_block=rblk,
+        col_block=cb_s[starts].astype(np.int32),
+        col_span=cspan.astype(np.int32),
+        ovf_rows=np.zeros(0, dtype=np.int32),
+        ovf_cols=np.zeros(0, dtype=np.int32),
+        ovf_vals=np.zeros(0, dtype=dtype),
+        blk_list=blk_list,
+        span_class_by="col",
+    )
+
+
+# Per-tile cost model for the family choice, calibrated on real-TPU
+# interleaved A/B sweeps (R-MAT 14/16, spreads <= 0.11; RESULTS.md):
+#   cost ~ 1 + 0.036 * weighted-col-span + 0.1 * row-span-bound
+# reproduces every measured per-tile time within ~15% (unit 50-58 ns).
+_CS_COEF = 0.036
+_RS_COEF = 0.1
+# classic wins whenever its occupancy holds up (measured: 20.0 vs
+# 15.4 GF on rmat-14 at occ 0.861) — its row-span classes keep most
+# tiles' extraction tiny, which the greedy cut cannot reproduce
+_CLASSIC_OCC_GATE = 0.8
+# greedy (row_window, max_blocks) candidate grid, scored natively in
+# one call (no sorts); the numpy fallback scores a small subset
+_GREEDY_CANDS = [(1024, 8), (1024, 16), (1024, 32), (1024, 64),
+                 (512, 16), (512, 32), (512, 64),
+                 (256, 8), (256, 16)]
+
+
+def choose_partition(csr, tile_nnz: int = 1024) -> MergeTiles:
+    """Pick the best merge partition FAMILY and parameters per matrix:
+
+    * the gap-split contiguous-window partition (``build_merge_tiles``
+      + ``choose_tiling``) when its packing occupancy holds up —
+      banded / stencil-like / moderately-skewed patterns;
+    * the greedy variable-width window partition
+      (``build_block_tiles(contiguous=True)``) when window clustering
+      shatters — the scattered / power-law regime (rmat-16: occupancy
+      0.375 -> 0.795, measured 6.4 -> 13.9 GF, 2.2x).
+
+    Occupancy divides every per-slot kernel cost, so the score is
+    occupancy over the calibrated per-tile cost model above. The TPU
+    analogue of the reference's per-arch dispatch policy
+    (``dispatch_spmv_orig.cuh:266-424``) extended with a per-matrix
+    partition-family choice."""
+    if csr.nnz == 0:
+        return build_merge_tiles(csr, tile_nnz)
+    wr, wc = choose_tiling(csr, tile_nnz)
+    occ_classic = tiling_efficiency_counts(csr, tile_nnz, wr, wc)
+    if occ_classic >= _CLASSIC_OCC_GATE:
+        return build_merge_tiles(csr, tile_nnz, row_window=wr,
+                                 col_window=wc)
+    # the tuner's pick may trade occupancy for a smaller window; before
+    # conceding the family, rescore the whole classic window grid by
+    # occupancy over gather trips (row anchoring made the old
+    # writeback term obsolete) — e.g. rmat-13's tuned (384, 2048)
+    # packs 0.771 but (1024, 2048) packs 0.927 and keeps the family
+    best_c = (occ_classic / (1.0 + _CS_COEF * (wc // LANES)), wr, wc,
+              occ_classic)
+    for wrc, wcc, occ in _classic_grid_occupancies(csr, tile_nnz):
+        s = occ / (1.0 + _CS_COEF * (wcc // LANES))
+        if s > best_c[0]:
+            best_c = (s, wrc, wcc, occ)
+    if best_c[3] >= _CLASSIC_OCC_GATE:
+        return build_merge_tiles(csr, tile_nnz, row_window=best_c[1],
+                                 col_window=best_c[2])
+    wr, wc, occ_classic = best_c[1], best_c[2], best_c[3]
+    # classic fallback score: static window gather + a mid-range
+    # row-span estimate (its real spans are unknown before the build)
+    score_classic = occ_classic / (
+        1.0 + _CS_COEF * (wc // LANES) + _RS_COEF * 4.0
+    )
+    best = None
+    stats = _greedy_candidate_stats(csr, tile_nnz)
+    for (wrg, G), (ntiles, cs_w) in stats.items():
+        if ntiles == 0:
+            continue
+        occ = csr.nnz / (ntiles * tile_nnz)
+        rs_w = min(wrg // LANES, 8)
+        score = occ / (1.0 + _CS_COEF * cs_w + _RS_COEF * rs_w)
+        if best is None or score > best[0]:
+            best = (score, wrg, G)
+    if best is None or best[0] <= score_classic:
+        return build_merge_tiles(csr, tile_nnz, row_window=wr,
+                                 col_window=wc)
+    return build_block_tiles(csr, tile_nnz, row_window=best[1],
+                             max_blocks=best[2], contiguous=True)
+
+
+def _classic_grid_occupancies(csr, tile_nnz,
+                              row_windows=(256, 384, 512, 1024),
+                              col_windows=(1024, 2048, 4096, 8192)):
+    """(row_window, col_window, occupancy) triples over the classic
+    candidate grid — one native call, or a two-pair numpy fallback."""
+    import os
+
+    counts = None
+    if os.environ.get("TPUSPARSE_NO_NATIVE") != "1":
+        try:
+            from tpusparse.utils import native
+
+            counts = native.merge_tiling_counts(
+                csr, tile_nnz, row_windows, col_windows)
+        except ImportError:
+            counts = None
+    out = []
+    if counts is not None:
+        for i, wr in enumerate(row_windows):
+            for j, wc in enumerate(col_windows):
+                nt = int(counts[i, j])
+                if nt:
+                    out.append((wr, wc, csr.nnz / (nt * tile_nnz)))
+        return out
+    for wr, wc in ((1024, 2048), (1024, 4096)):
+        out.append((wr, wc,
+                    tiling_efficiency(csr, tile_nnz, wr, wc)))
+    return out
+
+
+def _greedy_candidate_stats(csr, tile_nnz):
+    """{(row_window, max_blocks): (ntiles, weighted col span)} for the
+    greedy candidate grid. Native: one linear-walk call for the whole
+    grid. Fallback: numpy cuts for a two-candidate subset (the full
+    grid would need one nnz-scale sort per row window)."""
+    import os
+
+    if os.environ.get("TPUSPARSE_NO_NATIVE") != "1":
+        try:
+            from tpusparse.utils import native
+
+            out = native.block_tiles_plan(
+                csr, tile_nnz, [(w, g, True) for w, g in _GREEDY_CANDS])
+        except ImportError:
+            out = None
+        if out is not None:
+            nt, _, hist, _ = out
+            stats = {}
+            for j, cand in enumerate(_GREEDY_CANDS):
+                if nt[j] == 0:
+                    stats[cand] = (0, 0.0)
+                    continue
+                # pow2 class ceilings weighted by tile count — the
+                # static gather loop of each span class runs its
+                # class-max trip count
+                cs_w = float(
+                    sum(hist[j, b] * (1 << b) for b in range(8))
+                ) / float(nt[j])
+                stats[cand] = (int(nt[j]), cs_w)
+            return stats
+    stats = {}
+    prep = _block_prep(csr, 1024)
+    for G in (16, 32):
+        starts = _block_cuts(prep, tile_nnz, G, contiguous=True)
+        ends = np.append(starts[1:], len(prep[1]))
+        spans = (prep[2][ends - 1] - prep[2][starts] + 1).astype(np.int64)
+        cls = np.maximum(np.ceil(np.log2(spans)), 0)
+        cs_w = float(np.exp2(cls).sum()) / max(len(starts), 1)
+        stats[(1024, G)] = (len(starts), cs_w)
+    return stats
+
+
+def tiling_efficiency_counts(csr, tile_nnz: int, row_window: int,
+                             col_window: int) -> float:
+    """Occupancy of a window tiling, via the native counter when
+    available (one call) with the numpy fallback."""
+    import os
+
+    if csr.nnz and os.environ.get("TPUSPARSE_NO_NATIVE") != "1":
+        try:
+            from tpusparse.utils import native
+
+            counts = native.merge_tiling_counts(
+                csr, tile_nnz, (row_window,), (col_window,))
+            if counts is not None:
+                nt = int(counts[0, 0])
+                return csr.nnz / (nt * tile_nnz) if nt else 0.0
+        except ImportError:
+            pass
+    return tiling_efficiency(csr, tile_nnz, row_window, col_window)
+
+
 def tiling_efficiency(csr, tile_nnz: int, row_window: int,
                       col_window: int) -> float:
     """Occupancy a (row_window, col_window) tiling would achieve, using
@@ -388,9 +784,13 @@ def tiles_to_dense(tiles: MergeTiles) -> np.ndarray:
             e = int(epos[w])
             if e > prev:
                 for p in range(prev + 1, e + 1):
-                    d[rbase + w, cbase + int(tiles.local_cols[t, p])] += (
-                        tiles.vals[t, p]
-                    )
+                    lc = int(tiles.local_cols[t, p])
+                    if tiles.blk_list is not None:
+                        c = (int(tiles.blk_list[t, lc // LANES]) * LANES
+                             + lc % LANES)
+                    else:
+                        c = cbase + lc
+                    d[rbase + w, c] += tiles.vals[t, p]
                 prev = e
     for r, c, v in zip(tiles.ovf_rows, tiles.ovf_cols, tiles.ovf_vals):
         d[r, c] += v

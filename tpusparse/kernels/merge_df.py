@@ -208,13 +208,16 @@ def _df_row_diff(Gh, Gl):
 
 @kernel_no_x64
 def _fused_kernel_df(gather_rows: int, rspan: int, tps: int,
-                     interpret: bool,
+                     use_blk: bool, interpret: bool,
                      rblk_ref, cblk_ref, cspan_ref,
                      vh_ref, vl_ref, lc_ref, ep_ref, xh_ref, xl_ref,
                      yh_ref, yl_ref):
     """df grid step: the merge_spmv._fused_kernel pipeline with Dekker
     products, the compensated register scan, dual-plane extraction,
-    and double-float y accumulation."""
+    and double-float y accumulation. ``use_blk``: cblk_ref is the
+    per-tile block list (see merge_spmv._gather_blocks)."""
+    from tpusparse.kernels.merge_spmv import _gather_blocks
+
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -226,8 +229,12 @@ def _fused_kernel_df(gather_rows: int, rspan: int, tps: int,
     for u in range(tps):
         t = step * tps + u
         lc = lc_ref[u].astype(jnp.int32)
-        gh = _gather_window(xh_ref, cblk_ref[t], lc, gather_rows)
-        gl = _gather_window(xl_ref, cblk_ref[t], lc, gather_rows)
+        if use_blk:
+            gh = _gather_blocks(xh_ref, cblk_ref, t, lc, gather_rows)
+            gl = _gather_blocks(xl_ref, cblk_ref, t, lc, gather_rows)
+        else:
+            gh = _gather_window(xh_ref, cblk_ref[t], lc, gather_rows)
+            gl = _gather_window(xl_ref, cblk_ref[t], lc, gather_rows)
         vh = vh_ref[u]
         vl = vl_ref[u]
         # (vh+vl)(gh+gl): Dekker two-product + first-order cross terms
@@ -264,10 +271,11 @@ def _spmv_tiles_df(A: DeviceTiles, vlo, xh2d, xl2d, nrows_out: int):
     csize = TILE_NNZ // SUBLANES
     mb = nrows_out // LANES
 
+    use_blk = A.blk_list is not None
     resident = 2 * (xh2d.size * 4 + mb * LANES * 4)
     return pl.pallas_call(
         functools.partial(_fused_kernel_df, A.gather_rows, rspan, tps,
-                          _interpret()),
+                          use_blk, _interpret()),
         compiler_params=_vmem_params(
             resident, tps, 2 * rspan,
             # +4: the lo value plane rides along each step's payload
@@ -297,7 +305,7 @@ def _spmv_tiles_df(A: DeviceTiles, vlo, xh2d, xl2d, nrows_out: int):
             jax.ShapeDtypeStruct((mb, LANES), jnp.float32),
         ),
         interpret=_interpret(),
-    )(A.row_block, A.col_block, A.col_span,
+    )(A.row_block, A.blk_list if use_blk else A.col_block, A.col_span,
       A.vals, vlo, A.local_cols, A.end_pos, xh2d, xl2d)
 
 

@@ -111,11 +111,19 @@ class DeviceTiles:
     ovf_cols: Any
     ovf_vals: Any
 
+    # Block-list plans (formats.tiles.build_block_tiles): (ntiles_pad,
+    # gather_rows) int32 scalar-prefetch table of the 128-wide x blocks
+    # each tile touches; the kernel gathers x_ref[blk_list[t, qq]]
+    # instead of a contiguous window below col_block. None for
+    # contiguous-window plans.
+    blk_list: Any = None
+
     def tree_flatten(self):
         return (
             (self.vals, self.local_cols, self.end_pos, self.row_block,
              self.col_block, self.col_span,
-             self.ovf_rows, self.ovf_cols, self.ovf_vals),
+             self.ovf_rows, self.ovf_cols, self.ovf_vals,
+             self.blk_list),
             (self.num_rows, self.num_cols, self.nnz, self.row_window,
              self.col_window, self.gather_rows, self.x_pad_rows,
              self.tiles_per_step, self.row_span, self.y_pad_rows),
@@ -123,10 +131,11 @@ class DeviceTiles:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        (vals, lcols, epos, rblk, cblk, cspan, orow, ocol, oval) = children
+        (vals, lcols, epos, rblk, cblk, cspan, orow, ocol, oval,
+         blk) = children
         (nr, nc, nnz, wr, wc, gr, xpr, tps, rs, ypr) = aux
         return cls(nr, nc, nnz, wr, wc, vals, lcols, epos, rblk, cblk,
-                   cspan, gr, xpr, tps, rs, ypr, orow, ocol, oval)
+                   cspan, gr, xpr, tps, rs, ypr, orow, ocol, oval, blk)
 
     @property
     def ntiles(self) -> int:
@@ -207,11 +216,15 @@ def _subset_device_tiles(tiles: MergeTiles, sel, anchor, span, dtype,
     rblk_h = np.asarray(tiles.row_block)
     cblk_h = np.asarray(tiles.col_block)
     cspan_h = np.asarray(tiles.col_span)
+    blk_h = (np.asarray(tiles.blk_list)
+             if tiles.blk_list is not None else None)
     nnz_sel = tiles.nnz
     if sel is not None:
         vals_h, lcols_h, ep_h = vals_h[sel], lcols_h[sel], ep_h[sel]
         rblk_h, cblk_h, cspan_h = rblk_h[sel], cblk_h[sel], cspan_h[sel]
         anchor, span = anchor[sel], span[sel]
+        if blk_h is not None:
+            blk_h = blk_h[sel]
         nnz_sel = int(np.count_nonzero(vals_h))  # informational
     nt = vals_h.shape[0]
     tps = tiles_per_step or _choose_tiles_per_step(nt)
@@ -251,6 +264,15 @@ def _subset_device_tiles(tiles: MergeTiles, sel, anchor, span, dtype,
     nrb = -(-tiles.num_rows // LANES)
     y_pad = max(int(rblk.max()) + RS - nrb, 1) if nt else 1
 
+    blk_dev = None
+    gr = int(max(cspan_h.max(), 1)) if nt else 1
+    if blk_h is not None:
+        # trim the list width to this subset's max span; pad tiles /
+        # pad columns point at block 0 (their lc never select it)
+        blk_p = np.zeros((ntp, gr), dtype=np.int32)
+        blk_p[:nt] = blk_h[:, :gr]
+        blk_dev = jnp.asarray(blk_p)
+
     empty_i = np.zeros(0, dtype=np.int32)
     return DeviceTiles(
         num_rows=tiles.num_rows,
@@ -264,8 +286,10 @@ def _subset_device_tiles(tiles: MergeTiles, sel, anchor, span, dtype,
         row_block=jnp.asarray(rblk),
         col_block=jnp.asarray(cblk),
         col_span=jnp.asarray(cspan),
-        gather_rows=int(max(cspan_h.max(), 1)) if nt else 1,
-        x_pad_rows=tiles.col_window // LANES,
+        gather_rows=gr,
+        # block-list gathers read exact (1, 128) x rows — no window
+        # overhang pad needed
+        x_pad_rows=0 if blk_h is not None else tiles.col_window // LANES,
         tiles_per_step=tps,
         row_span=RS,
         y_pad_rows=y_pad,
@@ -276,6 +300,7 @@ def _subset_device_tiles(tiles: MergeTiles, sel, anchor, span, dtype,
         ovf_vals=jnp.asarray(
             tiles.ovf_vals.astype(dtype) if with_ovf
             else np.zeros(0, dtype=dtype)),
+        blk_list=blk_dev,
     )
 
 
@@ -317,9 +342,17 @@ def to_device_tiles(tiles: MergeTiles, dtype=np.float32,
         return _subset_device_tiles(tiles, None, anchor, span, dtype,
                                     tiles_per_step, with_ovf=True)
     # pow2 span buckets, small buckets folded upward, capped at
-    # span_classes by folding the smallest-population buckets upward
+    # span_classes by folding the smallest-population buckets upward.
+    # Classic window plans bucket by ROW span (extraction/y-RMW is the
+    # span-scaled cost; the gather loop is window-bound either way);
+    # block-list plans bucket by COL span — their gather loop runs the
+    # class max and their col spans are strongly bimodal (a third of
+    # R-MAT tiles are single-block), while row spans hug the window.
+    class_key = (np.asarray(tiles.col_span).astype(np.int64)
+                 if getattr(tiles, "span_class_by", "row") == "col"
+                 else span)
     bucket = np.maximum(
-        np.ceil(np.log2(span)).astype(np.int64), 0
+        np.ceil(np.log2(class_key)).astype(np.int64), 0
     )
     uniq = sorted(set(bucket.tolist()))
     for i, b in enumerate(uniq[:-1]):
@@ -410,6 +443,24 @@ def _gather_window(x_ref, cblk, lc, gather_rows):
     return g
 
 
+def _gather_blocks(x_ref, blk_ref, t, lc, gather_rows):
+    """g[i,j] = x[blk_list[t, q]*128 + b] for lc = q*128 + b — the
+    block-LIST counterpart of :func:`_gather_window`: each loop
+    iteration reads the (1, 128) x row named by the tile's block list
+    (one scalar-prefetch lookup + one dynamic slice) instead of a
+    static row of one contiguous window. Lets a tile's columns come
+    from anywhere in x (formats.tiles.build_block_tiles), which is what
+    keeps occupancy high on power-law patterns."""
+    b = lc % LANES
+    q = lc // LANES
+    g = jnp.zeros(lc.shape, x_ref.dtype)
+    for qq in range(gather_rows):
+        row = x_ref[pl.ds(blk_ref[t, qq], 1), :]
+        cand = tala32(jnp.broadcast_to(row, lc.shape), b, axis=1)
+        g = jnp.where(q == qq, cand, g)
+    return g
+
+
 def _extract_rows(cs, epos):
     """G[w] = CS[end_pos[w]] (0 where end_pos < 0), with end positions
     in ROW-major slot coordinates: slot p -> (p // 128, p % 128).
@@ -464,14 +515,18 @@ def _row_diff(G):
 
 
 @kernel_no_x64
-def _fused_kernel(gather_rows: int, rspan: int, tps: int,
+def _fused_kernel(gather_rows: int, rspan: int, tps: int, use_blk: bool,
                   rblk_ref, cblk_ref, cspan_ref,
                   vals_ref, lc_ref, ep_ref, x_ref, y_ref):
     """Grid step: TILES_PER_STEP merge tiles -> gather, batched prefix
     sum, per-tile row extraction, and in-VMEM accumulation directly into
     y. The sequential TPU grid makes the read-modify-write safe without
     atomics — the GPU pipeline's segment-fixup kernel
-    (dispatch_spmv_orig.cuh:199) disappears entirely."""
+    (dispatch_spmv_orig.cuh:199) disappears entirely.
+
+    ``use_blk`` (static): cblk_ref is the (ntiles, gather_rows) block
+    LIST and the gather indirects through it; otherwise cblk_ref is the
+    per-tile contiguous window anchor."""
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -481,8 +536,11 @@ def _fused_kernel(gather_rows: int, rspan: int, tps: int,
     ps = []
     for u in range(tps):
         t = step * tps + u
-        g = _gather_window(x_ref, cblk_ref[t],
-                           lc_ref[u].astype(jnp.int32), gather_rows)
+        lc = lc_ref[u].astype(jnp.int32)
+        if use_blk:
+            g = _gather_blocks(x_ref, cblk_ref, t, lc, gather_rows)
+        else:
+            g = _gather_window(x_ref, cblk_ref[t], lc, gather_rows)
         ps.append(vals_ref[u] * g)
     cs = _prefix_sum_mxu(jnp.concatenate(ps, axis=0), x_ref.dtype)
 
@@ -528,8 +586,10 @@ def _spmv_tiles(A: DeviceTiles, x2d, nrows_out: int):
     csize = TILE_NNZ // SUBLANES
     mb = nrows_out // LANES
 
+    use_blk = A.blk_list is not None
     y2d = pl.pallas_call(
-        functools.partial(_fused_kernel, A.gather_rows, rspan, tps),
+        functools.partial(_fused_kernel, A.gather_rows, rspan, tps,
+                          use_blk),
         compiler_params=_vmem_params(
             x2d.size * x2d.dtype.itemsize
             + mb * LANES * np.dtype(A.vals.dtype).itemsize, tps, rspan,
@@ -560,7 +620,7 @@ def _spmv_tiles(A: DeviceTiles, x2d, nrows_out: int):
         ),
         out_shape=jax.ShapeDtypeStruct((mb, LANES), A.vals.dtype),
         interpret=_interpret(),
-    )(A.row_block, A.col_block, A.col_span,
+    )(A.row_block, A.blk_list if use_blk else A.col_block, A.col_span,
       A.vals, A.local_cols, A.end_pos, x2d)
     return y2d
 

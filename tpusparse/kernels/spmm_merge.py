@@ -54,8 +54,13 @@ TILES_PER_STEP_SPMM = 8  # divides every per-matrix pad multiple
 
 @kernel_no_x64
 def _spmm_kernel(gather_rows: int, rspan: int, L: int, T: int,
+                 use_blk: bool,
                  rblk_ref, cblk_ref, cspan_ref,
                  vals_ref, lc_ref, ep_ref, x_ref, y_ref):
+    """``use_blk`` (static): cblk_ref is the per-tile block LIST
+    (merge_spmv.DeviceTiles.blk_list) and each gather iteration reads
+    the (L, 128) RHS row it names; otherwise cblk_ref is the contiguous
+    window anchor (see merge_spmv._gather_blocks)."""
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -72,7 +77,13 @@ def _spmm_kernel(gather_rows: int, rspan: int, L: int, T: int,
 
     for u in range(T):
         t = step * T + u
-        win = x_ref[pl.ds(cblk_ref[t], gather_rows)]   # (gr, L, 128)
+        if use_blk:
+            # per-qq (1, L, 128) dynamic slices named by the block list
+            win = [x_ref[pl.ds(cblk_ref[t, qq], 1)][0]
+                   for qq in range(gather_rows)]
+        else:
+            w = x_ref[pl.ds(cblk_ref[t], gather_rows)]  # (gr, L, 128)
+            win = [w[qq] for qq in range(gather_rows)]
         # per slot row i: one (L,128) gather per window row serves all
         # L RHS lanes
         prows = []
@@ -146,8 +157,10 @@ def _spmm_tiles(A: DeviceTiles, x3, mb: int, T: int):
     from tpusparse.kernels.merge_spmv import _vmem_params
 
     itemsize = np.dtype(A.dtype).itemsize
+    use_blk = A.blk_list is not None
     y3 = pl.pallas_call(
-        functools.partial(_spmm_kernel, A.gather_rows, rspan, L, T),
+        functools.partial(_spmm_kernel, A.gather_rows, rspan, L, T,
+                          use_blk),
         compiler_params=_vmem_params(
             (x3.size + mb * L * LANES) * itemsize, T, rspan,
             idx_bytes=np.dtype(A.local_cols.dtype).itemsize),
@@ -169,7 +182,7 @@ def _spmm_tiles(A: DeviceTiles, x3, mb: int, T: int):
         ),
         out_shape=jax.ShapeDtypeStruct((mb, L, LANES), A.vals.dtype),
         interpret=_interpret(),
-    )(A.row_block, A.col_block, A.col_span,
+    )(A.row_block, A.blk_list if use_blk else A.col_block, A.col_span,
       A.vals, A.local_cols, A.end_pos, x3)
     return y3
 

@@ -252,19 +252,19 @@ def _try_plan_dia(csr, strategy, dtype, L):
 
 def _host_merge_tiles(csr):
     """Tuned host MergeTiles partition (shared by the f32 and df merge
-    plans)."""
-    from tpusparse.formats.tiles import build_merge_tiles, choose_tiling
+    plans): per-matrix choice between the contiguous-window and the
+    block-list partition families (formats.tiles.choose_partition)."""
+    from tpusparse.formats.tiles import choose_partition
 
-    wr, wc = choose_tiling(csr)
-    return build_merge_tiles(csr, row_window=wr, col_window=wc)
+    return choose_partition(csr)
 
 
 def _plan_merge(csr, dtype):
-    """Merge-tile plan with the per-matrix window tuner: choose_tiling
-    scores (row_window, col_window) by packing occupancy discounted by
-    the kernel's gather-loop and partial-writeback costs — the TPU
-    analogue of the reference's per-arch dispatch policies
-    (dispatch_spmv_orig.cuh:266-424)."""
+    """Merge-tile plan with the per-matrix partition chooser
+    (formats.tiles.choose_partition): gap-split windows when their
+    occupancy holds, greedy variable-width windows on scattered /
+    power-law patterns — the TPU analogue of the reference's per-arch
+    dispatch policies (dispatch_spmv_orig.cuh:266-424)."""
     from tpusparse.kernels import merge_spmv
 
     return merge_spmv.to_device_tiles(_host_merge_tiles(csr),

@@ -101,6 +101,30 @@ def _load():
         lib.coo_sort_order.argtypes = [
             ctypes.c_int64, ctypes.c_int64, i32p, i32p, i64p,
         ]
+        lib.block_tiles_plan.restype = None
+        lib.block_tiles_plan.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i64p, i32p, ctypes.c_int64,
+            ctypes.c_int32, i64p, i64p, i32p,
+            i64p, i64p, i64p, i64p,
+        ]
+        lib.block_tiles_count.restype = ctypes.c_int64
+        lib.block_tiles_count.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i64p, i32p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, i64p,
+        ]
+        lib.block_tiles_fill.restype = ctypes.c_int32
+        lib.block_tiles_fill.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i64p, i32p,
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, i32p, i32p, i32p, i32p, i32p,
+            ctypes.c_void_p,
+        ]
         lib.ell_jobs_per_rowblock.restype = None
         lib.ell_jobs_per_rowblock.argtypes = [
             ctypes.c_int64, ctypes.c_int64, i64p, i32p, i64p,
@@ -243,6 +267,75 @@ def build_merge_tiles(csr, tile_nnz, row_window, col_window):
     if rc != 0:
         return None
     return vals_t, lcols_t, epos_t, rblk, cblk, cspan
+
+
+def block_tiles_plan(csr, tile_nnz, candidates):
+    """Tuner stats for greedy block/window tile candidates in one
+    native call. ``candidates``: iterable of (row_window, max_blocks,
+    contiguous) triples. Returns (ntiles, span_sum, span_hist, span_max)
+    arrays — hist is (ncand, 8) pow2 col-span buckets — or None when
+    the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "block_tiles_plan"):
+        return None
+    ro, ci = _csr_buffers(csr)
+    cand = list(candidates)
+    wrs = np.asarray([c[0] for c in cand], dtype=np.int64)
+    gs = np.asarray([c[1] for c in cand], dtype=np.int64)
+    cont = np.asarray([1 if c[2] else 0 for c in cand], dtype=np.int32)
+    n = len(cand)
+    nt = np.zeros(n, dtype=np.int64)
+    ss = np.zeros(n, dtype=np.int64)
+    hist = np.zeros((n, 8), dtype=np.int64)
+    mx = np.zeros(n, dtype=np.int64)
+    lib.block_tiles_plan(
+        csr.num_rows, csr.num_cols, int(ci.size), ro, ci, int(tile_nnz),
+        np.int32(n), wrs, gs, cont, nt, ss, hist.reshape(-1), mx,
+    )
+    return nt, ss, hist, mx
+
+
+def build_block_tiles(csr, tile_nnz, row_window, max_blocks, contiguous):
+    """Native greedy block-tile partition (bit-identical to the numpy
+    builder — exact-equality tested). Returns the payload tuple
+    (vals, local_cols, end_pos, row_block, col_block, col_span,
+    blk_list-or-None) or None when unavailable / errors."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "block_tiles_fill"):
+        return None
+    ro, ci = _csr_buffers(csr)
+    va = np.ascontiguousarray(np.asarray(csr.values))
+    nnz = int(ci.size)
+    T, Wr, G = int(tile_nnz), int(row_window), int(max_blocks)
+    mx = np.zeros(1, dtype=np.int64)
+    ntiles = lib.block_tiles_count(
+        csr.num_rows, csr.num_cols, nnz, ro, ci, T, Wr, G,
+        np.int32(1 if contiguous else 0), mx,
+    )
+    if ntiles <= 0:
+        return None
+    Gmax = max(int(mx[0]), 1)
+    vals_t = np.zeros((ntiles, T), dtype=va.dtype)
+    lcols_t = np.zeros((ntiles, T), dtype=np.int32)
+    epos_t = np.full((ntiles, Wr), -1, dtype=np.int32)
+    rblk = np.zeros(ntiles, dtype=np.int32)
+    cblk = np.zeros(ntiles, dtype=np.int32)
+    cspan = np.zeros(ntiles, dtype=np.int32)
+    blk_list = (None if contiguous
+                else np.zeros((ntiles, Gmax), dtype=np.int32))
+    rc = lib.block_tiles_fill(
+        csr.num_rows, csr.num_cols, nnz, ro, ci,
+        va.ctypes.data_as(ctypes.c_void_p),
+        np.int32(va.dtype.itemsize), T, Wr, G,
+        np.int32(1 if contiguous else 0), int(ntiles), Gmax,
+        vals_t.ctypes.data_as(ctypes.c_void_p), lcols_t.reshape(-1),
+        epos_t.reshape(-1), rblk, cblk, cspan,
+        None if blk_list is None
+        else blk_list.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        return None
+    return vals_t, lcols_t, epos_t, rblk, cblk, cspan, blk_list
 
 
 def coo_sort_order(num_rows, rows, cols):
