@@ -9,7 +9,11 @@ import pytest
 from tpusparse.formats.coo import CooMatrix
 from tpusparse.formats.csr import CsrMatrix
 from tpusparse.formats.ell import build_ell_tiles
-from tpusparse.formats.tiles import build_merge_tiles, tiles_to_dense
+from tpusparse.formats.tiles import (
+    build_merge_tiles,
+    choose_partition,
+    tiles_to_dense,
+)
 from tpusparse.io import generators
 from tpusparse.kernels import ell_spmm, merge_spmv
 from tpusparse.ops.reference import spmv_numpy
@@ -59,6 +63,16 @@ def test_fuzz_kernels_vs_oracle(seed, rng):
         merge_spmv.spmv_merge(Am, jnp.asarray(x.astype(np.float32)))
     )
     np.testing.assert_allclose(ym / scale, golden / scale, atol=5e-5)
+
+    # per-matrix partition chooser (family + parameters) end to end:
+    # degenerate shapes (1-row, tiny-nnz, hot-column) exercise the
+    # greedy cut logic and the native builders' edge cases
+    tc = choose_partition(csr)
+    Ac = merge_spmv.to_device_tiles(tc, dtype=np.float32)
+    yc = np.asarray(
+        merge_spmv.spmv_merge(Ac, jnp.asarray(x.astype(np.float32)))
+    )
+    np.testing.assert_allclose(yc / scale, golden / scale, atol=5e-5)
 
     # gather-job kernel (as SpMM with L=8)
     Ae = ell_spmm.to_device_ell(build_ell_tiles(csr), dtype=np.float32)
