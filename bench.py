@@ -26,13 +26,40 @@ ceiling of this chip (bench/models.py).
 """
 
 import json
+import os
+import threading
 
 import numpy as np
 
 BASELINE_SPMV_GFLOPS = 8.0
 
+# The tunneled TPU backend can hang indefinitely at init when the
+# tunnel is down (observed: jax.devices() blocks forever). A watchdog
+# turns that into a diagnosable failure line instead of a silent hang.
+WATCHDOG_S = float(os.environ.get("BENCH_WATCHDOG_S", 2400))
+
+
+def _arm_watchdog():
+    def fire():
+        print(json.dumps({
+            "metric": "spmv_fp32_auto_gflops",
+            "value": 0.0,
+            "unit": "GFLOP/s",
+            "vs_baseline": 0.0,
+            "error": f"watchdog: no result after {WATCHDOG_S:.0f}s "
+                     "(TPU tunnel down or backend init hang)",
+        }), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(WATCHDOG_S, fire)
+    t.daemon = True
+    t.start()
+    return t
+
 
 def main():
+    wd = _arm_watchdog()
+
     import jax.numpy as jnp
 
     from tpusparse.bench import models
@@ -89,6 +116,7 @@ def main():
             }
         )
     )
+    wd.cancel()
 
 
 if __name__ == "__main__":

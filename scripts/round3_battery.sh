@@ -83,4 +83,59 @@ gf = 2.0*csrb.nnz*32/st.median_s/1e9
 print(f"BSR SpMM block256x6 L=32: {gf:.0f} GF (spread {st.spread:.3f})")
 EOF
 
+# --- D. Scattered multi-RHS SpMM: ELL (occ ~0.05) vs merge-greedy ---
+# AUTO routes occ < 0.35 to merge; this records the honest A/B behind
+# that gate on power-law patterns.
+R python - <<'EOF'
+import numpy as np
+import jax, jax.numpy as jnp
+jax.config.update('jax_enable_x64', True)
+from tpusparse.bench.timing import slope_time
+from tpusparse.io import generators
+from tpusparse.ops.spmv import plan_matrix, spmm
+
+for scale in (14, 16):
+    csr = generators.make_rmat(scale, edge_factor=32, seed=1).to_csr()
+    rng = np.random.default_rng(0)
+    L = 32
+    X = jnp.asarray(rng.standard_normal((csr.num_cols, L)).astype(np.float32))
+    for strat in ("merge", "row_split", "auto"):
+        A = plan_matrix(csr, strategy=strat, dtype=np.float32, L=L)
+        st = slope_time(lambda v: spmm(A, v), X, iters=(10, 110),
+                        sets=5, reps=3, min_per_op=20e-6)
+        gf = 2.0*csr.nnz*L/st.median_s/1e9
+        print(f"SpMM rmat-{scale} L={L} [{strat}:{type(A).__name__}]: "
+              f"{gf:.1f} GF (spread {st.spread:.3f})")
+EOF
+
+# --- E. Merge SpMM partition A/B on rmat-16: classic vs greedy ---
+R python - <<'EOF'
+import numpy as np
+import jax, jax.numpy as jnp
+jax.config.update('jax_enable_x64', True)
+from tpusparse.bench.timing import slope_time
+from tpusparse.formats.tiles import (build_merge_tiles, choose_partition,
+                                     choose_tiling)
+from tpusparse.io import generators
+from tpusparse.kernels.merge_spmv import to_device_tiles
+from tpusparse.kernels.spmm_merge import spmm_merge
+
+csr = generators.make_rmat(16, edge_factor=32, seed=1).to_csr()
+wr, wc = choose_tiling(csr)
+tc = build_merge_tiles(csr, row_window=wr, col_window=wc)
+tg = choose_partition(csr)
+L = 32
+rng = np.random.default_rng(0)
+X = jnp.asarray(rng.standard_normal((csr.num_cols, L)).astype(np.float32))
+plans = {f"classic occ={tc.occupancy:.2f}": to_device_tiles(tc, dtype=np.float32),
+         f"chooser occ={tg.occupancy:.2f}": to_device_tiles(tg, dtype=np.float32)}
+for p in range(3):  # interleaved passes
+    for k, A in plans.items():
+        st = slope_time(lambda v, A=A: spmm_merge(A, v), X,
+                        iters=(10, 110), sets=2, reps=3, min_per_op=20e-6)
+        gf = 2.0*csr.nnz*L/st.median_s/1e9
+        print(f"pass{p} spmm_merge rmat-16 L=32 [{k}]: {gf:.1f} GF "
+              f"(spread {st.spread:.3f})")
+EOF
+
 echo "BATTERY DONE" >> "$OUT"
