@@ -1,0 +1,138 @@
+"""Symmetric relabeling + RCM reordering (ops/reorder.py).
+
+Reference capability: ``CooMatrix::InitCsrRelabel``
+(``/root/reference/sparse_matrix.h:184-207``). The RCM pre-order is
+the TPU-side payoff: a scrambled-banded matrix recovers a
+low-bandwidth form that the partition planner maps to cheap
+contiguous windows; CG trajectories are permutation-invariant.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tpusparse.io import generators
+from tpusparse.ops.reorder import (
+    ReorderedPlan,
+    bandwidth,
+    permute_symmetric,
+    plan_reorder,
+    rcm_order,
+)
+from tpusparse.ops.spmv import plan_matrix, spmm, spmv
+from tpusparse.ops.reference import spmv_numpy
+
+
+def _scrambled_lap2d(width=40, seed=7):
+    """2-D Laplacian under a random symmetric permutation — banded
+    structure hidden behind a scattered-looking pattern."""
+    csr = generators.make_laplacian_grid2d(width, dtype=np.float64
+                                           ).to_csr()
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(csr.num_rows)
+    return permute_symmetric(csr, perm), csr
+
+
+def test_permute_symmetric_dense_parity(rng):
+    m = generators.make_random_spd(300, row_nnz=6, seed=3).to_csr()
+    perm = np.random.default_rng(0).permutation(300)
+    mp = permute_symmetric(m, perm)
+    d = m.to_dense()
+    np.testing.assert_allclose(mp.to_dense(), d[np.ix_(perm, perm)],
+                               rtol=0, atol=0)
+    # InitCsrRelabel convention: relabel = argsort(perm) maps old->new
+    relabel = np.argsort(perm)
+    d2 = np.zeros_like(d)
+    d2[np.ix_(relabel, relabel)] = d
+    np.testing.assert_allclose(mp.to_dense(), d2, rtol=0, atol=0)
+
+
+def test_rcm_recovers_bandwidth():
+    scr, orig = _scrambled_lap2d(40)
+    assert bandwidth(scr) > 800          # scrambled: O(n)
+    rec = permute_symmetric(scr, rcm_order(scr))
+    assert bandwidth(rec) <= 4 * bandwidth(orig)
+
+
+def test_reordered_plan_spmv_matches_oracle(rng):
+    scr, _ = _scrambled_lap2d(32)
+    A = plan_reorder(scr, dtype=np.float32, order="rcm")
+    assert isinstance(A, ReorderedPlan)
+    x = rng.standard_normal(scr.num_cols)
+    golden = spmv_numpy(scr, x)
+    y = np.asarray(spmv(A, jnp.asarray(x.astype(np.float32))))
+    scale = np.abs(golden).max()
+    np.testing.assert_allclose(y / scale, golden / scale, atol=5e-5)
+    # beta path
+    y0 = rng.standard_normal(scr.num_rows).astype(np.float32)
+    y2 = np.asarray(spmv(A, jnp.asarray(x.astype(np.float32)),
+                         alpha=2.0, beta=0.5, y=jnp.asarray(y0)))
+    np.testing.assert_allclose(
+        y2 / scale, (2 * golden + 0.5 * y0) / scale, atol=1e-4)
+
+
+def test_reordered_plan_spmm_matches_oracle(rng):
+    scr, _ = _scrambled_lap2d(24)
+    A = plan_reorder(scr, dtype=np.float32, L=8, order="rcm")
+    X = rng.standard_normal((scr.num_cols, 8)).astype(np.float32)
+    Y = np.asarray(spmm(A, jnp.asarray(X)))
+    ref = scr.to_scipy() @ X.astype(np.float64)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(Y / scale, ref / scale, atol=5e-5)
+
+
+def test_auto_gate():
+    # scrambled-banded: gate fires
+    scr, orig = _scrambled_lap2d(40)
+    assert isinstance(
+        plan_matrix(scr, dtype=np.float32, reorder="auto"),
+        ReorderedPlan)
+    # natively banded: already local, keep order
+    assert not isinstance(
+        plan_matrix(orig, dtype=np.float32, reorder="auto"),
+        ReorderedPlan)
+    # power-law: RCM cannot compress, keep order
+    rm = generators.make_rmat(11, edge_factor=8, seed=1).to_csr()
+    assert not isinstance(
+        plan_matrix(rm, dtype=np.float32, reorder="auto"),
+        ReorderedPlan)
+
+
+def test_cg_iteration_parity_under_reorder(rng):
+    """P A P^T is similar to A: CG converges in the same iterations
+    (±2 for rounding) and to the same solution."""
+    from tpusparse.solvers.cg import cg_solve
+
+    csr = generators.make_laplacian_grid2d(24, dtype=np.float64
+                                           ).to_csr()
+    scram = np.random.default_rng(3).permutation(csr.num_rows)
+    scr = permute_symmetric(csr, scram)
+    b = rng.standard_normal(scr.num_rows).astype(np.float32)
+
+    A0 = plan_matrix(scr, strategy="merge", dtype=np.float32)
+    r0 = cg_solve(A0, jnp.asarray(b), max_iters=2000, tolerance=1e-5)
+    A1 = plan_reorder(scr, strategy="merge", dtype=np.float32,
+                      order="rcm")
+    r1 = cg_solve(A1, jnp.asarray(b), max_iters=2000, tolerance=1e-5)
+    assert bool(r0.converged) and bool(r1.converged)
+    assert abs(int(r0.iterations) - int(r1.iterations)) <= 2
+    rel = np.linalg.norm(
+        b - scr.to_scipy() @ np.asarray(r1.x, dtype=np.float64)
+    ) / np.linalg.norm(b)
+    assert rel < 1e-4
+
+
+def test_partition_quality_improves():
+    """The point of the exercise: the planner's partition on the
+    RCM-recovered order packs better / spans narrower than on the
+    scrambled order."""
+    from tpusparse.formats.tiles import choose_partition
+
+    scr, _ = _scrambled_lap2d(64)
+    t_scr = choose_partition(scr)
+    rec = permute_symmetric(scr, rcm_order(scr))
+    t_rec = choose_partition(rec)
+    cost_scr = t_scr.col_window // 128 * (1 / max(t_scr.occupancy, .01))
+    cost_rec = t_rec.col_window // 128 * (1 / max(t_rec.occupancy, .01))
+    assert cost_rec < 0.5 * cost_scr

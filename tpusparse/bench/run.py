@@ -83,7 +83,7 @@ def _load_matrix(args):
     return coo.to_csr(), name
 
 
-def _plan(csr, strategy, dtype, L=1):
+def _plan(csr, strategy, dtype, L=1, reorder=None):
     """Build the device operand for a strategy; returns (operand, kind)."""
     import jax.experimental.sparse as jsparse
 
@@ -93,23 +93,29 @@ def _plan(csr, strategy, dtype, L=1):
     from tpusparse.ops.spmv import plan_matrix
 
     from tpusparse.ops.hybrid import HybridPlan
+    from tpusparse.ops.reorder import ReorderedPlan
 
-    A = plan_matrix(csr, strategy=strategy, dtype=dtype, L=L)
-    if isinstance(A, HybridPlan):
-        kind = "dia" if A.rest is None else "hybrid_dia"
-    elif isinstance(A, CsrMatrix):
-        kind = "reference"
-    elif isinstance(A, jsparse.BCOO):
-        kind = "bcoo"
-    elif isinstance(A, DeviceEll):
-        kind = "row_split"
-    elif isinstance(A, DeviceEllDF):
-        kind = "row_split_df64"
-    elif type(A).__name__ == "DfMergeTiles":
-        kind = "merge_df64"
-    else:
-        kind = type(A).__name__ == "BcsrMatrix" and "bsr" or "merge"
-    return A, kind
+    A = plan_matrix(csr, strategy=strategy, dtype=dtype, L=L,
+                    reorder=reorder)
+
+    def kind_of(p):
+        if isinstance(p, ReorderedPlan):
+            return "rcm+" + kind_of(p.inner)
+        if isinstance(p, HybridPlan):
+            return "dia" if p.rest is None else "hybrid_dia"
+        if isinstance(p, CsrMatrix):
+            return "reference"
+        if isinstance(p, jsparse.BCOO):
+            return "bcoo"
+        if isinstance(p, DeviceEll):
+            return "row_split"
+        if isinstance(p, DeviceEllDF):
+            return "row_split_df64"
+        if type(p).__name__ == "DfMergeTiles":
+            return "merge_df64"
+        return type(p).__name__ == "BcsrMatrix" and "bsr" or "merge"
+
+    return A, kind_of(A)
 
 
 def _iters(args, default):
@@ -162,7 +168,8 @@ def cmd_spmv(args):
     rows = []
     seen_kinds = set()
     for strat in strategies:
-        A, kind = _plan(csr, strat, dtype)
+        A, kind = _plan(csr, strat, dtype,
+                        reorder=getattr(args, "reorder", None))
         if strat == "auto" and not args.strategy:
             # AUTO may resolve to a strategy already in the default
             # list; dedupe so each kind is benched once
@@ -229,7 +236,8 @@ def cmd_spmm(args):
     rows = []
     seen_kinds = set()
     for strat in strategies:
-        A, kind = _plan(csr, strat, dtype, L=L)
+        A, kind = _plan(csr, strat, dtype, L=L,
+                        reorder=getattr(args, "reorder", None))
         if strat == "auto" and not args.strategy:
             seen_kinds.add(kind)
         elif kind in seen_kinds and not args.strategy:
@@ -306,7 +314,8 @@ def cmd_cg(args):
                   f"residual {float(np.max(np.asarray(res.residual))):.2e}")
         return row
     dtype = np.float32 if args.fp32 else np.float64
-    A, kind = _plan(csr, args.strategy or "auto", dtype)
+    A, kind = _plan(csr, args.strategy or "auto", dtype,
+                    reorder=getattr(args, "reorder", None))
     rng = np.random.default_rng(0)
     L = args.num_vectors
     # warmup solve outside the timed region (jit compile; reference
@@ -350,7 +359,8 @@ def cmd_multicg(args):
     csr, name = _load_matrix(args)
     dtype = np.float32 if args.fp32 else np.float64
     L = args.num_vectors
-    A, kind = _plan(csr, args.strategy or "auto", dtype, L=L)
+    A, kind = _plan(csr, args.strategy or "auto", dtype, L=L,
+                    reorder=getattr(args, "reorder", None))
     rng = np.random.default_rng(0)
     n = csr.num_rows
     B = jnp.asarray(rng.standard_normal((n, L)).astype(dtype))
@@ -650,6 +660,11 @@ def build_parser():
         sp.add_argument("--beta", type=float, default=0.0)
         sp.add_argument("--quiet", action="store_true")
         sp.add_argument("--strategy")
+        sp.add_argument("--reorder", choices=["rcm", "auto"],
+                        help="RCM pre-order (ops.reorder; the "
+                             "reference's InitCsrRelabel capability). "
+                             "'auto' permutes only when RCM recovers "
+                             "substantial bandwidth locality")
         sp.add_argument("--num_vectors", type=int, default=32)
         sp.add_argument("--max_iters", type=int, default=10000)
         sp.add_argument("--tolerance", type=float, default=1e-5)

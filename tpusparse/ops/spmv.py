@@ -61,8 +61,14 @@ class SpmvStrategy(enum.Enum):
 
 
 def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1,
-                _allow_dia: bool = True):
+                reorder=None, _allow_dia: bool = True):
     """Build the device operand for a host CsrMatrix.
+
+    ``reorder``: None (default) plans in the native order; ``'rcm'``
+    plans on the RCM-permuted matrix (ops.reorder — the reference's
+    ``InitCsrRelabel`` capability, ``sparse_matrix.h:184-207``);
+    ``'auto'`` permutes only when RCM recovers substantial bandwidth
+    locality.
 
     AUTO policy: fp64 -> the double-float ELL plan (two-f32 planes,
     ~1e-14 relative accuracy and f32 exponent range — NOT strict IEEE
@@ -75,6 +81,11 @@ def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1,
     """
     import numpy as np
 
+    if reorder:
+        from tpusparse.ops.reorder import plan_reorder
+
+        return plan_reorder(csr, strategy=strategy, dtype=dtype, L=L,
+                            order=reorder)
     strategy = SpmvStrategy.parse(strategy)
     if dtype is None:
         dtype = np.asarray(csr.values).dtype
@@ -281,7 +292,16 @@ def spmv(A, x, alpha=1.0, beta=0.0, y=None, strategy="auto"):
     from tpusparse.formats.bcsr import BcsrMatrix
     from tpusparse.formats.dia import DiaDevice
     from tpusparse.ops.hybrid import HybridPlan, spmv_hybrid
+    from tpusparse.ops.reorder import ReorderedPlan
 
+    if isinstance(A, ReorderedPlan):
+        import jax.numpy as jnp
+
+        yp = spmv(A.inner, jnp.asarray(x)[A.perm], alpha=alpha)
+        y_new = yp[A.inv_perm]
+        if beta == 0.0 or y is None:
+            return y_new
+        return y_new + beta * y
     if isinstance(A, HybridPlan):
         return spmv_hybrid(A, x, alpha=alpha, beta=beta, y=y)
     if isinstance(A, DiaDevice):
@@ -340,7 +360,16 @@ def spmm(A, X, alpha=1.0, beta=0.0, Y=None, strategy="auto"):
     from tpusparse.formats.bcsr import BcsrMatrix
     from tpusparse.formats.dia import DiaDevice
     from tpusparse.ops.hybrid import HybridPlan, spmm_hybrid
+    from tpusparse.ops.reorder import ReorderedPlan
 
+    if isinstance(A, ReorderedPlan):
+        import jax.numpy as jnp
+
+        Yp = spmm(A.inner, jnp.asarray(X)[A.perm], alpha=alpha)
+        Y_new = Yp[A.inv_perm]
+        if beta == 0.0 or Y is None:
+            return Y_new
+        return Y_new + beta * Y
     if isinstance(A, HybridPlan):
         return spmm_hybrid(A, X, alpha=alpha, beta=beta, Y=Y)
     if isinstance(A, DiaDevice):
