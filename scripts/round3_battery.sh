@@ -138,4 +138,30 @@ for p in range(3):  # interleaved passes
               f"(spread {st.spread:.3f})")
 EOF
 
+# --- F. RCM reorder A/B: scrambled-banded SpMV, interleaved ---
+R python - <<'EOF'
+import numpy as np
+import jax, jax.numpy as jnp
+jax.config.update('jax_enable_x64', True)
+from tpusparse.bench.timing import slope_time
+from tpusparse.io import generators
+from tpusparse.ops.reorder import permute_symmetric
+from tpusparse.ops.spmv import plan_matrix, spmv
+
+csr0 = generators.make_laplacian_grid3d(48, dtype=np.float64).to_csr()
+scram = np.random.default_rng(11).permutation(csr0.num_rows)
+scr = permute_symmetric(csr0, scram)
+rng = np.random.default_rng(0)
+x = jnp.asarray(rng.standard_normal(scr.num_cols).astype(np.float32))
+plans = {"native-order": plan_matrix(scr, dtype=np.float32),
+         "rcm": plan_matrix(scr, dtype=np.float32, reorder="rcm")}
+for p in range(3):
+    for k, A in plans.items():
+        st = slope_time(lambda v, A=A: spmv(A, v), x, iters=(10, 110),
+                        sets=2, reps=3, min_per_op=20e-6)
+        gf = 2.0*scr.nnz/st.median_s/1e9
+        print(f"pass{p} scrambled-lap3d-48 fp32 [{k}]: {gf:.1f} GF "
+              f"(spread {st.spread:.3f})")
+EOF
+
 echo "BATTERY DONE" >> "$OUT"
