@@ -349,3 +349,25 @@ def test_sweep_scripts_smoke(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert (out3 / "lap2d8_gflops.csv").exists()
+
+
+def test_cli_spmv_reorder(capsys, tmp_path):
+    """--reorder rcm plans on the RCM-permuted matrix (kind prefixed
+    rcm+) and still passes the golden check against the un-permuted
+    oracle (the permutation is internal to the plan)."""
+    import jax.numpy as jnp  # noqa: F401  (backend init before CLI)
+
+    from tpusparse.io import generators
+    from tpusparse.io.market import write_market
+    from tpusparse.ops.reorder import permute_symmetric
+
+    csr = generators.make_laplacian_grid2d(24, dtype=np.float64).to_csr()
+    perm = np.random.default_rng(5).permutation(csr.num_rows)
+    p = tmp_path / "scr.mtx"
+    write_market(str(p), permute_symmetric(csr, perm))
+    cli_main(["spmv", "--mtx", str(p), "--fp32", "--strategy", "merge",
+              "--reorder", "rcm", "--quiet"])
+    rows = [ln for ln in capsys.readouterr().out.strip().splitlines()
+            if "," in ln]
+    assert rows and all(r.split(",")[-1] == "PASS" for r in rows)
+    assert any(r.split(",")[1].startswith("rcm+") for r in rows)
