@@ -589,7 +589,8 @@ def cmd_efficiency(args):
     times = []
     for nd in counts:
         mesh = sh.make_mesh(nd)
-        st = shard_tiles(csr, nd, pad_layout_cols=True)
+        st = shard_tiles(csr, nd, pad_layout_cols=True,
+                         partition="auto")
         std = device_put_sharded_tiles(st, mesh)
         Bp = sh.to_padded_layout(B, st)
         solve = lambda: cg_solve_multi_sharded(

@@ -554,13 +554,25 @@ def choose_partition(csr, tile_nnz: int = 1024) -> MergeTiles:
     analogue of the reference's per-arch dispatch policy
     (``dispatch_spmv_orig.cuh:266-424``) extended with a per-matrix
     partition-family choice."""
+    fam = choose_partition_params(csr, tile_nnz)
+    if fam[0] == "classic":
+        return build_merge_tiles(csr, tile_nnz, row_window=fam[1],
+                                 col_window=fam[2])
+    return build_block_tiles(csr, tile_nnz, row_window=fam[1],
+                             max_blocks=fam[2], contiguous=True)
+
+
+def choose_partition_params(csr, tile_nnz: int = 1024):
+    """The decision behind :func:`choose_partition`, exposed so
+    distributed planners can apply ONE family/parameter choice
+    uniformly across row shards: ``('classic', row_window,
+    col_window)`` or ``('greedy', row_window, max_blocks)``."""
     if csr.nnz == 0:
-        return build_merge_tiles(csr, tile_nnz)
+        return ("classic", 1024, 2048)
     wr, wc = choose_tiling(csr, tile_nnz)
     occ_classic = tiling_efficiency_counts(csr, tile_nnz, wr, wc)
     if occ_classic >= _CLASSIC_OCC_GATE:
-        return build_merge_tiles(csr, tile_nnz, row_window=wr,
-                                 col_window=wc)
+        return ("classic", wr, wc)
     # the tuner's pick may trade occupancy for a smaller window; before
     # conceding the family, rescore the whole classic window grid by
     # occupancy over gather trips (row anchoring made the old
@@ -573,8 +585,7 @@ def choose_partition(csr, tile_nnz: int = 1024) -> MergeTiles:
         if s > best_c[0]:
             best_c = (s, wrc, wcc, occ)
     if best_c[3] >= _CLASSIC_OCC_GATE:
-        return build_merge_tiles(csr, tile_nnz, row_window=best_c[1],
-                                 col_window=best_c[2])
+        return ("classic", best_c[1], best_c[2])
     wr, wc, occ_classic = best_c[1], best_c[2], best_c[3]
     # classic fallback score: static window gather + a mid-range
     # row-span estimate (its real spans are unknown before the build)
@@ -592,10 +603,8 @@ def choose_partition(csr, tile_nnz: int = 1024) -> MergeTiles:
         if best is None or score > best[0]:
             best = (score, wrg, G)
     if best is None or best[0] <= score_classic:
-        return build_merge_tiles(csr, tile_nnz, row_window=wr,
-                                 col_window=wc)
-    return build_block_tiles(csr, tile_nnz, row_window=best[1],
-                             max_blocks=best[2], contiguous=True)
+        return ("classic", wr, wc)
+    return ("greedy", best[1], best[2])
 
 
 def _classic_grid_occupancies(csr, tile_nnz,

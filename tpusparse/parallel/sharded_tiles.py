@@ -73,9 +73,19 @@ class ShardedTiles:
 
 def shard_tiles(csr: CsrMatrix, n_shards: int,
                 pad_layout_cols: bool = False, bounds=None,
-                rows_per_shard: int | None = None, **tile_kwargs
+                rows_per_shard: int | None = None,
+                partition: str | None = None, **tile_kwargs
                 ) -> ShardedTiles:
     """Split rows into nnz-balanced slabs and merge-tile each slab.
+
+    ``partition='auto'`` runs the per-matrix partition-family chooser
+    (``formats.tiles.choose_partition_params``) ONCE on the full
+    matrix and applies that family uniformly to every shard — shard_map
+    needs uniform static shapes, so the choice cannot vary per shard.
+    On scattered/power-law matrices this routes shards to the greedy
+    variable-width window partition (the single-chip chooser's 2.2x
+    occupancy repair, now across the mesh). Default (None) keeps the
+    classic gap-split build with ``tile_kwargs``.
 
     ``pad_layout_cols=True`` (square matrices only) remaps each slab's
     global column indices into the padded shard row layout (global
@@ -112,6 +122,14 @@ def shard_tiles(csr: CsrMatrix, n_shards: int,
         ).astype(np.int32)
         gather_cols = n_shards * rps
 
+    fam = None
+    if partition == "auto":
+        from tpusparse.formats.tiles import choose_partition_params
+
+        fam = choose_partition_params(csr)
+    elif partition is not None:
+        raise ValueError(f"unknown partition {partition!r}")
+
     per_shard = []
     for i in range(n_shards):
         ro = np.asarray(slabs.row_offsets[i])
@@ -131,7 +149,17 @@ def shard_tiles(csr: CsrMatrix, n_shards: int,
             ci,
             np.asarray(slabs.values[i][:nnz_i]),
         )
-        tiles = build_merge_tiles(local, **tile_kwargs)
+        if fam is None:
+            tiles = build_merge_tiles(local, **tile_kwargs)
+        elif fam[0] == "classic":
+            tiles = build_merge_tiles(local, row_window=fam[1],
+                                      col_window=fam[2])
+        else:
+            from tpusparse.formats.tiles import build_block_tiles
+
+            tiles = build_block_tiles(local, row_window=fam[1],
+                                      max_blocks=fam[2],
+                                      contiguous=True)
         # span_classes=1: shard_map needs uniform shapes across shards,
         # so each shard keeps one plan with the global static span
         per_shard.append(merge_spmv.to_device_tiles(tiles,
@@ -190,9 +218,12 @@ def _stack_shard_plans(per_shard, num_rows, gather_cols, rps,
         num_cols=gather_cols,
         rows_per_shard=rps,
         row_window=per_shard[0].row_window,
-        col_window=per_shard[0].col_window,
+        # greedy variable-width shards may differ in window width and
+        # gather pad; the stacked statics take the max (safe for the
+        # uniform classic build, where all shards agree)
+        col_window=max(t.col_window for t in per_shard),
         gather_rows=max(t.gather_rows for t in per_shard),
-        x_pad_rows=per_shard[0].x_pad_rows,
+        x_pad_rows=max(t.x_pad_rows for t in per_shard),
         tiles_per_step=tps,
         row_span=rs,
         y_pad_rows=ypad,
