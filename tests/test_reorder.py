@@ -136,3 +136,20 @@ def test_partition_quality_improves():
     cost_scr = t_scr.col_window // 128 * (1 / max(t_scr.occupancy, .01))
     cost_rec = t_rec.col_window // 128 * (1 / max(t_rec.occupancy, .01))
     assert cost_rec < 0.5 * cost_scr
+
+
+def test_cg_multi_reordered_fast_path(rng):
+    """cg_solve_multi on a ReorderedPlan solves in the permuted space
+    (one gather in, one out) and returns original-order solutions."""
+    from tpusparse.solvers.cg import cg_solve_multi
+
+    scr, _ = _scrambled_lap2d(20, seed=9)
+    A = plan_reorder(scr, strategy="merge", dtype=np.float32,
+                     order="rcm")
+    B = rng.standard_normal((scr.num_rows, 4)).astype(np.float32)
+    res = cg_solve_multi(A, jnp.asarray(B), max_iters=2000,
+                         tolerance=1e-5)
+    assert bool(np.all(np.asarray(res.converged)))
+    X = np.asarray(res.x, dtype=np.float64)
+    rel = np.linalg.norm(B - scr.to_scipy() @ X) / np.linalg.norm(B)
+    assert rel < 1e-4

@@ -89,6 +89,17 @@ def cg_solve(
     eager solve pays ~10 host dispatches regardless of matrix size —
     ~250 ms through the axon tunnel — while the jitted solve is one.
     """
+    from tpusparse.ops.reorder import ReorderedPlan
+
+    if isinstance(A, ReorderedPlan) and matvec is None and x0 is None:
+        # solve in the permuted space: one gather of b in, one of x
+        # out, instead of two per iteration. Residual norms and the
+        # iteration trajectory are permutation-invariant.
+        res = cg_solve(A.inner, jnp.asarray(b)[A.perm],
+                       max_iters=max_iters, tolerance=tolerance,
+                       strategy=strategy,
+                       record_history=record_history)
+        return dataclasses.replace(res, x=res.x[A.inv_perm])
     if matvec is None and x0 is None:
         return _cg_solve_jit(A, b, int(max_iters), float(tolerance),
                              strategy, bool(record_history))
@@ -157,6 +168,16 @@ def cg_solve_multi(
     columns simultaneously with per-lane convergence masking.
 
     Jit-dispatched when no custom matmat is given (see cg_solve)."""
+    from tpusparse.ops.reorder import ReorderedPlan
+
+    if isinstance(A, ReorderedPlan) and matmat is None:
+        # permuted-space solve (see cg_solve): two gathers per SOLVE
+        # instead of two per iteration
+        res = cg_solve_multi(A.inner, jnp.asarray(B)[A.perm],
+                             max_iters=max_iters, tolerance=tolerance,
+                             strategy=strategy,
+                             record_history=record_history)
+        return dataclasses.replace(res, x=res.x[A.inv_perm])
     if matmat is None:
         return _cg_solve_multi_jit(A, B, int(max_iters),
                                    float(tolerance), strategy,
