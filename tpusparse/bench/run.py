@@ -587,10 +587,12 @@ def cmd_efficiency(args):
     devs = jax.devices()
     counts = [d for d in (1, 2, 4, 8, 16) if d <= len(devs)]
     times = []
+    from tpusparse.formats.tiles import choose_partition_params
+
+    fam = choose_partition_params(csr)  # once, shared by all meshes
     for nd in counts:
         mesh = sh.make_mesh(nd)
-        st = shard_tiles(csr, nd, pad_layout_cols=True,
-                         partition="auto")
+        st = shard_tiles(csr, nd, pad_layout_cols=True, partition=fam)
         std = device_put_sharded_tiles(st, mesh)
         Bp = sh.to_padded_layout(B, st)
         solve = lambda: cg_solve_multi_sharded(

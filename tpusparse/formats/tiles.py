@@ -555,11 +555,21 @@ def choose_partition(csr, tile_nnz: int = 1024) -> MergeTiles:
     (``dispatch_spmv_orig.cuh:266-424``) extended with a per-matrix
     partition-family choice."""
     fam = choose_partition_params(csr, tile_nnz)
+    return build_partition_from_params(csr, fam, tile_nnz)
+
+
+def build_partition_from_params(csr, fam, tile_nnz: int = 1024
+                                ) -> MergeTiles:
+    """Build the partition named by a :func:`choose_partition_params`
+    tuple — the ONE place the family tag maps to a builder (shared by
+    the single-chip chooser and the sharded planner)."""
     if fam[0] == "classic":
         return build_merge_tiles(csr, tile_nnz, row_window=fam[1],
                                  col_window=fam[2])
-    return build_block_tiles(csr, tile_nnz, row_window=fam[1],
-                             max_blocks=fam[2], contiguous=True)
+    if fam[0] == "greedy":
+        return build_block_tiles(csr, tile_nnz, row_window=fam[1],
+                                 max_blocks=fam[2], contiguous=True)
+    raise ValueError(f"unknown partition family {fam!r}")
 
 
 def choose_partition_params(csr, tile_nnz: int = 1024):
@@ -568,7 +578,7 @@ def choose_partition_params(csr, tile_nnz: int = 1024):
     uniformly across row shards: ``('classic', row_window,
     col_window)`` or ``('greedy', row_window, max_blocks)``."""
     if csr.nnz == 0:
-        return ("classic", 1024, 2048)
+        return ("classic", 1024, 1024)  # build_merge_tiles defaults
     wr, wc = choose_tiling(csr, tile_nnz)
     occ_classic = tiling_efficiency_counts(csr, tile_nnz, wr, wc)
     if occ_classic >= _CLASSIC_OCC_GATE:

@@ -84,8 +84,11 @@ def shard_tiles(csr: CsrMatrix, n_shards: int,
     needs uniform static shapes, so the choice cannot vary per shard.
     On scattered/power-law matrices this routes shards to the greedy
     variable-width window partition (the single-chip chooser's 2.2x
-    occupancy repair, now across the mesh). Default (None) keeps the
-    classic gap-split build with ``tile_kwargs``.
+    occupancy repair, now across the mesh). A precomputed
+    ``choose_partition_params`` tuple is also accepted (callers
+    building several shardings of one matrix run the chooser once).
+    Default (None) keeps the classic gap-split build with
+    ``tile_kwargs``; combining ``partition`` with tile_kwargs raises.
 
     ``pad_layout_cols=True`` (square matrices only) remaps each slab's
     global column indices into the padded shard row layout (global
@@ -123,12 +126,20 @@ def shard_tiles(csr: CsrMatrix, n_shards: int,
         gather_cols = n_shards * rps
 
     fam = None
-    if partition == "auto":
-        from tpusparse.formats.tiles import choose_partition_params
+    if partition is not None:
+        if tile_kwargs:
+            raise ValueError(
+                "partition= and explicit tile_kwargs conflict — the "
+                f"family parameters would silently override {tile_kwargs}"
+            )
+        if partition == "auto":
+            from tpusparse.formats.tiles import choose_partition_params
 
-        fam = choose_partition_params(csr)
-    elif partition is not None:
-        raise ValueError(f"unknown partition {partition!r}")
+            fam = choose_partition_params(csr)
+        elif isinstance(partition, tuple):
+            fam = partition  # precomputed choose_partition_params
+        else:
+            raise ValueError(f"unknown partition {partition!r}")
 
     per_shard = []
     for i in range(n_shards):
@@ -151,15 +162,12 @@ def shard_tiles(csr: CsrMatrix, n_shards: int,
         )
         if fam is None:
             tiles = build_merge_tiles(local, **tile_kwargs)
-        elif fam[0] == "classic":
-            tiles = build_merge_tiles(local, row_window=fam[1],
-                                      col_window=fam[2])
         else:
-            from tpusparse.formats.tiles import build_block_tiles
+            from tpusparse.formats.tiles import (
+                build_partition_from_params,
+            )
 
-            tiles = build_block_tiles(local, row_window=fam[1],
-                                      max_blocks=fam[2],
-                                      contiguous=True)
+            tiles = build_partition_from_params(local, fam)
         # span_classes=1: shard_map needs uniform shapes across shards,
         # so each shard keeps one plan with the global static span
         per_shard.append(merge_spmv.to_device_tiles(tiles,

@@ -89,17 +89,6 @@ def cg_solve(
     eager solve pays ~10 host dispatches regardless of matrix size —
     ~250 ms through the axon tunnel — while the jitted solve is one.
     """
-    from tpusparse.ops.reorder import ReorderedPlan
-
-    if isinstance(A, ReorderedPlan) and matvec is None and x0 is None:
-        # solve in the permuted space: one gather of b in, one of x
-        # out, instead of two per iteration. Residual norms and the
-        # iteration trajectory are permutation-invariant.
-        res = cg_solve(A.inner, jnp.asarray(b)[A.perm],
-                       max_iters=max_iters, tolerance=tolerance,
-                       strategy=strategy,
-                       record_history=record_history)
-        return dataclasses.replace(res, x=res.x[A.inv_perm])
     if matvec is None and x0 is None:
         return _cg_solve_jit(A, b, int(max_iters), float(tolerance),
                              strategy, bool(record_history))
@@ -109,6 +98,17 @@ def cg_solve(
 
 def _cg_solve_impl(A, b, max_iters, tolerance, strategy, x0, matvec,
                    record_history) -> CgResult:
+    from tpusparse.ops.reorder import ReorderedPlan
+
+    inv_perm = None
+    if isinstance(A, ReorderedPlan) and matvec is None and x0 is None:
+        # solve in the permuted space (traced INSIDE the jitted
+        # worker — still one host dispatch): one gather of b in, one
+        # of x out, instead of two per iteration. Residual norms and
+        # the iteration trajectory are permutation-invariant.
+        b = jnp.asarray(b)[A.perm]
+        inv_perm = A.inv_perm
+        A = A.inner
     mv = matvec if matvec is not None else _matvec(A, strategy)
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - mv(x) if x0 is not None else b
@@ -146,7 +146,7 @@ def _cg_solve_impl(A, b, max_iters, tolerance, strategy, x0, matvec,
     )
     rel = jnp.sqrt(rs) / b_norm
     return CgResult(
-        x=x,
+        x=x if inv_perm is None else x[inv_perm],
         iterations=i,
         converged=rel < tolerance,
         residual=rel,
@@ -168,16 +168,6 @@ def cg_solve_multi(
     columns simultaneously with per-lane convergence masking.
 
     Jit-dispatched when no custom matmat is given (see cg_solve)."""
-    from tpusparse.ops.reorder import ReorderedPlan
-
-    if isinstance(A, ReorderedPlan) and matmat is None:
-        # permuted-space solve (see cg_solve): two gathers per SOLVE
-        # instead of two per iteration
-        res = cg_solve_multi(A.inner, jnp.asarray(B)[A.perm],
-                             max_iters=max_iters, tolerance=tolerance,
-                             strategy=strategy,
-                             record_history=record_history)
-        return dataclasses.replace(res, x=res.x[A.inv_perm])
     if matmat is None:
         return _cg_solve_multi_jit(A, B, int(max_iters),
                                    float(tolerance), strategy,
@@ -188,6 +178,15 @@ def cg_solve_multi(
 
 def _cg_solve_multi_impl(A, B, max_iters, tolerance, strategy, matmat,
                          record_history) -> CgResult:
+    from tpusparse.ops.reorder import ReorderedPlan
+
+    inv_perm = None
+    if isinstance(A, ReorderedPlan) and matmat is None:
+        # permuted-space solve (see _cg_solve_impl): two gathers per
+        # SOLVE instead of two per iteration, still one dispatch
+        B = jnp.asarray(B)[A.perm]
+        inv_perm = A.inv_perm
+        A = A.inner
     mm = matmat if matmat is not None else _matmat(A, strategy)
     n, L = B.shape
     X = jnp.zeros_like(B)
@@ -232,7 +231,7 @@ def _cg_solve_multi_impl(A, B, max_iters, tolerance, strategy, matmat,
     )
     rel = jnp.sqrt(rs) / b_norms
     return CgResult(
-        x=X,
+        x=X if inv_perm is None else X[inv_perm],
         iterations=i,
         converged=converged,
         residual=rel,
