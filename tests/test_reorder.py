@@ -153,3 +153,30 @@ def test_cg_multi_reordered_fast_path(rng):
     X = np.asarray(res.x, dtype=np.float64)
     rel = np.linalg.norm(B - scr.to_scipy() @ X) / np.linalg.norm(B)
     assert rel < 1e-4
+
+
+def test_pcg_reordered_plan_dispatch_route(rng):
+    """Preconditioned solvers take the dispatch route for a
+    ReorderedPlan (the preconditioner lives in original coordinates,
+    which stays a valid SPD preconditioner): multicg's --reorder
+    combination converges."""
+    from tpusparse.precond.ic0 import ic0_factorize
+    from tpusparse.solvers.pcg import (
+        make_ic0_preconditioner,
+        pcg_solve_multi,
+    )
+
+    csr = generators.make_laplacian_grid2d(16, dtype=np.float64).to_csr()
+    scram = np.random.default_rng(4).permutation(csr.num_rows)
+    scr = permute_symmetric(csr, scram)
+    A = plan_reorder(scr, strategy="merge", dtype=np.float32,
+                     order="rcm")
+    Lf = ic0_factorize(scr)
+    prec = make_ic0_preconditioner(Lf, sweeps=40)
+    B = rng.standard_normal((scr.num_rows, 4)).astype(np.float32)
+    res = pcg_solve_multi(A, jnp.asarray(B), prec, max_iters=2000,
+                          tolerance=1e-5)
+    assert bool(np.all(np.asarray(res.converged)))
+    X = np.asarray(res.x, dtype=np.float64)
+    rel = np.linalg.norm(B - scr.to_scipy() @ X) / np.linalg.norm(B)
+    assert rel < 1e-4
