@@ -73,8 +73,17 @@ def permute_symmetric(csr: CsrMatrix, perm: np.ndarray) -> CsrMatrix:
     rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(ro))
     new_rows = inv[rows]
     new_cols = inv[ci]
-    # CSR invariant: entries sorted by (row, col)
-    o = np.lexsort((new_cols, new_rows))
+    # CSR invariant: entries sorted by (row, col) — native counting
+    # sort when available (the lexsort costs seconds at 10M nnz)
+    o = None
+    try:
+        from tpusparse.utils import native
+
+        o = native.coo_sort_order(n, new_rows, new_cols)
+    except ImportError:
+        o = None
+    if o is None:
+        o = np.lexsort((new_cols, new_rows))
     new_rows, new_cols, va2 = new_rows[o], new_cols[o], va[o]
     ro2 = np.zeros(n + 1, dtype=ro.dtype)
     np.cumsum(np.bincount(new_rows, minlength=n), out=ro2[1:])
