@@ -371,3 +371,25 @@ def test_cli_spmv_reorder(capsys, tmp_path):
             if "," in ln]
     assert rows and all(r.split(",")[-1] == "PASS" for r in rows)
     assert any(r.split(",")[1].startswith("rcm+") for r in rows)
+
+
+def test_cli_multicg_reorder(capsys, tmp_path):
+    """multicg --reorder factors the preconditioners on the permuted
+    matrix and solves in the permuted space (iteration counts are
+    permutation-invariant; IC(0) quality improves with the RCM
+    order)."""
+    from tpusparse.io import generators
+    from tpusparse.io.market import write_market
+    from tpusparse.ops.reorder import permute_symmetric
+
+    csr = generators.make_laplacian_grid2d(12, dtype=np.float64).to_csr()
+    perm = np.random.default_rng(6).permutation(csr.num_rows)
+    p = tmp_path / "scr.mtx"
+    write_market(str(p), permute_symmetric(csr, perm))
+    out = cli_main(["multicg", "--mtx", str(p), "--fp32",
+                    "--num_vectors", "2", "--max_iters", "500",
+                    "--reorder", "rcm", "--quiet",
+                    "--output", str(tmp_path)])
+    assert out["cg"]["converged"]
+    assert out["pcg_ic0"]["converged"]
+    assert out["pcg_ic0"]["iters"] <= out["cg"]["iters"]

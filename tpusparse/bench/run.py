@@ -365,6 +365,22 @@ def cmd_multicg(args):
     n = csr.num_rows
     B = jnp.asarray(rng.standard_normal((n, L)).astype(dtype))
 
+    from tpusparse.ops.reorder import ReorderedPlan
+
+    if isinstance(A, ReorderedPlan):
+        # Solve the whole comparison in the permuted space: iteration
+        # counts and error histories are permutation-invariant, and
+        # preconditioner QUALITY is not — IC(0) factored on the
+        # RCM-recovered order beats the scrambled order (measured
+        # 40 -> 29 PCG iters on a scrambled lap2d-32), the classic
+        # reordering-for-incomplete-factorization effect.
+        from tpusparse.ops.reorder import permute_symmetric
+
+        perm = np.asarray(A.perm).astype(np.int64)
+        csr = permute_symmetric(csr, perm)
+        B = B[jnp.asarray(perm)]
+        A = A.inner
+
     outdir = args.output or "data/error_data"
     os.makedirs(outdir, exist_ok=True)
     results = {}
