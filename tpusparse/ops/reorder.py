@@ -25,6 +25,9 @@ from typing import Any
 
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+
 from tpusparse.formats.csr import CsrMatrix
 
 # reorder='auto' gate: apply RCM only when it recovers substantial
@@ -105,10 +108,6 @@ def rcm_order(csr: CsrMatrix) -> np.ndarray:
     return np.asarray(
         reverse_cuthill_mckee(sp, symmetric_mode=False), dtype=np.int64
     )
-
-
-import jax
-import jax.numpy as jnp
 
 
 @jax.tree_util.register_pytree_node_class
