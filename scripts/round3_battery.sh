@@ -164,4 +164,12 @@ for p in range(3):
               f"(spread {st.spread:.3f})")
 EOF
 
+# --- G. Multi-RHS stencil SpMM at scale: DIA vs ELL at L=32 ---
+# open question: _try_plan_dia returns XLA DIA for L>1 at any plane
+# size; past the fusion collapse ELL may win. Decides an L-aware gate.
+R python -m tpusparse.bench.run spmm --lap3d 96 --fp32 --strategy dia
+R python -m tpusparse.bench.run spmm --lap3d 96 --fp32 --strategy row_split
+R python -m tpusparse.bench.run spmm --lap3d 160 --fp32 --strategy dia
+R python -m tpusparse.bench.run spmm --lap3d 160 --fp32 --strategy row_split
+
 echo "BATTERY DONE" >> "$OUT"
