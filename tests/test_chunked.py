@@ -47,3 +47,22 @@ def test_chunked_rect_with_empty_blocks(rng):
     y = np.asarray(spmv_chunked(A, jnp.asarray(x)))
     expect = csr.to_scipy().astype(np.float32) @ x
     np.testing.assert_allclose(y, expect, atol=1e-5)
+
+
+def test_chunked_scattered_uses_chooser(rng):
+    """Blocks of a scattered matrix run the partition-family chooser
+    independently (greedy where window clustering shatters) and the
+    chunked SpMV stays exact."""
+    import jax.numpy as jnp
+
+    from tpusparse.io import generators
+    from tpusparse.ops.chunked import build_chunked_merge, spmv_chunked
+
+    csr = generators.make_rmat(13, edge_factor=4, seed=2).to_csr()
+    csr = csr.astype(np.float32)
+    A = build_chunked_merge(csr, chunk_dim=4096)
+    x = rng.standard_normal(csr.num_cols).astype(np.float32)
+    y = np.asarray(spmv_chunked(A, jnp.asarray(x)))
+    ref = csr.to_scipy() @ x.astype(np.float64)
+    scale = np.abs(ref).max() + 1.0
+    assert np.abs(y - ref).max() / scale < 1e-5

@@ -64,8 +64,14 @@ class ChunkedMerge:
 
 def build_chunked_merge(csr: CsrMatrix, chunk_dim: int = CHUNK_DIM,
                         dtype=np.float32, **tile_kwargs) -> ChunkedMerge:
-    """Split a host CSR into a block grid and merge-tile each block."""
-    from tpusparse.formats.tiles import build_merge_tiles
+    """Split a host CSR into a block grid and merge-tile each block.
+
+    Each block is an independent single-chip plan, so without explicit
+    ``tile_kwargs`` every block runs the per-matrix partition-family
+    chooser (``choose_partition``) — scattered blocks of a huge matrix
+    get the greedy variable-width partition, banded blocks keep the
+    classic gap-split windows."""
+    from tpusparse.formats.tiles import build_merge_tiles, choose_partition
     from tpusparse.kernels import merge_spmv
 
     assert chunk_dim % 128 == 0
@@ -101,10 +107,10 @@ def build_chunked_merge(csr: CsrMatrix, chunk_dim: int = CHUNK_DIM,
                 sub_vals[m][order],
             )
             keys.append((ri, cj))
+            tiles = (build_merge_tiles(sub, **tile_kwargs)
+                     if tile_kwargs else choose_partition(sub))
             plans.append(
-                merge_spmv.to_device_tiles(
-                    build_merge_tiles(sub, **tile_kwargs), dtype=dtype
-                )
+                merge_spmv.to_device_tiles(tiles, dtype=dtype)
             )
     return ChunkedMerge(
         num_rows=M, num_cols=N,
