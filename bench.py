@@ -34,9 +34,14 @@ import numpy as np
 BASELINE_SPMV_GFLOPS = 8.0
 
 # The tunneled TPU backend can hang indefinitely at init when the
-# tunnel is down (observed: jax.devices() blocks forever). A watchdog
-# turns that into a diagnosable failure line instead of a silent hang.
-WATCHDOG_S = float(os.environ.get("BENCH_WATCHDOG_S", 2400))
+# tunnel is down (observed: jax.devices() blocks forever — including
+# a whole-session outage with flapping short windows). Two layers of
+# protection: the measurement runs in a SUPERVISED CHILD process that
+# is killed and retried on hang (a flap costs one attempt, not the
+# run), and an in-process watchdog inside the child turns a terminal
+# hang into a diagnosable JSON failure line.
+WATCHDOG_S = float(os.environ.get("BENCH_WATCHDOG_S", 1500))
+ATTEMPTS = int(os.environ.get("BENCH_ATTEMPTS", 3))
 
 
 def _arm_watchdog():
@@ -119,5 +124,47 @@ def main():
     wd.cancel()
 
 
+def _supervise():
+    """Run main() in child processes, killing and retrying on hang.
+    Emits the child's JSON line on success; after all attempts, emits
+    the last failure line."""
+    import subprocess
+    import sys
+
+    last = None
+    for attempt in range(ATTEMPTS):
+        env = dict(os.environ, BENCH_CHILD="1")
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+                timeout=WATCHDOG_S + 120,
+            )
+            out = r.stdout.strip().splitlines()
+            line = next((ln for ln in reversed(out)
+                         if ln.startswith("{")), None)
+        except subprocess.TimeoutExpired:
+            line = None
+        if line is not None:
+            last = line
+            try:
+                if json.loads(line).get("value", 0) > 0:
+                    print(line, flush=True)
+                    return 0
+            except ValueError:
+                last = None
+        # hang or failure line: retry (a tunnel flap costs one attempt)
+    print(last or json.dumps({
+        "metric": "spmv_fp32_auto_gflops", "value": 0.0,
+        "unit": "GFLOP/s", "vs_baseline": 0.0,
+        "error": f"no result after {ATTEMPTS} supervised attempts "
+                 "(TPU tunnel down)",
+    }), flush=True)
+    return 2
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD") == "1":
+        main()
+    else:
+        raise SystemExit(_supervise())
