@@ -156,15 +156,19 @@ def plan_reorder(csr: CsrMatrix, strategy="auto", dtype=None,
     if csr.num_rows != csr.num_cols or csr.nnz == 0:
         return plan_matrix(csr, strategy=strategy, dtype=dtype, L=L)
     perm = rcm_order(csr)
-    if order == "auto":
-        bw0 = bandwidth(csr)
-        csr_p = permute_symmetric(csr, perm)
-        if bandwidth(csr_p) + RCM_SLACK > RCM_GAIN * bw0:
-            return plan_matrix(csr, strategy=strategy, dtype=dtype, L=L)
-    else:
-        csr_p = permute_symmetric(csr, perm)
-    inner = plan_matrix(csr_p, strategy=strategy, dtype=dtype, L=L)
     inv = np.argsort(perm)
+    if order == "auto":
+        # permuted bandwidth straight from the relabeling — O(nnz),
+        # no need to build the permuted matrix to reject the gate
+        ro = np.asarray(csr.row_offsets)
+        ci = np.asarray(csr.col_indices).astype(np.int64)
+        rows = np.repeat(np.arange(csr.num_rows, dtype=np.int64),
+                         np.diff(ro))
+        bw_p = int(np.abs(inv[rows] - inv[ci]).max())
+        if bw_p + RCM_SLACK > RCM_GAIN * bandwidth(csr):
+            return plan_matrix(csr, strategy=strategy, dtype=dtype, L=L)
+    csr_p = permute_symmetric(csr, perm)
+    inner = plan_matrix(csr_p, strategy=strategy, dtype=dtype, L=L)
     return ReorderedPlan(
         num_rows=csr.num_rows, num_cols=csr.num_cols, nnz=csr.nnz,
         inner=inner,
