@@ -90,6 +90,50 @@ def test_fp64_auto_routes_merge_df(rng):
     assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-12
 
 
+@pytest.mark.parametrize("maker,L", [
+    (lambda: generators.make_wheel(4000, dtype=np.float64).to_csr(), 16),
+    (lambda: generators.make_rmat(10, dtype=np.float64).to_csr(), 12),
+])
+def test_df_spmm_multi_rhs_skew(maker, L, rng):
+    # the in-kernel multi-RHS df merge SpMM (one payload stream,
+    # (L,128) lane gathers, Hillis-Steele df scan) on the skewed
+    # fixtures where df-ELL's job count explodes; L=12 exercises the
+    # 8-lane pad
+    import jax.numpy as jnp
+
+    csr = maker()
+    plan = _plan(csr)
+    S = csr.to_scipy()
+    X = rng.standard_normal((csr.num_cols, L))
+    Y = np.asarray(spmm_merge_df(plan, jnp.asarray(X)))
+    ref = S @ X
+    assert Y.shape == ref.shape
+    assert np.abs(Y - ref).max() / np.abs(ref).max() < 1e-12
+
+
+def test_fp64_auto_multi_rhs_routing():
+    from tpusparse.formats.ell import ell_occupancy_estimate
+    from tpusparse.kernels.ell_df import DF_JOBS_PER_TILE, DeviceEllDF
+    from tpusparse.ops.spmv import DF_ELL_MIN_OCC
+
+    # stencil: df-ELL packing holds -> gather-job plan (_allow_dia off
+    # to isolate the occupancy gate — full AUTO peels the stencil's
+    # diagonals first)
+    lap = generators.make_laplacian_grid3d(12, dtype=np.float64
+                                           ).to_csr()
+    assert ell_occupancy_estimate(lap, DF_JOBS_PER_TILE) \
+        >= DF_ELL_MIN_OCC
+    assert isinstance(plan_matrix(lap, dtype=np.float64, L=16,
+                                  _allow_dia=False),
+                      DeviceEllDF)
+    # power-law skew: job count explodes -> the df merge SpMM plan
+    rm = generators.make_rmat(10, dtype=np.float64).to_csr()
+    assert ell_occupancy_estimate(rm, DF_JOBS_PER_TILE) \
+        < DF_ELL_MIN_OCC
+    assert isinstance(plan_matrix(rm, dtype=np.float64, L=16),
+                      DfMergeTiles)
+
+
 def test_fp64_cg_iteration_parity_via_merge_df(rng):
     import jax.numpy as jnp
 

@@ -60,6 +60,13 @@ class SpmvStrategy(enum.Enum):
         return cls(aliases.get(s, s))
 
 
+# fp64 multi-RHS AUTO: below this df-ELL packing efficiency the
+# padded job stream (and its per-job gather cost) grows faster than
+# the lanes it fills, and the skew-insensitive df merge SpMM kernel
+# takes over (kernels/merge_df._spmm_kernel_df).
+DF_ELL_MIN_OCC = 0.2
+
+
 def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1,
                 reorder=None, _allow_dia: bool = True):
     """Build the device operand for a host CsrMatrix.
@@ -70,14 +77,15 @@ def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1,
     ``'auto'`` permutes only when RCM recovers substantial bandwidth
     locality.
 
-    AUTO policy: fp64 -> the double-float ELL plan (two-f32 planes,
-    ~1e-14 relative accuracy and f32 exponent range — NOT strict IEEE
-    fp64; callers that need genuine fp64 semantics must pass
-    strategy='reference', the XLA fp64 path) whenever the padded
-    payload fits a memory budget, since even at low occupancy it
-    measures ~12x the XLA fp64 gather path. fp32 -> BSR MXU panels for
-    block-structured fill, layered-ELL when the packing is efficient
-    and the RHS block fits VMEM, else merge tiles.
+    AUTO policy: fp64 -> double-float plans (two-f32 planes, ~1e-14
+    relative accuracy and f32 exponent range — NOT strict IEEE fp64;
+    callers that need genuine fp64 semantics must pass
+    strategy='reference', the XLA fp64 path): multi-RHS rides df-ELL
+    while its packing holds (occupancy >= DF_ELL_MIN_OCC) and the df
+    merge SpMM on skewed/scattered patterns; single-RHS rides the df
+    merge kernel. fp32 -> BSR MXU panels for block-structured fill,
+    layered-ELL when the packing is efficient and the RHS block fits
+    VMEM, else merge tiles.
     """
     import numpy as np
 
@@ -119,30 +127,34 @@ def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1,
 
         # no VMEM-fit gate: spmm_ell_df lane-chunks oversized RHS
         # blocks just like the fp32 kernel. Explicit ROW_SPLIT always
-        # honors the request. AUTO's occupancy gate is about HBM
-        # payload inflation, not speed: even at occupancy 0.015 the
-        # kernel measures ~12x the XLA fp64 gather path (wheel-50k),
-        # so accept any packing whose padded payload stays under a
-        # memory budget. The reference benches its kernels in the
-        # default fp64 mode (cpu_spmv.cpp:979-986).
+        # honors the request. AUTO keeps df-ELL where its packing
+        # holds (its (L,128) registers fill and it measured 78 GF at
+        # L=32 on stencils) but routes low-occupancy / power-law
+        # patterns to the in-kernel df merge SpMM below — df-ELL's
+        # job count explodes on heavy row skew (rmat-14: 0.33 GF vs
+        # the df merge kernel's skew-insensitive tiles). The reference
+        # benches its kernels in the default fp64 mode
+        # (cpu_spmv.cpp:979-986).
         occ = ell_occupancy_estimate(csr, ell_df.DF_JOBS_PER_TILE)
         payload_ok = occ > 0 and (
             csr.nnz / occ * 2 * 4 <= 2 * 1024**3  # hi+lo f32 planes
         )
         if strategy == SpmvStrategy.ROW_SPLIT or (
-            occ >= 0.01 and payload_ok
+            occ >= DF_ELL_MIN_OCC and payload_ok
         ):
             return ell_df.to_device_ell_df(ell_df.build_df_tiles(csr))
     if np.dtype(dtype).itemsize > 4 and not df_too_big and (
         strategy in (SpmvStrategy.AUTO, SpmvStrategy.MERGE)
     ):
-        # fp64 single-RHS: the double-float MERGE kernel — skew-
-        # insensitive like the f32 flagship (compensated register scan
-        # instead of the MXU scan; ~1e-14 accuracy, f32 exponent
-        # range). 7 GF on rmat-14 vs df-ELL's 0.33 and the XLA
-        # reference's 0.02; strict-IEEE callers pass
-        # strategy='reference'. Reference default mode:
-        # cpu_spmv.cpp:979-986.
+        # fp64 single-RHS — and multi-RHS once the df-ELL occupancy
+        # gate above falls through: the double-float MERGE kernels —
+        # skew-insensitive like the f32 flagship (compensated register
+        # scans instead of the MXU scan; ~1e-14 accuracy, f32 exponent
+        # range). SpMV: 8.6 GF on rmat-14 vs df-ELL's 0.33 and the XLA
+        # reference's 0.01; SpMM: kernels/merge_df._spmm_kernel_df
+        # streams the payload once with (L,128) lane gathers.
+        # Strict-IEEE callers pass strategy='reference'. Reference
+        # default mode: cpu_spmv.cpp:979-986.
         from tpusparse.kernels import merge_df
 
         return merge_df.to_device_tiles_df(_host_merge_tiles(csr))
