@@ -133,3 +133,51 @@ class TestEllKernel:
         expect = csr.to_scipy().astype(np.float32) @ X
         scale = np.abs(expect).max() + 1.0
         np.testing.assert_allclose(Y / scale, expect / scale, atol=2e-5)
+
+
+class TestCapacityLimits:
+    def test_oversize_rhs_slab_raises(self):
+        """A matrix whose minimum 8-lane RHS slab exceeds the
+        scoped-vmem ceiling gets an actionable error, not a Mosaic
+        compile failure (observed: lap3d-160, 4.1M cols)."""
+        n = 4_000_000
+        A = ell_spmm.DeviceEll(
+            num_rows=n, num_cols=n, nnz=7 * n, jobs_per_tile=16,
+            vals=None, local_cols=None, row_block=None,
+            new_block=None, job_cblk=None,
+        )
+        # dtype comes from vals; fake it via a tiny array
+        A.vals = jnp.zeros((1, 16, 128), jnp.float32)
+        with pytest.raises(ValueError, match="scoped-vmem"):
+            ell_spmm.spmm_ell(A, jnp.zeros((n, 8), jnp.float32))
+
+    def test_df_oversize_rhs_slab_raises(self):
+        from tpusparse.kernels import ell_df
+
+        n = 2_000_000  # hi+lo doubling halves the df envelope
+        A = ell_df.DeviceEllDF(
+            num_rows=n, num_cols=n, nnz=7 * n, jobs_per_tile=8,
+            vals_hi=None, vals_lo=None, local_cols=None,
+            row_block=None, new_block=None, job_cblk=None,
+        )
+        with pytest.raises(ValueError, match="scoped-vmem"):
+            ell_df.spmm_ell_df(A, jnp.zeros((n, 8), jnp.float64))
+
+    def test_cblk_smem_block_layout(self):
+        """The per-step cblk SMEM block must match the job stream's
+        (tile, job) order — regression for the whole-array prefetch
+        that overflowed the 1 MB SMEM at ntiles*J > 256k (lap3d-160).
+        Exercised end-to-end on a matrix whose x blocks differ per
+        job so a transposed reshape would mis-gather."""
+        rng = np.random.default_rng(3)
+        csr = random_vals(
+            generators.make_laplacian_grid2d(40).to_csr(), rng
+        )
+        A = ell_spmm.to_device_ell(build_ell_tiles(csr))
+        assert A.job_cblk.size == A.ntiles * A.jobs_per_tile
+        X = rng.standard_normal((csr.num_cols, 8)).astype(np.float32)
+        Y = np.asarray(ell_spmm.spmm_ell(A, jnp.asarray(X)))
+        expect = csr.to_scipy().astype(np.float32) @ X
+        scale = np.abs(expect).max() + 1.0
+        np.testing.assert_allclose(Y / scale, expect / scale,
+                                   atol=2e-5)

@@ -156,7 +156,7 @@ def _ell_df_kernel(J: int, L: int,
     ah = jnp.zeros((L, LANES), jnp.float32)
     al = jnp.zeros((L, LANES), jnp.float32)
     for j in range(J):
-        c = cblk_ref[t * J + j]
+        c = cblk_ref[0, 0, j]
         b = jnp.broadcast_to(lc_ref[0, j, :][None, :], (L, LANES))
         xq = x_ref[c]                              # (2L, 128)
         gh = tala32(xq[:L], b, axis=1)
@@ -175,10 +175,13 @@ def _spmm_ell_df(A: DeviceEllDF, x3, mb: int):
     """x3: (Nb, 2L, 128) hi/lo-stacked; returns (mb, 2L, 128)."""
     L = x3.shape[1] // 2
     spec_tile = pl.BlockSpec(
-        (1, A.jobs_per_tile, LANES), lambda i, rb, nw, cb: (i, 0, 0)
+        (1, A.jobs_per_tile, LANES), lambda i, rb, nw: (i, 0, 0)
     )
     from tpusparse.kernels.merge_spmv import _vmem_params
 
+    # cblk rides a per-step (1, 1, J) SMEM block, not a whole-array
+    # scalar prefetch: at ntiles*J elements the prefetch overflows the
+    # 1 MB SMEM on multi-million-row matrices (see ell_spmm._spmm_ell).
     with jax.enable_x64(False):
         y3 = pl.pallas_call(
             functools.partial(_ell_df_kernel, A.jobs_per_tile, L),
@@ -186,23 +189,27 @@ def _spmm_ell_df(A: DeviceEllDF, x3, mb: int):
                 (x3.size + mb * 2 * L * LANES) * 4,
                 3 * A.jobs_per_tile, 1),
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=3,
+                num_scalar_prefetch=2,
                 grid=(A.ntiles,),
                 in_specs=[
+                    pl.BlockSpec((1, 1, A.jobs_per_tile),
+                                 lambda i, rb, nw: (i, 0, 0),
+                                 memory_space=pltpu.SMEM),
                     spec_tile, spec_tile, spec_tile,
                     pl.BlockSpec(x3.shape,
-                                 lambda i, rb, nw, cb: (0, 0, 0)),
+                                 lambda i, rb, nw: (0, 0, 0)),
                 ],
                 out_specs=pl.BlockSpec(
                     (1, 2 * L, LANES),
-                    lambda i, rb, nw, cb: (rb[i], 0, 0)
+                    lambda i, rb, nw: (rb[i], 0, 0)
                 ),
             ),
             out_shape=jax.ShapeDtypeStruct(
                 (mb, 2 * L, LANES), jnp.float32
             ),
             interpret=_interpret(),
-        )(A.row_block, A.new_block, A.job_cblk,
+        )(A.row_block, A.new_block,
+          A.job_cblk.reshape(A.ntiles, 1, A.jobs_per_tile),
           A.vals_hi, A.vals_lo, A.local_cols, x3)
     return y3
 
@@ -250,6 +257,16 @@ def spmm_ell_df(A: DeviceEllDF, X, alpha=1.0, beta=0.0, Y=None):
     if Lp != L:
         X = jnp.concatenate(
             [X, jnp.zeros((X.shape[0], Lp - L), X.dtype)], axis=1
+        )
+    # hi/lo stacking doubles the minimum slab vs the f32 kernel (see
+    # ell_spmm.spmm_ell for the constraint)
+    if A.num_cols * 4 * 2 * 8 > 100 * 1024 * 1024:
+        raise ValueError(
+            f"df-ELL SpMM needs an 8-lane hi+lo RHS slab resident in "
+            f"VMEM; {A.num_cols} cols -> "
+            f"{A.num_cols * 4 * 2 * 8 / 2**20:.0f} MB exceeds the "
+            f"~100 MB scoped-vmem ceiling. Use strategy='merge' (the "
+            f"df merge SpMM) or 'dia' at this size."
         )
     hi, lo = _split_planes(A, X)
     nb = -(-A.num_cols // LANES) + 1

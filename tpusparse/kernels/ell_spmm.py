@@ -108,7 +108,7 @@ def _ell_kernel(J: int, L: int,
 
     acc = jnp.zeros((L, LANES), x_ref.dtype)
     for j in range(J):
-        xq = x_ref[cblk_ref[t * J + j]]           # (L, 128)
+        xq = x_ref[cblk_ref[0, 0, j]]             # (L, 128)
         b = jnp.broadcast_to(lc_ref[0, j, :][None, :], (L, LANES))
         cand = tala32(xq, b, axis=1)
         v = jnp.broadcast_to(vals_ref[0, j, :][None, :], (L, LANES))
@@ -124,29 +124,38 @@ def _spmm_ell(A: DeviceEll, x3, mb: int):
 
     L = x3.shape[1]
     itemsize = np.dtype(A.dtype).itemsize
+    # rb (out index map) and new stay scalar-prefetched (8 B/tile).
+    # cblk is only read in the kernel body, and at ntiles*J elements a
+    # whole-array prefetch overflows the 1 MB SMEM on multi-million-row
+    # matrices (lap3d-160: u8[2048000] > 1048576) — stream it as a
+    # per-step (1, 1, J) SMEM block instead (J*4 B resident).
     y3 = pl.pallas_call(
         functools.partial(_ell_kernel, A.jobs_per_tile, L),
         compiler_params=_vmem_params(
             (x3.size + mb * L * LANES) * itemsize,
             2 * A.jobs_per_tile, 1),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,  # rb, new, cblk
+            num_scalar_prefetch=2,  # rb, new
             grid=(A.ntiles,),
             in_specs=[
+                pl.BlockSpec((1, 1, A.jobs_per_tile),
+                             lambda i, rb, nw: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, A.jobs_per_tile, LANES),
-                             lambda i, rb, nw, cb: (i, 0, 0)),
+                             lambda i, rb, nw: (i, 0, 0)),
                 pl.BlockSpec((1, A.jobs_per_tile, LANES),
-                             lambda i, rb, nw, cb: (i, 0, 0)),
+                             lambda i, rb, nw: (i, 0, 0)),
                 pl.BlockSpec(x3.shape,
-                             lambda i, rb, nw, cb: (0, 0, 0)),
+                             lambda i, rb, nw: (0, 0, 0)),
             ],
             out_specs=pl.BlockSpec(
-                (1, L, LANES), lambda i, rb, nw, cb: (rb[i], 0, 0)
+                (1, L, LANES), lambda i, rb, nw: (rb[i], 0, 0)
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((mb, L, LANES), A.vals.dtype),
         interpret=_interpret(),
-    )(A.row_block, A.new_block, A.job_cblk,
+    )(A.row_block, A.new_block,
+      A.job_cblk.reshape(A.ntiles, 1, A.jobs_per_tile),
       A.vals, A.local_cols, x3)
     return y3
 
@@ -180,6 +189,19 @@ def spmm_ell(A: DeviceEll, X, alpha=1.0, beta=0.0, Y=None):
         )
     # chunk the lane dimension to the VMEM budget
     itemsize = np.dtype(A.dtype).itemsize
+    # the formulation needs the RHS block resident in VMEM, and the
+    # lane chunk cannot drop below Mosaic's 8-lane register tile — a
+    # matrix whose 8-lane X slab alone exceeds the scoped-vmem ceiling
+    # (~100 MB, merge_spmv._vmem_params) cannot run on this kernel at
+    # any chunking (observed: lap3d-160, 4.1M cols -> 131 MB slab)
+    if A.num_cols * itemsize * 8 > 100 * 1024 * 1024:
+        raise ValueError(
+            f"row_split/ELL SpMM needs an 8-lane RHS slab resident in "
+            f"VMEM; {A.num_cols} cols x 8 lanes = "
+            f"{A.num_cols * itemsize * 8 / 2**20:.0f} MB exceeds the "
+            f"~100 MB scoped-vmem ceiling. Use strategy='merge' (or "
+            f"'dia' for banded matrices) at this size."
+        )
     max_lanes = max(
         (X_VMEM_BUDGET_BYTES // (A.num_cols * itemsize)) // 8 * 8, 8
     )
