@@ -78,6 +78,9 @@ def _load_matrix(args):
     elif args.rmat_spd:
         coo = generators.make_rmat_spd(args.rmat_spd, dtype=dtype)
         name = f"rmat_spd_{args.rmat_spd}"
+    elif getattr(args, "fem", None):
+        coo = generators.make_fem2d(args.fem, dtype=dtype)
+        name = f"fem2d_{args.fem}"
     else:
         raise SystemExit("no matrix source given (--mtx/--grid2d/...)")
     return coo.to_csr(), name
@@ -696,6 +699,10 @@ def build_parser():
                         help="R-MAT power-law graph, 2^SCALE vertices")
         sp.add_argument("--rmat_spd", type=int, metavar="SCALE",
                         help="SPD R-MAT variant (solver drivers)")
+        sp.add_argument("--fem", type=int, metavar="N",
+                        help="P1 FEM stiffness on a random Delaunay "
+                             "triangulation, N nodes (SPD, irregular "
+                             "bandwidth — the SuiteSparse bcsstk class)")
         sp.add_argument("--fp32", action="store_true")
         sp.add_argument("--fp64", action="store_true")
         sp.add_argument("--alpha", type=float, default=1.0)

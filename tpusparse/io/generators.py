@@ -237,3 +237,50 @@ def make_rmat_spd(scale: int, edge_factor: int = 8, seed: int = 0,
     return CooMatrix(g.num_rows, g.num_cols,
                      A.row.astype(np.int32), A.col.astype(np.int32),
                      A.data.astype(dtype))
+
+
+def make_fem2d(n_points: int, seed: int = 0, lump: float = 1e-3,
+               dtype=np.float64) -> CooMatrix:
+    """P1 finite-element stiffness matrix on a random Delaunay
+    triangulation of the unit square — the SuiteSparse structural /
+    FEM class (``bcsstk*``, ``nasa*`` in the reference's
+    ``ufl_matrices.txt``; fetch offline-blocked, see data/ufl/) built
+    hermetically: genuinely irregular node numbering and bandwidth
+    (random point insertion order), ~6-7 nnz/row, SPD.
+
+    Element assembly is the textbook barycentric-gradient form: for a
+    triangle with vertices p0,p1,p2 and opposite edge vectors
+    e_i = p_{i+2} - p_{i+1}, the local stiffness is
+    K_ij = (e_i . e_j) / (4 |T|). Pure-Neumann stiffness is singular;
+    a lumped-mass shift ``lump * area_i`` on the diagonal makes it SPD
+    (the discrete Helmholtz operator), keeping CG fixtures honest.
+    """
+    from scipy.spatial import Delaunay
+
+    rng = np.random.default_rng(seed)
+    pts = rng.random((n_points, 2))
+    tri = Delaunay(pts).simplices                 # (T, 3) int32
+    p = pts[tri]                                  # (T, 3, 2)
+    # e[:, i] = p[:, (i+2)%3] - p[:, (i+1)%3]
+    e = p[:, [2, 0, 1]] - p[:, [1, 2, 0]]         # (T, 3, 2)
+    area2 = e[:, 0, 0] * e[:, 1, 1] - e[:, 0, 1] * e[:, 1, 0]
+    area = 0.5 * np.abs(area2)
+    k = np.einsum("tix,tjx->tij", e, e) / (4.0 * area)[:, None, None]
+    rows = np.repeat(tri, 3, axis=1).ravel()      # i index of K_ij
+    cols = np.tile(tri, (1, 3)).ravel()           # j index of K_ij
+    vals = k.ravel()
+    # lumped-mass diagonal shift: area/3 per incident triangle vertex
+    rows = np.concatenate([rows, tri.ravel()])
+    cols = np.concatenate([cols, tri.ravel()])
+    vals = np.concatenate(
+        [vals, lump * np.repeat(area / 3.0, 3)]
+    )
+    # coalesce shared-element contributions so nnz is the true FEM
+    # pattern (~7/row), not per-triangle duplicates
+    import scipy.sparse as sp
+
+    A = sp.coo_matrix((vals, (rows, cols)),
+                      shape=(n_points, n_points)).tocsr().tocoo()
+    return CooMatrix(n_points, n_points,
+                     A.row.astype(np.int32), A.col.astype(np.int32),
+                     A.data.astype(dtype))

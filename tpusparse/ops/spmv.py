@@ -80,7 +80,10 @@ def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1,
     AUTO policy: fp64 -> double-float plans (two-f32 planes, ~1e-14
     relative accuracy and f32 exponent range — NOT strict IEEE fp64;
     callers that need genuine fp64 semantics must pass
-    strategy='reference', the XLA fp64 path): multi-RHS rides df-ELL
+    strategy='reference', the XLA fp64 path; inside CG on
+    ill-conditioned systems the df matvec costs ~3-10% extra
+    iterations vs strict IEEE — solvers/refine.py recovers full fp64
+    accuracy at fp32-kernel speed): multi-RHS rides df-ELL
     while its packing holds (occupancy >= DF_ELL_MIN_OCC) and the df
     merge SpMM on skewed/scattered patterns; single-RHS rides the df
     merge kernel. fp32 -> BSR MXU panels for block-structured fill,
