@@ -266,6 +266,35 @@ def test_cli_cg(capsys):
     assert int(parts[5]) > 0  # total iterations
 
 
+def test_cli_cg_device_rate(capsys):
+    """--device_rate appends a per-iteration device-rate row (the
+    max_iters-slope methodology, bench.timing.iter_slope; tolerance=0
+    pins the trip count so both spans execute exactly M iterations)."""
+    from tpusparse.bench.run import main as cli
+
+    cli(["cg", "--lap2d", "8", "--fp64", "--num_vectors", "1",
+         "--strategy", "reference", "--tolerance", "1e-6", "--quiet",
+         "--device_rate"])
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) >= 2
+    parts = lines[-1].split(",")
+    assert parts[0] == "lap2d_8"
+    assert float(parts[2]) > 0  # us/iter
+
+
+def test_cli_multicg_device_rate(tmp_path, capsys):
+    from tpusparse.bench.run import main as cli
+
+    cli(["multicg", "--lap2d", "8", "--fp64", "--num_vectors", "2",
+         "--strategy", "reference", "--tolerance", "1e-6",
+         "--max_iters", "100", "--quiet", "--device_rate",
+         "--output", str(tmp_path)])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for solver in ("cg", "pcg_ic0", "spai_cg"):
+        assert "dev_iter_us" in res[solver], solver
+        assert res[solver]["dev_iter_us"] >= 0
+
+
 def test_cli_sweep(capsys):
     from tpusparse.bench.run import main as cli
 

@@ -366,7 +366,45 @@ def cmd_cg(args):
     else:
         print(f"{name} [{kind}]: {L} solves, {total_iters} total iters, "
               f"{t*1e3:.1f} ms, {gf:.2f} GFLOP/s")
+    if getattr(args, "device_rate", False):
+        # per-iteration DEVICE rate via the max_iters slope
+        # (bench.timing.iter_slope): the wall clock above includes one
+        # ~25 ms tunnel round trip per solve, which dominates at small
+        # sizes; the slope cancels it. tolerance=0 pins the trip count.
+        st = _solver_iter_slope(
+            lambda M: cg_solve(A, bw, max_iters=M, tolerance=0.0))
+        dev_gf = models.gflops(
+            2.0 * csr.nnz + 10.0 * csr.num_rows, st.min_s)
+        msg = (f"{name} [{kind}] device rate: "
+               f"{st.min_s*1e6:.1f} us/iter, {dev_gf:.1f} GFLOP/s "
+               f"(spread {st.spread:.3f})")
+        print(",".join(str(v) for v in
+                       (name, kind, st.min_s * 1e6, dev_gf, st.spread))
+              if args.quiet else msg)
+        return row + (dev_gf,)
     return row
+
+
+def _solver_iter_slope(solve_fixed_iters):
+    """iter_slope adapter: run M pinned iterations, block on the
+    residual. Off-tunnel (CPU/interpret) the jitter floor is 0 so the
+    span never amplifies (each span is a fresh interpret-mode compile)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpusparse.bench.timing import iter_slope, sync
+
+    on_tpu = jax.default_backend() == "tpu"
+
+    def run(M):
+        sync(jnp.sum(solve_fixed_iters(M).residual))
+
+    return iter_slope(
+        run,
+        iters=(50, 650) if on_tpu else (5, 20),
+        sets=3 if on_tpu else 1,
+        min_delta_s=0.02 if on_tpu else 0.0,
+    )
 
 
 def cmd_multicg(args):
@@ -411,9 +449,12 @@ def cmd_multicg(args):
     os.makedirs(outdir, exist_ok=True)
     results = {}
 
-    def record(solver_name, fn, prep_s=0.0):
+    def record(solver_name, make_fn, prep_s=0.0, flops_per_iter=0.0):
         # reference methodology: warmup run (includes jit compile), then
-        # min-of-reps timing (no_pretreatment.hpp:232-255)
+        # min-of-reps timing (no_pretreatment.hpp:232-255).
+        # ``make_fn(max_iters, tolerance)`` returns the no-arg jitted
+        # solve — parameterized so --device_rate can pin the trip count.
+        fn = make_fn(args.max_iters, args.tolerance)
         res = fn()
         iters = int(res.iterations)
         times = []
@@ -437,13 +478,28 @@ def cmd_multicg(args):
             print(f"{name} {solver_name}: {iters} iters, "
                   f"prep {prep_s*1e3:.1f} ms, solve {t*1e3:.1f} ms, "
                   f"converged={results[solver_name]['converged']}")
+        if getattr(args, "device_rate", False) and flops_per_iter:
+            st = _solver_iter_slope(lambda M: make_fn(M, 0.0)())
+            results[solver_name].update(
+                dev_iter_us=st.min_s * 1e6,
+                dev_gflops=models.gflops(flops_per_iter, st.min_s),
+                dev_spread=st.spread,
+            )
+            if not args.quiet:
+                print(f"{name} {solver_name} device rate: "
+                      f"{st.min_s*1e6:.1f} us/iter, "
+                      f"{results[solver_name]['dev_gflops']:.1f} "
+                      f"GFLOP/s (spread {st.spread:.3f})")
 
     # jit each solver once per matrix: an eager solve pays ~10 host
     # dispatches regardless of size (~250 ms through the axon tunnel)
     import jax
 
-    record("cg", functools.partial(jax.jit(lambda B: cg_solve_multi(
-        A, B, max_iters=args.max_iters, tolerance=args.tolerance)), B))
+    record("cg",
+           lambda M, tol: functools.partial(
+               jax.jit(lambda B: cg_solve_multi(
+                   A, B, max_iters=M, tolerance=tol)), B),
+           flops_per_iter=(2.0 * csr.nnz + 10.0 * csr.num_rows) * L)
 
     # Preconditioner failures skip the dependent solver, mirroring the
     # reference drivers (cpu_multicg.cpp:226-230, 275-279).
@@ -453,10 +509,13 @@ def cmd_multicg(args):
         prec = make_ic0_preconditioner(Lfac, sweeps=args.jacobi_sweeps,
                                        num_rhs=L)
         prep = time.perf_counter() - t0
-        record("pcg_ic0", functools.partial(
-            jax.jit(lambda B: pcg_solve_multi(
-                A, B, prec, max_iters=args.max_iters,
-                tolerance=args.tolerance)), B), prep)
+        record("pcg_ic0",
+               lambda M, tol: functools.partial(
+                   jax.jit(lambda B: pcg_solve_multi(
+                       A, B, prec, max_iters=M, tolerance=tol)), B),
+               prep,
+               flops_per_iter=(2.0 * csr.nnz + 4.0 * Lfac.nnz
+                               + 12.0 * csr.num_rows) * L)
     except RuntimeError as e:
         results["pcg_ic0"] = dict(skipped=str(e))
         if not args.quiet:
@@ -468,10 +527,12 @@ def cmd_multicg(args):
         Md, _ = _plan(M.astype(dtype), args.strategy or "auto", dtype,
                       L=L)
         prep = time.perf_counter() - t0
-        record("spai_cg", functools.partial(
-            jax.jit(lambda B: spai_cg_solve_multi(
-                A, Md, B, max_iters=args.max_iters,
-                tolerance=args.tolerance)), B), prep)
+        record("spai_cg",
+               lambda M_, tol: functools.partial(
+                   jax.jit(lambda B: spai_cg_solve_multi(
+                       A, Md, B, max_iters=M_, tolerance=tol)), B),
+               prep,
+               flops_per_iter=(4.0 * csr.nnz + 12.0 * csr.num_rows) * L)
     except RuntimeError as e:
         results["spai_cg"] = dict(skipped=str(e))
         if not args.quiet:
@@ -728,6 +789,11 @@ def build_parser():
         sp.add_argument("--refined", action="store_true",
                         help="cg: fp64-accurate solves via mixed-"
                         "precision iterative refinement")
+        sp.add_argument("--device_rate", action="store_true",
+                        help="cg/multicg: also report the per-iteration "
+                        "DEVICE rate via a max_iters slope (cancels the "
+                        "~25 ms tunnel dispatch that dominates small "
+                        "solves; see bench.timing.iter_slope)")
         sp.add_argument("--dir", help="sweep every .mtx in a directory")
         sp.add_argument("--output")
 

@@ -95,6 +95,50 @@ def _run_one(g, x) -> float:
     return time.perf_counter() - t0
 
 
+def iter_slope(run, iters=(50, 650), sets: int = 3, reps: int = 3,
+               min_delta_s: float = 0.02,
+               max_span: int = 200_000) -> SlopeTiming:
+    """Per-ITERATION seconds of an iterative solver.
+
+    ``run(M)`` must execute exactly M solver iterations in ONE device
+    dispatch and block until the result reaches the host (pass
+    tolerance=0 so the convergence exit never fires). The slope over M
+    cancels the dispatch round trip exactly as ``slope_time``'s chained
+    loops do — this is how a *solver* (a data-dependent
+    ``lax.while_loop`` that cannot be fori-chained) gets an honest
+    device-side rate through the ~25 ms tunnel: the wall clock of a
+    single converged solve is dominated by the round trip at small
+    sizes (measured: a 23 ms "solve" whose device work is ~1 ms).
+
+    The long span amplifies 4x until the time delta clears
+    ``min_delta_s`` (tunnel jitter floor; pass 0 off-tunnel) — each new
+    span is a fresh jit compile, so amplification is bounded."""
+    K1, K2 = iters
+    run(K1), run(K2)  # compile both programs before timing
+
+    def t(M):
+        t0 = time.perf_counter()
+        run(M)
+        return time.perf_counter() - t0
+
+    slopes, all_t1, all_t2 = [], [], []
+    for _ in range(sets):
+        t1s = [t(K1) for _ in range(reps)]
+        t2s = [t(K2) for _ in range(reps)]
+        all_t1 += t1s
+        all_t2 += t2s
+        slopes.append(max(
+            float(np.median(t2s) - np.median(t1s)) / (K2 - K1), 1e-9))
+    robust = max((min(all_t2) - min(all_t1)) / (K2 - K1), 1e-9)
+    st = SlopeTiming(slopes, robust_slope_s=robust)
+    delta = float(np.median(all_t2) - np.median(all_t1))
+    if delta < min_delta_s and K2 < max_span:
+        return iter_slope(run, iters=(K1, K1 + (K2 - K1) * 4),
+                          sets=sets, reps=reps, min_delta_s=min_delta_s,
+                          max_span=max_span)
+    return st
+
+
 def slope_time(fn, x, iters=(10, 110), sets: int = 1, reps: int = 3,
                min_per_op: float = 0.0) -> SlopeTiming:
     """Per-op seconds for ``fn(x)`` via chained-slope timing.
