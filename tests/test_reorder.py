@@ -99,6 +99,25 @@ def test_auto_gate():
         ReorderedPlan)
 
 
+def test_auto_gate_secondary_score_path():
+    """Hub-pinned max bandwidth fails the primary gate, but the mean-
+    bandwidth prefilter + chooser-score comparison still fires when the
+    bulk localizes: sparse R-MAT (edge factor 4) is the measured case —
+    RCM leaves the max bandwidth at ~half of n (hub rows) yet doubles
+    the partition chooser's occupancy-over-cost score (gain 2.03x,
+    reorder.py's calibration table)."""
+    from tpusparse.ops.reorder import RCM_GAIN, RCM_SLACK
+
+    scr = generators.make_rmat(16, edge_factor=4, seed=1).to_csr()
+    # primary (max-bandwidth) gate must NOT be able to fire
+    rec = permute_symmetric(scr, rcm_order(scr))
+    assert bandwidth(rec) + RCM_SLACK > RCM_GAIN * bandwidth(scr)
+    # ...yet auto reorders on the secondary score path
+    assert isinstance(
+        plan_matrix(scr, dtype=np.float32, reorder="auto"),
+        ReorderedPlan)
+
+
 def test_cg_iteration_parity_under_reorder(rng):
     """P A P^T is similar to A: CG converges in the same iterations
     (±2 for rounding) and to the same solution."""

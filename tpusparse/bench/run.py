@@ -372,7 +372,8 @@ def cmd_cg(args):
         # ~25 ms tunnel round trip per solve, which dominates at small
         # sizes; the slope cancels it. tolerance=0 pins the trip count.
         st = _solver_iter_slope(
-            lambda M: cg_solve(A, bw, max_iters=M, tolerance=0.0))
+            lambda M: (lambda: cg_solve(A, bw, max_iters=M,
+                                        tolerance=0.0)))
         dev_gf = models.gflops(
             2.0 * csr.nnz + 10.0 * csr.num_rows, st.min_s)
         msg = (f"{name} [{kind}] device rate: "
@@ -385,19 +386,26 @@ def cmd_cg(args):
     return row
 
 
-def _solver_iter_slope(solve_fixed_iters):
-    """iter_slope adapter: run M pinned iterations, block on the
-    residual. Off-tunnel (CPU/interpret) the jitter floor is 0 so the
-    span never amplifies (each span is a fresh interpret-mode compile)."""
+def _solver_iter_slope(make_solve):
+    """iter_slope adapter: ``make_solve(M)`` returns a no-arg callable
+    running M pinned iterations; its result is memoized per M so the
+    reps re-dispatch ONE jitted program instead of re-tracing a fresh
+    ``jax.jit`` closure every call (a fresh closure recompiles every
+    rep — measured: SPAI device rates read pure compile noise, slope
+    0.0 us/iter, spread 12.6). Off-tunnel (CPU/interpret) the jitter
+    floor is 0 so the span never amplifies."""
     import jax
     import jax.numpy as jnp
 
     from tpusparse.bench.timing import iter_slope, sync
 
     on_tpu = jax.default_backend() == "tpu"
+    cache = {}
 
     def run(M):
-        sync(jnp.sum(solve_fixed_iters(M).residual))
+        if M not in cache:
+            cache[M] = make_solve(M)
+        sync(jnp.sum(cache[M]().residual))
 
     return iter_slope(
         run,
@@ -479,7 +487,7 @@ def cmd_multicg(args):
                   f"prep {prep_s*1e3:.1f} ms, solve {t*1e3:.1f} ms, "
                   f"converged={results[solver_name]['converged']}")
         if getattr(args, "device_rate", False) and flops_per_iter:
-            st = _solver_iter_slope(lambda M: make_fn(M, 0.0)())
+            st = _solver_iter_slope(lambda M: make_fn(M, 0.0))
             results[solver_name].update(
                 dev_iter_us=st.min_s * 1e6,
                 dev_gflops=models.gflops(flops_per_iter, st.min_s),

@@ -572,17 +572,32 @@ def build_partition_from_params(csr, fam, tile_nnz: int = 1024
     raise ValueError(f"unknown partition family {fam!r}")
 
 
-def choose_partition_params(csr, tile_nnz: int = 1024):
+def choose_partition_params(csr, tile_nnz: int = 1024,
+                            return_score: bool = False):
     """The decision behind :func:`choose_partition`, exposed so
     distributed planners can apply ONE family/parameter choice
     uniformly across row shards: ``('classic', row_window,
-    col_window)`` or ``('greedy', row_window, max_blocks)``."""
+    col_window)`` or ``('greedy', row_window, max_blocks)``.
+
+    ``return_score=True`` also returns the winner's occupancy-over-
+    cost score — the scale both families are ranked on, so scores are
+    comparable ACROSS calls on the same nnz stream (the reorder auto-
+    gate compares the native vs RCM-permuted ordering this way)."""
+
+    def _ret(fam, score):
+        return (fam, score) if return_score else fam
+
+    def _classic_score(occ, wc):
+        # same formula as score_classic below (mid-range row-span
+        # estimate) so every classic exit reports a comparable score
+        return occ / (1.0 + _CS_COEF * (wc // LANES) + _RS_COEF * 4.0)
+
     if csr.nnz == 0:
-        return ("classic", 1024, 1024)  # build_merge_tiles defaults
+        return _ret(("classic", 1024, 1024), 0.0)
     wr, wc = choose_tiling(csr, tile_nnz)
     occ_classic = tiling_efficiency_counts(csr, tile_nnz, wr, wc)
     if occ_classic >= _CLASSIC_OCC_GATE:
-        return ("classic", wr, wc)
+        return _ret(("classic", wr, wc), _classic_score(occ_classic, wc))
     # the tuner's pick may trade occupancy for a smaller window; before
     # conceding the family, rescore the whole classic window grid by
     # occupancy over gather trips (row anchoring made the old
@@ -595,7 +610,8 @@ def choose_partition_params(csr, tile_nnz: int = 1024):
         if s > best_c[0]:
             best_c = (s, wrc, wcc, occ)
     if best_c[3] >= _CLASSIC_OCC_GATE:
-        return ("classic", best_c[1], best_c[2])
+        return _ret(("classic", best_c[1], best_c[2]),
+                    _classic_score(best_c[3], best_c[2]))
     wr, wc, occ_classic = best_c[1], best_c[2], best_c[3]
     # classic fallback score: static window gather + a mid-range
     # row-span estimate (its real spans are unknown before the build)
@@ -613,8 +629,8 @@ def choose_partition_params(csr, tile_nnz: int = 1024):
         if best is None or score > best[0]:
             best = (score, wrg, G)
     if best is None or best[0] <= score_classic:
-        return ("classic", wr, wc)
-    return ("greedy", best[1], best[2])
+        return _ret(("classic", wr, wc), score_classic)
+    return _ret(("greedy", best[1], best[2]), best[0])
 
 
 def _classic_grid_occupancies(csr, tile_nnz,
