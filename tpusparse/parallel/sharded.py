@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpusparse.formats.csr import CsrMatrix
+from tpusparse.ops.blas import _reduce_sum
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "rows") -> Mesh:
@@ -282,11 +283,11 @@ def cg_step_sharded(A: ShardedCsr, state, mesh: Mesh, axis: str = "rows"):
             va[0][:, None] * jnp.take(Pd_full, cp[0], axis=0), rows,
             num_segments=rps,
         )
-        pAp = jax.lax.psum(jnp.sum(Pd * AP, axis=0), axis)
+        pAp = jax.lax.psum(_reduce_sum(Pd * AP, axis=0), axis)
         alpha = jnp.where(pAp == 0, 0.0, rs_old / pAp)
         Xn = X + alpha[None, :] * Pd
         Rn = R - alpha[None, :] * AP
-        rs_new = jax.lax.psum(jnp.sum(Rn * Rn, axis=0), axis)
+        rs_new = jax.lax.psum(_reduce_sum(Rn * Rn, axis=0), axis)
         beta = jnp.where(rs_old == 0, 0.0, rs_new / rs_old)
         Pn = Rn + beta[None, :] * Pd
         return Xn, Rn, Pn, rs_new

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpusparse.formats.dia import DiaHost
+from tpusparse.ops.blas import _reduce_sum
 from tpusparse.solvers.cg import CgResult
 
 
@@ -210,12 +211,12 @@ def _cg_dia_sharded_jit(data, b, *, aux, mesh, axis, max_iters,
 
     def solve(data_loc, b_loc):
         mv = lambda p: mv_local(data_loc, p)
-        b_norm = jnp.sqrt(jax.lax.psum(jnp.sum(b_loc * b_loc), axis))
+        b_norm = jnp.sqrt(jax.lax.psum(_reduce_sum(b_loc * b_loc, axis=0), axis))
         b_norm = jnp.where(b_norm == 0.0, 1.0, b_norm)
         x = jnp.zeros_like(b_loc)
         r = b_loc
         p = b_loc
-        rs = jax.lax.psum(jnp.sum(r * r), axis)
+        rs = jax.lax.psum(_reduce_sum(r * r, axis=0), axis)
         hist0 = (
             jnp.full((max_iters,), jnp.nan, dtype=b_loc.dtype)
             if record_history
@@ -230,11 +231,11 @@ def _cg_dia_sharded_jit(data, b, *, aux, mesh, axis, max_iters,
         def body(state):
             i, x, r, p, rs, hist = state
             Ap = mv(p)
-            pAp = jax.lax.psum(jnp.sum(p * Ap), axis)
+            pAp = jax.lax.psum(_reduce_sum(p * Ap, axis=0), axis)
             alpha = jnp.where(pAp == 0, 0.0, rs / pAp)
             x = x + alpha * p
             r = r - alpha * Ap
-            rs_new = jax.lax.psum(jnp.sum(r * r), axis)
+            rs_new = jax.lax.psum(_reduce_sum(r * r, axis=0), axis)
             if record_history:
                 hist = hist.at[i].set(jnp.sqrt(rs_new) / b_norm)
             beta = jnp.where(rs == 0, 0.0, rs_new / rs)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpusparse.formats.csr import CsrMatrix
+from tpusparse.ops.blas import _reduce_sum
 from tpusparse.formats.tiles import build_merge_tiles
 from tpusparse.kernels import merge_spmv
 
@@ -413,11 +414,11 @@ def cg_step_sharded_overlap(diag: ShardedTiles, offd: ShardedTiles,
         AP = merge_spmv.spmv_merge(A_d, Pd) + merge_spmv.spmv_merge(
             A_o, Pd_full
         )
-        pAp = jax.lax.psum(jnp.sum(Pd * AP), axis)
+        pAp = jax.lax.psum(_reduce_sum(Pd * AP, axis=0), axis)
         alpha = jnp.where(pAp == 0, 0.0, rs_old / pAp)
         Xn = X + alpha * Pd
         Rn = R - alpha * AP
-        rs_new = jax.lax.psum(jnp.sum(Rn * Rn), axis)
+        rs_new = jax.lax.psum(_reduce_sum(Rn * Rn, axis=0), axis)
         beta = jnp.where(rs_old == 0, 0.0, rs_new / rs_old)
         Pn = Rn + beta * Pd
         return Xn, Rn, Pn, rs_new
@@ -476,11 +477,11 @@ def cg_step_sharded_tiles_multi(st: ShardedTiles, state, mesh: Mesh,
         Pd_full = jax.lax.all_gather(Pd, axis, axis=0, tiled=True)
         A = _local_tiles(st, vals, lcols, epos, rblk, cblk, cspan)
         AP = spmm_merge(A, Pd_full)
-        pAp = jax.lax.psum(jnp.sum(Pd * AP, axis=0), axis)
+        pAp = jax.lax.psum(_reduce_sum(Pd * AP, axis=0), axis)
         alpha = jnp.where(pAp == 0, 0.0, rs_old / pAp)
         Xn = X + alpha[None, :] * Pd
         Rn = R - alpha[None, :] * AP
-        rs_new = jax.lax.psum(jnp.sum(Rn * Rn, axis=0), axis)
+        rs_new = jax.lax.psum(_reduce_sum(Rn * Rn, axis=0), axis)
         beta = jnp.where(rs_old == 0, 0.0, rs_new / rs_old)
         Pn = Rn + beta[None, :] * Pd
         return Xn, Rn, Pn, rs_new
@@ -517,14 +518,14 @@ def pcg_step_sharded_spai(st: ShardedTiles, mt: ShardedTiles, state,
         Pd_full = jax.lax.all_gather(Pd, axis, axis=0, tiled=True)
         A = _local_tiles(st, av, al, ae, arb, acb, acs)
         AP = spmm_merge(A, Pd_full)
-        pAp = jax.lax.psum(jnp.sum(Pd * AP, axis=0), axis)
+        pAp = jax.lax.psum(_reduce_sum(Pd * AP, axis=0), axis)
         alpha = jnp.where(pAp == 0, 0.0, rho_old / pAp)
         Xn = X + alpha[None, :] * Pd
         Rn = R - alpha[None, :] * AP
         Rn_full = jax.lax.all_gather(Rn, axis, axis=0, tiled=True)
         M = _local_tiles(mt, mv, ml, me, mrb, mcb, mcs)
         Zn = spmm_merge(M, Rn_full)
-        rho_new = jax.lax.psum(jnp.sum(Rn * Zn, axis=0), axis)
+        rho_new = jax.lax.psum(_reduce_sum(Rn * Zn, axis=0), axis)
         beta = jnp.where(rho_old == 0, 0.0, rho_new / rho_old)
         Pn = Zn + beta[None, :] * Pd
         return Xn, Rn, Zn, Pn, rho_new
@@ -561,11 +562,11 @@ def cg_step_sharded_tiles(st: ShardedTiles, state, mesh: Mesh,
         Pd_full = jax.lax.all_gather(Pd, axis, axis=0, tiled=True)
         A = _local_tiles(st, vals, lcols, epos, rblk, cblk, cspan)
         AP = merge_spmv.spmv_merge(A, Pd_full)
-        pAp = jax.lax.psum(jnp.sum(Pd * AP), axis)
+        pAp = jax.lax.psum(_reduce_sum(Pd * AP, axis=0), axis)
         alpha = jnp.where(pAp == 0, 0.0, rs_old / pAp)
         Xn = X + alpha * Pd
         Rn = R - alpha * AP
-        rs_new = jax.lax.psum(jnp.sum(Rn * Rn), axis)
+        rs_new = jax.lax.psum(_reduce_sum(Rn * Rn, axis=0), axis)
         beta = jnp.where(rs_old == 0, 0.0, rs_new / rs_old)
         Pn = Rn + beta * Pd
         return Xn, Rn, Pn, rs_new

@@ -38,11 +38,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpusparse.kernels import merge_spmv
 from tpusparse.kernels.spmm_merge import spmm_merge
+from tpusparse.ops.blas import _reduce_sum
 from tpusparse.parallel.sharded_tiles import ShardedTiles, _local_tiles
 from tpusparse.solvers.cg import CgResult
 
 _TILE_FIELDS = ("vals", "local_cols", "end_pos", "row_block",
                 "col_block", "col_span")
+
+
+def _lsum(v):
+    """Local-shard partial reduction along axis 0 feeding a psum —
+    scalar for (n,) operands, (L,) for (n, L). f64 goes through the
+    compensated double-float path (ops.blas.df_sum: XLA-TPU's emulated
+    f64 reduction costs ~60x); the cross-shard psum then adds D f64
+    partials, whose native cost is negligible at D elements."""
+    return _reduce_sum(v, axis=0)
 
 
 def _tile_args(st: ShardedTiles):
@@ -76,12 +86,12 @@ def _cg_sharded_jit(tiles, b, *, aux, mesh, axis,
         A = _local_tiles(st, v, lc, ep, rb, cb, cs)
         mv = lambda p_full: merge_spmv.spmv_merge(A, p_full)
 
-        b_norm = jnp.sqrt(jax.lax.psum(jnp.sum(b_loc * b_loc), axis))
+        b_norm = jnp.sqrt(jax.lax.psum(_lsum(b_loc * b_loc), axis))
         b_norm = jnp.where(b_norm == 0.0, 1.0, b_norm)
         x = jnp.zeros_like(b_loc)
         r = b_loc
         p = b_loc
-        rs = jax.lax.psum(jnp.sum(r * r), axis)
+        rs = jax.lax.psum(_lsum(r * r), axis)
         hist0 = (
             jnp.full((max_iters,), jnp.nan, dtype=b_loc.dtype)
             if record_history
@@ -97,11 +107,11 @@ def _cg_sharded_jit(tiles, b, *, aux, mesh, axis,
             i, x, r, p, rs, hist = state
             p_full = jax.lax.all_gather(p, axis, axis=0, tiled=True)
             Ap = mv(p_full)
-            pAp = jax.lax.psum(jnp.sum(p * Ap), axis)
+            pAp = jax.lax.psum(_lsum(p * Ap), axis)
             alpha = jnp.where(pAp == 0, 0.0, rs / pAp)
             x = x + alpha * p
             r = r - alpha * Ap
-            rs_new = jax.lax.psum(jnp.sum(r * r), axis)
+            rs_new = jax.lax.psum(_lsum(r * r), axis)
             if record_history:
                 hist = hist.at[i].set(jnp.sqrt(rs_new) / b_norm)
             beta = jnp.where(rs == 0, 0.0, rs_new / rs)
@@ -147,14 +157,14 @@ def _multi_recurrence(matmat, precond, b_loc, axis, max_iters,
     communication (all_gather for the merge kernels, ppermute halo
     exchange for the DIA path — see parallel.sharded_dia)."""
     L = b_loc.shape[1]
-    b_norms = jnp.sqrt(jax.lax.psum(jnp.sum(b_loc * b_loc, axis=0),
+    b_norms = jnp.sqrt(jax.lax.psum(_lsum(b_loc * b_loc),
                                     axis))
     b_norms = jnp.where(b_norms == 0.0, 1.0, b_norms)
     X = jnp.zeros_like(b_loc)
     R = b_loc
     Z = precond(R)
     Pd = Z
-    rho = jax.lax.psum(jnp.sum(R * Z, axis=0), axis)
+    rho = jax.lax.psum(_lsum(R * Z), axis)
     converged0 = jnp.zeros((L,), dtype=bool)
     hist0 = (
         jnp.full((max_iters,), jnp.nan, dtype=b_loc.dtype)
@@ -169,19 +179,19 @@ def _multi_recurrence(matmat, precond, b_loc, axis, max_iters,
     def body(state):
         i, X, R, Pd, rho, converged, hist = state
         AP = matmat(Pd)
-        pAp = jax.lax.psum(jnp.sum(Pd * AP, axis=0), axis)
+        pAp = jax.lax.psum(_lsum(Pd * AP), axis)
         # converged lanes freeze (alpha = beta = 0), SpMM stays
         # full-width — exactly no_pretreatment.hpp:109-120
         alpha = jnp.where(converged | (pAp == 0), 0.0, rho / pAp)
         X = X + alpha[None, :] * Pd
         R = R - alpha[None, :] * AP
-        rs = jax.lax.psum(jnp.sum(R * R, axis=0), axis)
+        rs = jax.lax.psum(_lsum(R * R), axis)
         rel = jnp.sqrt(rs) / b_norms
         converged = converged | (rel < tolerance)
         if record_history:
             hist = hist.at[i].set(jnp.max(rel))
         Z = precond(R)
-        rho_new = jax.lax.psum(jnp.sum(R * Z, axis=0), axis)
+        rho_new = jax.lax.psum(_lsum(R * Z), axis)
         beta = jnp.where(converged | (rho == 0), 0.0, rho_new / rho)
         Pd = Z + beta[None, :] * Pd
         return (i + 1, X, R, Pd, rho_new, converged, hist)
@@ -189,7 +199,7 @@ def _multi_recurrence(matmat, precond, b_loc, axis, max_iters,
     i, X, R, Pd, rho, converged, hist = jax.lax.while_loop(
         cond, body, (jnp.int32(0), X, R, Pd, rho, converged0, hist0)
     )
-    rs = jax.lax.psum(jnp.sum(R * R, axis=0), axis)
+    rs = jax.lax.psum(_lsum(R * R), axis)
     rel = jnp.sqrt(rs) / b_norms
     return X, i, converged, rel, hist
 

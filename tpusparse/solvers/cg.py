@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from tpusparse.ops.blas import (
     axpy_multiple,
     dot_multiple,
+    dot_single,
     update_p_multiple,
 )
 from tpusparse.ops.spmv import spmm, spmv
@@ -113,8 +114,8 @@ def _cg_solve_impl(A, b, max_iters, tolerance, strategy, x0, matvec,
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - mv(x) if x0 is not None else b
     p = r
-    rs = jnp.vdot(r, r)
-    b_norm = jnp.sqrt(jnp.vdot(b, b))
+    rs = dot_single(r, r)
+    b_norm = jnp.sqrt(dot_single(b, b))
     b_norm = jnp.where(b_norm == 0.0, 1.0, b_norm)
     threshold = b_norm * tolerance
     hist0 = (
@@ -130,14 +131,18 @@ def _cg_solve_impl(A, b, max_iters, tolerance, strategy, x0, matvec,
     def body(state):
         i, x, r, p, rs, hist = state
         Ap = mv(p)
-        pAp = jnp.vdot(p, Ap)
+        pAp = dot_single(p, Ap)
         alpha = jnp.where(pAp == 0, 0.0, rs / pAp)
         x = x + alpha * p
         r = r - alpha * Ap
-        rs_new = jnp.vdot(r, r)
+        rs_new = dot_single(r, r)
         if record_history:
             hist = hist.at[i].set(jnp.sqrt(rs_new) / b_norm)
-        beta = rs_new / rs
+        # rs == 0 means the residual underflowed to exactly zero (fp32
+        # long past convergence — e.g. a tolerance=0 measurement run):
+        # 0/0 would NaN the state and break the loop's iteration count;
+        # freeze p on r instead, mirroring the multi-RHS mask.
+        beta = jnp.where(rs == 0, 0.0, rs_new / rs)
         p = r + beta * p
         return (i + 1, x, r, p, rs_new, hist)
 

@@ -23,8 +23,17 @@ from tpusparse.solvers.cg import CgResult
 
 
 def _dot3(a, b):
-    """Per-lane dot products in packed layout: (mb, L, 128) -> (L,)."""
-    return jnp.sum(a * b, axis=(0, 2))
+    """Per-lane dot products in packed layout: (mb, L, 128) -> (L,).
+    f64 goes through the compensated double-float reduction (see
+    ops.blas.df_sum — XLA-TPU's emulated f64 reduction is ~60x)."""
+    v = a * b
+    if v.dtype == jnp.float64:
+        from tpusparse.ops.blas import _reduce_sum
+
+        mb, L, lanes = v.shape
+        return _reduce_sum(
+            jnp.moveaxis(v, 1, 2).reshape(mb * lanes, L), axis=0)
+    return jnp.sum(v, axis=(0, 2))
 
 
 def cg_solve_multi_ell(

@@ -31,6 +31,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from tpusparse.ops.blas import dot_multiple, dot_single
 from tpusparse.ops.spmv import spmv, spmm
 from tpusparse.solvers.cg import (
     _cg_solve_impl,
@@ -82,7 +83,7 @@ def _solve_refined(A32, A_acc, b, multi, tolerance, inner_tolerance,
         )
     b = jnp.asarray(b, dtype=jnp.float64)
     bn = jnp.sqrt(
-        jnp.sum(b * b, axis=0) if multi else jnp.vdot(b, b)
+        dot_multiple(b, b) if multi else dot_single(b, b)
     )
     bn = jnp.where(bn == 0.0, 1.0, bn)
     x = jnp.zeros_like(b)
@@ -96,7 +97,7 @@ def _solve_refined(A32, A_acc, b, multi, tolerance, inner_tolerance,
             float(inner_tolerance), strategy, multi
         )
         rn = jnp.sqrt(
-            jnp.sum(r * r, axis=0) if multi else jnp.vdot(r, r)
+            dot_multiple(r, r) if multi else dot_single(r, r)
         )
         rel = rn / bn
         refinements = k + 1
@@ -105,7 +106,7 @@ def _solve_refined(A32, A_acc, b, multi, tolerance, inner_tolerance,
     x, b, total_inner = state
     # final residual after the last correction
     r = b - (spmm(A_acc, x) if multi else spmv(A_acc, x))
-    rn = jnp.sqrt(jnp.sum(r * r, axis=0) if multi else jnp.vdot(r, r))
+    rn = jnp.sqrt(dot_multiple(r, r) if multi else dot_single(r, r))
     rel = rn / bn
     return RefineResult(
         x=x,
