@@ -53,11 +53,17 @@ def test_reduce_sum_dtype_routing(rng):
     a32 = jnp.asarray(rng.standard_normal((64, 3)).astype(np.float32))
     out32 = blas._reduce_sum(a32, axis=0)
     assert out32.dtype == jnp.float32
+    # multi-lane f64 stays on the native (strict-IEEE) sum — the
+    # measured gate (see _reduce_sum): df only pays off cross-lane
     a64 = jnp.asarray(rng.standard_normal((64, 3)))
     out64 = blas._reduce_sum(a64, axis=0)
     assert out64.dtype == jnp.float64
     np.testing.assert_allclose(
         np.asarray(out64), np.asarray(a64).sum(axis=0), rtol=1e-13)
+    # scalar-producing f64 takes the compensated path: bitwise equal
+    # to df_sum, not necessarily to the sequential native sum
+    v = jnp.asarray(rng.standard_normal(4097))
+    assert float(blas._reduce_sum(v, axis=0)) == float(blas.df_sum(v))
 
 
 def test_dot_helpers_match_numpy(rng):
@@ -80,6 +86,35 @@ def test_strict_flag_restores_native_sum(rng):
         assert strict == float(jnp.sum(v))
     finally:
         blas.F64_COMPENSATED_DOT = old
+
+
+def test_df_dot_convergence_parity():
+    """fp64 CG under df dots must converge like strict-IEEE dots:
+    same iteration count (+-2) and a residual meeting the tolerance
+    (on-chip session-7 check measured exactly equal: 74 vs 74 iters,
+    identical residual, at tol=1e-10 on lap3d-16)."""
+    import jax
+
+    csr = generators.make_laplacian_grid3d(12).to_csr()
+    A = csr.to_device()
+    rng = np.random.default_rng(1)
+    b = jnp.asarray(rng.standard_normal(csr.num_rows))
+    outs = {}
+    old = blas.F64_COMPENSATED_DOT
+    try:
+        for flag in (False, True):
+            blas.F64_COMPENSATED_DOT = flag
+            from tpusparse.solvers.cg import _cg_solve_impl
+
+            f = jax.jit(lambda A_, b_: _cg_solve_impl(
+                A_, b_, 2000, 1e-10, "auto", None, None, False))
+            r = f(A, b)
+            outs[flag] = (int(r.iterations), float(r.residual))
+    finally:
+        blas.F64_COMPENSATED_DOT = old
+    (i0, r0), (i1, r1) = outs[False], outs[True]
+    assert abs(i0 - i1) <= 2
+    assert r0 < 1e-10 and r1 < 1e-10
 
 
 def test_cg_tolerance_zero_pins_iteration_count():

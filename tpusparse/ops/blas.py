@@ -10,16 +10,19 @@ dimension onto VPU lanes and XLA fuses the elementwise chains, so these
 are thin jnp expressions kept as named ops for API parity and for
 selective ``jax.checkpoint`` boundaries in the solvers.
 
-fp64 reductions: XLA-TPU's emulated f64 *reduction* is pathological —
-measured 219 us for one 32k-element f64 dot on v5e (vs ~2 us fp32),
-making f64 dots ~82% of an fp64 CG iteration — while f64 *elementwise*
-ops cost only ~3x fp32. ``df_sum`` therefore reduces f64 operands in
+fp64 reductions: XLA-TPU's emulated f64 reduction is pathological
+*cross-lane* — an isolated 32k f64 (n,)->scalar dot measured 219 us
+on v5e (vs ~2 us fp32; inside a fused solver loop the gap shrinks but
+strict single-RHS fp64 CG still pays 1.4-2.1x end-to-end) — while f64
+*elementwise* ops cost only ~3x fp32 and *lane-wise* (n, L) axis-0
+reductions vectorize natively. ``df_sum`` reduces f64 operands in
 compensated double-float (two-f32) arithmetic: split each f64 addend
-into an exact hi+lo f32 pair, then pairwise-halve with two-sum adds.
-Measured 4.6 us for the same dot (62x) at accuracy *better* than the
-native sequential f64 sum (1.8e-13 vs 5.2e-13 relative at n=1e6
-against fsum) — though, like the double-float kernels, intermediate
-magnitudes are bounded by the f32 exponent range (~1e38). Set
+into an exact hi+lo f32 pair, then pairwise-halve with two-sum adds —
+accuracy *better* than the native sequential f64 sum (1.8e-13 vs
+5.2e-13 relative at n=1e6 against fsum), intermediates bounded by the
+f32 exponent range (~1e38). ``_reduce_sum`` routes only the
+scalar-producing case through it (the measured win; see its
+docstring for the multi-RHS negative results). Set
 ``F64_COMPENSATED_DOT = False`` to restore strict-IEEE f64 reductions.
 """
 
@@ -27,9 +30,9 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-# Route f64 dot/sum reductions through the double-float path (see
-# module docstring). Flip off for strict-IEEE f64 reductions at ~60x
-# the cost on TPU.
+# Route f64 SCALAR-producing dot/sum reductions through the
+# double-float path (see module docstring). Flip off for strict-IEEE
+# f64 reductions everywhere.
 F64_COMPENSATED_DOT = True
 
 
@@ -54,8 +57,8 @@ def df_sum(v, axis: int = 0):
     """Compensated pairwise sum of an f64 array along ``axis`` in
     double-float (two-f32) arithmetic; returns f64 of the reduced
     shape. Error ~1e-13 relative at n=1e6 (better than XLA's
-    sequential f64 sum), ~60x faster than the emulated f64 reduction
-    on TPU. Intermediates are limited to the f32 exponent range."""
+    sequential f64 sum). Intermediates are limited to the f32
+    exponent range."""
     v = jnp.moveaxis(v, axis, 0)
     n = v.shape[0]
     if n == 0:
@@ -75,8 +78,20 @@ def df_sum(v, axis: int = 0):
 
 
 def _reduce_sum(v, axis: int = 0):
-    """jnp.sum, except f64 goes through the double-float path."""
-    if F64_COMPENSATED_DOT and v.dtype == jnp.float64:
+    """jnp.sum, except f64 reductions that produce a SCALAR go
+    through the double-float path.
+
+    The gate is measured, not guessed (v5e, session-7 A/B, solver
+    device rates): XLA-TPU's emulated f64 reduction is pathological
+    only CROSS-LANE — a (n,)->scalar dot costs ~10-17 us where fp32
+    costs ~2 us, and the df tree wins 1.4-2.1x end-to-end in fp64 CG.
+    Axis-0 reductions of (n, L) keep every lane independent, vectorize
+    natively, and BEAT the df tree (whose (p, L) stages idle 128-L
+    lanes): strict won 1.04-1.20x at L=4, ~1.04x at L=16. Lane-packing
+    the tree ((p*G, L) -> (p, G*L) reshape) made it 2.7-4x WORSE —
+    the reshape is a physical cross-lane relayout paid on every dot."""
+    if (F64_COMPENSATED_DOT and v.dtype == jnp.float64
+            and v.ndim == 1):
         return df_sum(v, axis=axis)
     return jnp.sum(v, axis=axis)
 

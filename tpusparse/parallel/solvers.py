@@ -48,10 +48,10 @@ _TILE_FIELDS = ("vals", "local_cols", "end_pos", "row_block",
 
 def _lsum(v):
     """Local-shard partial reduction along axis 0 feeding a psum —
-    scalar for (n,) operands, (L,) for (n, L). f64 goes through the
-    compensated double-float path (ops.blas.df_sum: XLA-TPU's emulated
-    f64 reduction costs ~60x); the cross-shard psum then adds D f64
-    partials, whose native cost is negligible at D elements."""
+    scalar for (n,) operands, (L,) for (n, L). Scalar-producing f64
+    reductions go through the compensated double-float path (see
+    ops.blas._reduce_sum for the measured gate); the cross-shard psum
+    then adds D f64 partials, negligible at D elements."""
     return _reduce_sum(v, axis=0)
 
 

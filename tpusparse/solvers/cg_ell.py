@@ -24,16 +24,10 @@ from tpusparse.solvers.cg import CgResult
 
 def _dot3(a, b):
     """Per-lane dot products in packed layout: (mb, L, 128) -> (L,).
-    f64 goes through the compensated double-float reduction (see
-    ops.blas.df_sum — XLA-TPU's emulated f64 reduction is ~60x)."""
-    v = a * b
-    if v.dtype == jnp.float64:
-        from tpusparse.ops.blas import _reduce_sum
-
-        mb, L, lanes = v.shape
-        return _reduce_sum(
-            jnp.moveaxis(v, 1, 2).reshape(mb * lanes, L), axis=0)
-    return jnp.sum(v, axis=(0, 2))
+    Multi-lane (L) reductions stay on the native sum — the session-7
+    A/B showed XLA's emulated f64 is only pathological for
+    scalar-producing cross-lane reductions (see ops.blas._reduce_sum)."""
+    return jnp.sum(a * b, axis=(0, 2))
 
 
 def cg_solve_multi_ell(
