@@ -161,6 +161,33 @@ class TestPreconditionedSolvers:
         assert res.x.dtype == jnp.float32
         assert bool(np.all(np.asarray(res.converged)))
 
+    def test_pcg_dtype_casts_factor_before_planning(self, spd, rng):
+        """dtype= must cast the fp64 IC(0) factor BEFORE planning so
+        an fp32 solve's 2*sweeps-per-iteration tri-solve SpMMs run in
+        fp32 (uncast they silently planned fp64 — emulated f64 on
+        TPU), and convergence must be unaffected."""
+        from tpusparse.precond.trisolve import jacobi_trisolve_lower
+
+        Lf = ic0_factorize(spd)
+        fwd = jacobi_trisolve_lower(Lf, sweeps=4, dtype=np.float32)
+        assert np.asarray(fwd.inv_diag).dtype == np.float32
+        # fp32 input stays fp32 through the sweeps: with x64 on, an
+        # uncast (fp64) plan would promote the solve to f64
+        y = fwd.solve(jnp.ones(spd.num_rows, dtype=jnp.float32))
+        assert y.dtype == jnp.float32
+
+        B = rng.standard_normal((spd.num_rows, 4)).astype(np.float32)
+        d = spd.to_device(dtype=np.float32)
+        prec32 = make_ic0_preconditioner(Lf, sweeps=40,
+                                         dtype=np.float32)
+        res32 = pcg_solve_multi(d, jnp.asarray(B), prec32,
+                                max_iters=2000, tolerance=1e-5)
+        prec64 = make_ic0_preconditioner(Lf, sweeps=40)
+        res64 = pcg_solve_multi(d, jnp.asarray(B), prec64,
+                                max_iters=2000, tolerance=1e-5)
+        assert bool(np.all(np.asarray(res32.converged)))
+        assert abs(int(res32.iterations) - int(res64.iterations)) <= 2
+
     def test_spai_cg_converges(self, spd, rng):
         B = rng.standard_normal((spd.num_rows, 4))
         d = spd.to_device()

@@ -514,8 +514,10 @@ def cmd_multicg(args):
     try:
         t0 = time.perf_counter()
         Lfac = ic0_factorize(csr)
+        # dtype: the factor is fp64 (host factorization); cast to the
+        # bench dtype so fp32 runs don't plan fp64 sweep SpMMs
         prec = make_ic0_preconditioner(Lfac, sweeps=args.jacobi_sweeps,
-                                       num_rhs=L)
+                                       num_rhs=L, dtype=dtype)
         prep = time.perf_counter() - t0
         record("pcg_ic0",
                lambda M, tol: functools.partial(
@@ -786,7 +788,10 @@ def build_parser():
         sp.add_argument("--num_vectors", type=int, default=32)
         sp.add_argument("--max_iters", type=int, default=10000)
         sp.add_argument("--tolerance", type=float, default=1e-5)
-        sp.add_argument("--jacobi_sweeps", type=int, default=16)
+        # 2 sweeps is the measured total-solve-time optimum (session-7
+        # study: sweeps=1-2 minimize iters x us/iter on every fixture;
+        # 16 buys <=7% fewer iterations at 2.3-3.5x the iteration cost)
+        sp.add_argument("--jacobi_sweeps", type=int, default=2)
         sp.add_argument("--timing_iters", "--i", type=int, default=0)
         sp.add_argument("--col_major_input", action="store_true",
                         help="RHS arrives (L, n) and is transposed in "

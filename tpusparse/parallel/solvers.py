@@ -381,7 +381,8 @@ def spai_solve_multi_sharded(st: ShardedTiles, mt: ShardedTiles, B,
                     history=hist)
 
 
-def shard_ic0_factor(L_host, st: ShardedTiles, **tile_kwargs):
+def shard_ic0_factor(L_host, st: ShardedTiles, dtype=None,
+                     **tile_kwargs):
     """Prepare the sharded IC(0) preconditioner operands from a host
     lower-triangular factor: strict(L) and strict(L^T) as padded-layout
     ShardedTiles plus the reciprocal diagonal in the padded layout.
@@ -390,6 +391,11 @@ def shard_ic0_factor(L_host, st: ShardedTiles, **tile_kwargs):
     ``st.row_start``) so every operand — matrix, factors, diagonal,
     state vectors — lives in ONE padded shard layout.
 
+    ``dtype`` casts the factor before sharding (the IC(0) factor is
+    fp64 from the host factorization; fp32 systems should pass fp32 so
+    the sweep SpMMs don't run emulated f64 — see
+    precond.trisolve.jacobi_trisolve_lower).
+
     Returns (lt, ut, inv_diag)."""
     import numpy as np
 
@@ -397,6 +403,8 @@ def shard_ic0_factor(L_host, st: ShardedTiles, **tile_kwargs):
     from tpusparse.parallel.sharded_tiles import shard_tiles
     from tpusparse.precond.trisolve import split_diag
 
+    if dtype is not None:
+        L_host = L_host.astype(dtype)
     n_shards = st.num_shards
     bounds = np.concatenate(
         [np.asarray(st.row_start, dtype=np.int64), [st.num_rows]]

@@ -123,20 +123,33 @@ def _default_plan(strict, num_rhs):
 
 
 def jacobi_trisolve_lower(L_host, sweeps: int = 12, to_plan=None,
-                          num_rhs: int = 16):
+                          num_rhs: int = 16, dtype=None):
     """Build a JacobiTriSolver for L x = b from a host lower CSR.
     ``to_plan`` overrides the device plan builder (default: the AUTO
-    kernel planner, sized for ``num_rhs`` right-hand sides)."""
+    kernel planner, sized for ``num_rhs`` right-hand sides).
+
+    ``dtype`` casts the factor BEFORE planning: ic0_factorize returns
+    an fp64 factor regardless of the system dtype (the host
+    factorization runs in f64 for pivot robustness), and without the
+    cast an fp32 solve would silently plan fp64 sweep SpMMs — every
+    PCG iteration runs 2*sweeps of them."""
     strict, diag = split_diag(L_host)
+    if dtype is not None:
+        strict = strict.astype(dtype)
+        diag = diag.astype(dtype)
     dev = (to_plan(strict) if to_plan
            else _default_plan(strict, num_rhs))
     return JacobiTriSolver(dev, jnp.asarray(1.0 / diag), sweeps)
 
 
 def jacobi_trisolve_upper(L_host, sweeps: int = 12, to_plan=None,
-                          num_rhs: int = 16):
-    """Build a JacobiTriSolver for L^T x = b."""
+                          num_rhs: int = 16, dtype=None):
+    """Build a JacobiTriSolver for L^T x = b (see
+    jacobi_trisolve_lower for ``dtype`` semantics)."""
     strict, diag = split_diag(L_host.transpose())
+    if dtype is not None:
+        strict = strict.astype(dtype)
+        diag = diag.astype(dtype)
     dev = (to_plan(strict) if to_plan
            else _default_plan(strict, num_rhs))
     return JacobiTriSolver(dev, jnp.asarray(1.0 / diag), sweeps)

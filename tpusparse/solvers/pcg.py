@@ -91,21 +91,34 @@ def pcg_solve_multi(
     )
 
 
-def make_ic0_preconditioner(L_host, sweeps: int = 16, to_plan=None,
-                            num_rhs: int = 16):
+def make_ic0_preconditioner(L_host, sweeps: int = 2, to_plan=None,
+                            num_rhs: int = 16, dtype=None):
     """Build the z = (L L^T)^{-1} r application from a host IC(0) factor
     using device Jacobi triangular solves (exact once ``sweeps`` reaches
     the factor's dependency depth — strictly triangular iteration
-    matrices are nilpotent)."""
+    matrices are nilpotent).
+
+    The truncated composite is PCG-safe at ANY sweep count: the
+    backward operator is exactly the transpose of the forward one, so
+    M^{-1} = A_f^T A_f is symmetric PSD regardless of truncation.
+    Default sweeps=2 is the measured total-solve-time optimum on v5e
+    (session-7 study, RESULTS.md): deeper sweeps buy <=7% fewer PCG
+    iterations at 2.3-3.5x the per-iteration cost — with 2 sweeps PCG
+    beats unpreconditioned CG end-to-end by 1.4-2.3x on the stencil
+    fixtures, where at 16 it LOST on two of three.
+
+    Pass ``dtype`` = the system dtype for fp32 solves: the IC(0)
+    factor is fp64 (host factorization), and planning it uncast makes
+    every sweep SpMM run in fp64 (see jacobi_trisolve_lower)."""
     from tpusparse.precond.trisolve import (
         jacobi_trisolve_lower,
         jacobi_trisolve_upper,
     )
 
     fwd = jacobi_trisolve_lower(L_host, sweeps=sweeps, to_plan=to_plan,
-                                num_rhs=num_rhs)
+                                num_rhs=num_rhs, dtype=dtype)
     bwd = jacobi_trisolve_upper(L_host, sweeps=sweeps, to_plan=to_plan,
-                                num_rhs=num_rhs)
+                                num_rhs=num_rhs, dtype=dtype)
 
     def apply_precond(R):
         Y = fwd.solve(R)
