@@ -38,12 +38,15 @@ def test_df_sum_beats_naive_f64_on_ill_conditioned(rng):
 
 
 def test_df_sum_axis_and_shapes(rng):
+    # NOTE: rng is session-scoped — the draw depends on test order, so
+    # tolerances must scale by sum(|v|), not the (possibly tiny) sum
     v = rng.standard_normal((37, 5))  # odd leading dim exercises padding
     got = np.asarray(blas.df_sum(jnp.asarray(v), axis=0))
     want = v.sum(axis=0)
-    np.testing.assert_allclose(got, want, rtol=1e-13)
+    assert np.all(np.abs(got - want) <= 1e-13 * np.abs(v).sum(axis=0))
     got1 = np.asarray(blas.df_sum(jnp.asarray(v), axis=1))
-    np.testing.assert_allclose(got1, v.sum(axis=1), rtol=1e-13)
+    assert np.all(
+        np.abs(got1 - v.sum(axis=1)) <= 1e-13 * np.abs(v).sum(axis=1))
     assert got.dtype == np.float64
     empty = blas.df_sum(jnp.zeros((0, 4), dtype=jnp.float64))
     assert empty.shape == (4,) and float(jnp.sum(empty)) == 0.0

@@ -86,8 +86,10 @@ def _load_matrix(args):
     return coo.to_csr(), name
 
 
-def _plan(csr, strategy, dtype, L=1, reorder=None):
-    """Build the device operand for a strategy; returns (operand, kind)."""
+def _plan(csr, strategy, dtype, L=1, reorder=None, plan_cache=None):
+    """Build the device operand for a strategy; returns (operand, kind).
+    ``plan_cache``: directory for the content-keyed on-disk plan cache
+    (io.plans.cached_plan) — repeated runs skip planning entirely."""
     import jax.experimental.sparse as jsparse
 
     from tpusparse.formats.csr import CsrMatrix
@@ -98,8 +100,14 @@ def _plan(csr, strategy, dtype, L=1, reorder=None):
     from tpusparse.ops.hybrid import HybridPlan
     from tpusparse.ops.reorder import ReorderedPlan
 
-    A = plan_matrix(csr, strategy=strategy, dtype=dtype, L=L,
-                    reorder=reorder)
+    if plan_cache:
+        from tpusparse.io.plans import cached_plan
+
+        A = cached_plan(csr, plan_cache, strategy=strategy,
+                        dtype=dtype, L=L, reorder=reorder)
+    else:
+        A = plan_matrix(csr, strategy=strategy, dtype=dtype, L=L,
+                        reorder=reorder)
 
     def kind_of(p):
         if isinstance(p, ReorderedPlan):
@@ -184,7 +192,8 @@ def cmd_spmv(args):
     for strat in strategies:
         try:
             A, kind = _plan(csr, strat, dtype,
-                            reorder=getattr(args, "reorder", None))
+                            reorder=getattr(args, "reorder", None),
+                            plan_cache=getattr(args, "plan_cache", None))
             if strat == "auto" and not args.strategy:
                 # AUTO may resolve to a strategy already in the default
                 # list; dedupe so each kind is benched once
@@ -260,7 +269,8 @@ def cmd_spmm(args):
     for strat in strategies:
         try:
             A, kind = _plan(csr, strat, dtype, L=L,
-                            reorder=getattr(args, "reorder", None))
+                            reorder=getattr(args, "reorder", None),
+                            plan_cache=getattr(args, "plan_cache", None))
             if strat == "auto" and not args.strategy:
                 seen_kinds.add(kind)
             elif kind in seen_kinds and not args.strategy:
@@ -341,7 +351,8 @@ def cmd_cg(args):
         return row
     dtype = np.float32 if args.fp32 else np.float64
     A, kind = _plan(csr, args.strategy or "auto", dtype,
-                    reorder=getattr(args, "reorder", None))
+                    reorder=getattr(args, "reorder", None),
+                            plan_cache=getattr(args, "plan_cache", None))
     rng = np.random.default_rng(0)
     L = args.num_vectors
     # warmup solve outside the timed region (jit compile; reference
@@ -432,7 +443,8 @@ def cmd_multicg(args):
     dtype = np.float32 if args.fp32 else np.float64
     L = args.num_vectors
     A, kind = _plan(csr, args.strategy or "auto", dtype, L=L,
-                    reorder=getattr(args, "reorder", None))
+                    reorder=getattr(args, "reorder", None),
+                            plan_cache=getattr(args, "plan_cache", None))
     rng = np.random.default_rng(0)
     n = csr.num_rows
     B = jnp.asarray(rng.standard_normal((n, L)).astype(dtype))
@@ -780,6 +792,11 @@ def build_parser():
         sp.add_argument("--beta", type=float, default=0.0)
         sp.add_argument("--quiet", action="store_true")
         sp.add_argument("--strategy")
+        sp.add_argument("--plan_cache", metavar="DIR",
+                        help="content-keyed on-disk plan cache "
+                             "(io.plans): the first run per matrix "
+                             "builds and saves the tuned plan, later "
+                             "runs load it and skip planning")
         sp.add_argument("--reorder", choices=["rcm", "auto"],
                         help="RCM pre-order (ops.reorder; the "
                              "reference's InitCsrRelabel capability). "
