@@ -295,3 +295,35 @@ class TestLevelScheduled:
             rho = rho_new
             it += 1
         assert abs(int(res.iterations) - it) <= 1
+
+
+def test_spai_cap_bounds_pattern_and_converges(rng):
+    """cap= sparsifies to the cap largest-|v| entries per row
+    (+diagonal) before SPAI construction — the practical remedy for
+    power-law hubs whose uncapped dense problems reach degree^2 rows
+    (measured 13.5 min prep on a 16k-row R-MAT, RESULTS.md). The
+    capped M must keep the bounded pattern, stay symmetric, and the
+    preconditioned solve must still converge and beat plain CG."""
+    from tpusparse.precond.spai import _cap_pattern
+
+    spd = generators.make_rmat_spd(9, edge_factor=8, seed=2).to_csr()
+    capped = _cap_pattern(spd, 8)
+    per_row = np.diff(np.asarray(capped.row_offsets))
+    assert per_row.max() <= 9  # cap + diagonal
+    # diagonal survives capping
+    rows = np.repeat(np.arange(capped.num_rows), per_row)
+    assert np.all(np.bincount(
+        rows[np.asarray(capped.col_indices) == rows],
+        minlength=capped.num_rows) == 1)
+
+    M = spai_inverse(spd, cap=8)
+    Ms = M.to_scipy()
+    assert abs(Ms - Ms.T).max() < 1e-12  # symmetrized
+    B = rng.standard_normal((spd.num_rows, 4))
+    d = spd.to_device()
+    base = cg_solve_multi(d, jnp.asarray(B), max_iters=4000,
+                          tolerance=1e-8)
+    res = spai_cg_solve_multi(d, M.to_device(), jnp.asarray(B),
+                              max_iters=4000, tolerance=1e-8)
+    assert bool(np.all(np.asarray(res.converged)))
+    assert int(res.iterations) < int(base.iterations)

@@ -545,7 +545,7 @@ def cmd_multicg(args):
 
     try:
         t0 = time.perf_counter()
-        M = spai_inverse(csr)
+        M = spai_inverse(csr, cap=getattr(args, "spai_cap", None))
         Md, _ = _plan(M.astype(dtype), args.strategy or "auto", dtype,
                       L=L)
         prep = time.perf_counter() - t0
@@ -809,6 +809,12 @@ def build_parser():
         # study: sweeps=1-2 minimize iters x us/iter on every fixture;
         # 16 buys <=7% fewer iterations at 2.3-3.5x the iteration cost)
         sp.add_argument("--jacobi_sweeps", type=int, default=2)
+        sp.add_argument("--spai_cap", type=int, metavar="K",
+                        help="bound the SPAI pattern to the K largest-"
+                             "|v| entries per row (+diagonal); required "
+                             "in practice on power-law matrices (hub "
+                             "columns otherwise yield degree^2-row "
+                             "dense QR problems)")
         sp.add_argument("--timing_iters", "--i", type=int, default=0)
         sp.add_argument("--col_major_input", action="store_true",
                         help="RHS arrives (L, n) and is transposed in "
