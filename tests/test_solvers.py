@@ -212,3 +212,91 @@ class TestImplicitDiff:
         g = np.asarray(f(B))
         assert g.shape == B.shape
         assert np.isfinite(g).all() and np.abs(g).max() > 0
+
+
+class TestBakedDispatch:
+    """The baked solver path (plan closed over the jitted solve as a
+    compile-time constant — measured 8.2x/iter on the DIA/Hybrid CG
+    loop, see solvers.cg._plan_bakeable) must agree exactly with the
+    argument dispatch and cache one executable per (RHS shape, solver
+    statics) on the plan object."""
+
+    def _dia_plan(self, csr):
+        from tpusparse.ops.spmv import plan_matrix
+
+        A = plan_matrix(csr, dtype=np.float32)
+        from tpusparse.solvers.cg import _plan_bakeable
+
+        assert _plan_bakeable(A)  # stencil -> Hybrid/DIA
+        return A
+
+    def test_baked_matches_arg_dispatch(self, rng):
+        csr = generators.make_laplacian_grid3d(8, dtype=np.float32).to_csr()
+        A = self._dia_plan(csr)
+        b = rng.standard_normal(csr.num_rows).astype(np.float32)
+        r_arg = cg_solve(A, b, max_iters=400, tolerance=1e-5, bake=False)
+        r_bak = cg_solve(A, b, max_iters=400, tolerance=1e-5)
+        assert int(r_arg.iterations) == int(r_bak.iterations)
+        np.testing.assert_allclose(
+            np.asarray(r_arg.x), np.asarray(r_bak.x), rtol=1e-6, atol=1e-6
+        )
+        cache = A.__dict__["_tpusparse_baked"]
+        assert len(cache) == 1
+        # new b, same shape: reuse; changed statics: new entry
+        b2 = rng.standard_normal(csr.num_rows).astype(np.float32)
+        cg_solve(A, b2, max_iters=400, tolerance=1e-5)
+        assert len(cache) == 1
+        cg_solve(A, b2, max_iters=300, tolerance=1e-5)
+        assert len(cache) == 2
+
+    def test_baked_multi_matches_arg_dispatch(self, rng):
+        csr = generators.make_laplacian_grid2d(12, dtype=np.float32).to_csr()
+        A = self._dia_plan(csr)
+        B = rng.standard_normal((csr.num_rows, 4)).astype(np.float32)
+        r_arg = cg_solve_multi(A, B, max_iters=400, tolerance=1e-5,
+                               bake=False)
+        r_bak = cg_solve_multi(A, B, max_iters=400, tolerance=1e-5)
+        assert int(r_arg.iterations) == int(r_bak.iterations)
+        np.testing.assert_allclose(
+            np.asarray(r_arg.x), np.asarray(r_bak.x), rtol=1e-6, atol=1e-6
+        )
+        assert "_tpusparse_baked" in A.__dict__
+
+    def test_gather_plans_not_baked(self, rng):
+        from tpusparse.ops.spmv import plan_matrix
+        from tpusparse.solvers.cg import _plan_bakeable
+
+        csr = generators.make_laplacian_grid2d(10, dtype=np.float32).to_csr()
+        Am = plan_matrix(csr, dtype=np.float32, strategy="merge")
+        assert not _plan_bakeable(Am)
+        b = rng.standard_normal(csr.num_rows).astype(np.float32)
+        cg_solve(Am, b, max_iters=200, tolerance=1e-5)
+        assert "_tpusparse_baked" not in Am.__dict__
+
+    def test_size_gate(self):
+        from tpusparse.solvers import cg as cgmod
+        from tpusparse.ops.spmv import plan_matrix
+
+        csr = generators.make_laplacian_grid2d(12, dtype=np.float32).to_csr()
+        A = plan_matrix(csr, dtype=np.float32)
+        assert cgmod._plan_bakeable(A)
+        old = cgmod.BAKE_MAX_BYTES
+        try:
+            cgmod.BAKE_MAX_BYTES = 1  # everything oversized
+            assert not cgmod._plan_bakeable(A)
+        finally:
+            cgmod.BAKE_MAX_BYTES = old
+
+    def test_baked_reordered_plan(self, rng):
+        from tpusparse.ops.spmv import plan_matrix
+        from tpusparse.solvers.cg import _plan_bakeable
+
+        csr = generators.make_laplacian_grid2d(12, dtype=np.float32).to_csr()
+        Ar = plan_matrix(csr, dtype=np.float32, reorder="rcm")
+        b = rng.standard_normal(csr.num_rows).astype(np.float32)
+        r_arg = cg_solve(Ar, b, max_iters=400, tolerance=1e-5, bake=False)
+        r_bak = cg_solve(Ar, b, max_iters=400, tolerance=1e-5)
+        assert int(r_arg.iterations) == int(r_bak.iterations)
+        np.testing.assert_allclose(
+            np.asarray(r_arg.x), np.asarray(r_bak.x), rtol=1e-6, atol=1e-6
+        )
