@@ -300,3 +300,45 @@ class TestBakedDispatch:
         np.testing.assert_allclose(
             np.asarray(r_arg.x), np.asarray(r_bak.x), rtol=1e-6, atol=1e-6
         )
+
+    def test_transposed_dia_path_matches_generic(self, rng):
+        """The (L, n) transposed fast path (pure-DIA fp32 plans) must
+        agree with the generic (n, L) path run on the raw CSR: same
+        solution, iteration count within 1 (fp reduction order of the
+        dots differs), converged lanes all true."""
+        from tpusparse.ops.spmv import plan_matrix
+        from tpusparse.solvers.cg import _pure_dia_of
+
+        csr = generators.make_laplacian_grid3d(6, dtype=np.float32).to_csr()
+        A = plan_matrix(csr, dtype=np.float32, L=32)
+        assert _pure_dia_of(A) is not None
+        B = rng.standard_normal((csr.num_rows, 32)).astype(np.float32)
+        r_t = cg_solve_multi(A, B, max_iters=600, tolerance=1e-5)
+        A_ref = plan_matrix(csr, dtype=np.float32, strategy="reference")
+        r_g = cg_solve_multi(A_ref, B, max_iters=600, tolerance=1e-5)
+        assert abs(int(r_t.iterations) - int(r_g.iterations)) <= 1
+        assert bool(np.all(np.asarray(r_t.converged)))
+        np.testing.assert_allclose(
+            np.asarray(r_t.x), np.asarray(r_g.x), rtol=2e-4, atol=2e-4
+        )
+        # history is recorded identically (max rel error per iteration)
+        it = min(int(r_t.iterations), int(r_g.iterations)) - 1
+        ht = np.asarray(r_t.history)[:it]
+        hg = np.asarray(r_g.history)[:it]
+        np.testing.assert_allclose(ht, hg, rtol=0.3)
+
+    def test_fp64_keeps_generic_path(self, rng):
+        """fp64 multi-RHS stays on the generic path (df scalar dots)."""
+        from tpusparse.ops.spmv import plan_matrix
+
+        csr = generators.make_laplacian_grid2d(10, dtype=np.float64).to_csr()
+        A = plan_matrix(csr, dtype=np.float64, L=8)
+        B = rng.standard_normal((csr.num_rows, 8))
+        r = cg_solve_multi(A, B, max_iters=600, tolerance=1e-8)
+        assert bool(np.all(np.asarray(r.converged)))
+        x_ref = np.stack([
+            np.linalg.solve(np.asarray(csr.to_scipy().todense()), B[:, j])
+            for j in range(8)
+        ], axis=1)
+        np.testing.assert_allclose(np.asarray(r.x), x_ref, rtol=1e-6,
+                                   atol=1e-8)

@@ -40,31 +40,47 @@ def _pads(D: DiaDevice) -> tuple[int, int]:
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
-def _spmm_dia(data, X, meta):
-    """X: (num_cols, L) in data's dtype; returns (num_rows, L).
+def _spmm_dia_t(data, XT, meta):
+    """Transposed-layout core: XT (L, num_cols) -> (L, num_rows).
 
-    Internally computes in the TRANSPOSED (L, n) layout: the row
-    dimension must sit on the 128-wide lane axis — an (n, L) layout
-    pads L up to 128 lanes and wastes (128 - L)/128 of every register
-    for the typical L = 8..32 (measured 20x slower at L=32)."""
+    The row dimension sits on the 128-wide lane axis — an (n, L)
+    layout pads L up to 128 lanes and wastes (128 - L)/128 of every
+    register for the typical L = 8..32 (measured 20x slower at L=32).
+    Exposed separately so solvers can keep their whole state in
+    (L, n) and skip the boundary transposes: mixing per-lane-scalar
+    BLAS-1 ops with (n, L) operands breaks XLA's layout assignment
+    past L=16 (measured 10x/iter at L=32, RESULTS session 8)."""
     offsets, num_rows, pad_lo, pad_hi = meta
     n = num_rows
-    L = X.shape[1]
-    XT = X.T  # (L, num_cols)
+    L = XT.shape[0]
     Xp = jnp.concatenate(
         [
-            jnp.zeros((L, pad_lo), X.dtype),
+            jnp.zeros((L, pad_lo), XT.dtype),
             XT,
-            jnp.zeros((L, pad_hi), X.dtype),
+            jnp.zeros((L, pad_hi), XT.dtype),
         ],
         axis=1,
     )
-    acc = jnp.zeros((L, n), X.dtype)
+    acc = jnp.zeros((L, n), XT.dtype)
     for k, off in enumerate(offsets):
         sl = jax.lax.slice_in_dim(Xp, off + pad_lo, off + pad_lo + n,
                                   axis=1)
         acc = acc + data[k][None, :] * sl
-    return acc.T
+    return acc
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _spmm_dia(data, X, meta):
+    """X: (num_cols, L) in data's dtype; returns (num_rows, L)."""
+    return _spmm_dia_t(data, X.T, meta).T
+
+
+def spmm_dia_t(D: DiaDevice, XT):
+    """Transposed-layout SpMM: XT (L, num_cols) -> A@X as (L, num_rows)
+    with no boundary transposes (solver fast path)."""
+    pad_lo, pad_hi = _pads(D)
+    meta = (D.offsets, D.num_rows, pad_lo, pad_hi)
+    return _spmm_dia_t(D.data, XT.astype(D.data.dtype), meta)
 
 
 def spmm_dia(D: DiaDevice, X, alpha=1.0, beta=0.0, Y=None):

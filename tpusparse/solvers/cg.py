@@ -279,6 +279,21 @@ def cg_solve_multi(
                                 matmat, record_history)
 
 
+def _pure_dia_of(A):
+    """The DiaDevice behind a plan when the WHOLE matrix is diagonal
+    runs (HybridPlan with no scattered remainder, or a bare DiaDevice);
+    None otherwise. Gates the transposed-space multi-RHS fast path."""
+    from tpusparse.formats.dia import DiaDevice
+    from tpusparse.ops.hybrid import HybridPlan
+
+    if isinstance(A, DiaDevice):
+        return A
+    if (isinstance(A, HybridPlan) and A.rest is None
+            and isinstance(A.dia, DiaDevice)):
+        return A.dia
+    return None
+
+
 def _cg_solve_multi_impl(A, B, max_iters, tolerance, strategy, matmat,
                          record_history) -> CgResult:
     from tpusparse.ops.reorder import ReorderedPlan
@@ -290,6 +305,18 @@ def _cg_solve_multi_impl(A, B, max_iters, tolerance, strategy, matmat,
         B = jnp.asarray(B)[A.perm]
         inv_perm = A.inv_perm
         A = A.inner
+    if matmat is None:
+        # Transposed-space fast path for pure-DIA fp32 plans: the
+        # (n, L) layout breaks XLA's layout assignment past L=16 once
+        # per-lane-scalar BLAS-1 ops mix with spmm_dia's internal
+        # (L, n) compute (measured 103.6 vs 12.8 us/iter at L=32,
+        # lap3d-32 — RESULTS session 8). fp64 keeps the generic path:
+        # its scalar dots ride the compensated df reduction.
+        D = _pure_dia_of(A)
+        if D is not None and jnp.asarray(B).dtype.itemsize <= 4:
+            return _cg_solve_multi_transposed(
+                D, jnp.asarray(B), max_iters, tolerance,
+                record_history, inv_perm)
     mm = matmat if matmat is not None else _matmat(A, strategy)
     n, L = B.shape
     X = jnp.zeros_like(B)
@@ -335,6 +362,65 @@ def _cg_solve_multi_impl(A, B, max_iters, tolerance, strategy, matmat,
     rel = jnp.sqrt(rs) / b_norms
     return CgResult(
         x=X if inv_perm is None else X[inv_perm],
+        iterations=i,
+        converged=converged,
+        residual=rel,
+        history=hist,
+    )
+
+
+def _cg_solve_multi_transposed(D, B, max_iters, tolerance,
+                               record_history, inv_perm) -> CgResult:
+    """Multi-RHS CG with the whole state in (L, n): lane dim = rows,
+    per-lane alpha/beta/masks as (L, 1) sublane broadcasts, SpMM via
+    spmm_dia_t with no boundary transposes. Same recurrences and
+    masking semantics as the generic path (no_pretreatment.hpp:35-197);
+    only the fp reduction order of the dots differs (axis-1 sums)."""
+    from tpusparse.ops.dia import spmm_dia_t
+
+    BT = B.T  # (L, n)
+    L = BT.shape[0]
+    X = jnp.zeros_like(BT)
+    R = BT
+    P = BT
+    b_norms = jnp.sqrt(jnp.sum(BT * BT, axis=1))
+    b_norms = jnp.where(b_norms == 0.0, 1.0, b_norms)
+    rs_old = jnp.sum(R * R, axis=1)
+    converged0 = jnp.zeros((L,), dtype=bool)
+    hist0 = (
+        jnp.full((max_iters,), jnp.nan, dtype=B.dtype)
+        if record_history
+        else jnp.zeros((0,), dtype=B.dtype)
+    )
+
+    def cond(state):
+        i, X, R, P, rs_old, converged, hist = state
+        return (i < max_iters) & ~jnp.all(converged)
+
+    def body(state):
+        i, X, R, P, rs_old, converged, hist = state
+        AP = spmm_dia_t(D, P).astype(B.dtype)
+        pAp = jnp.sum(P * AP, axis=1)
+        alpha = jnp.where(converged | (pAp == 0), 0.0, rs_old / pAp)
+        X = X + alpha[:, None] * P
+        R = R - alpha[:, None] * AP
+        rs_new = jnp.sum(R * R, axis=1)
+        rel = jnp.sqrt(rs_new) / b_norms
+        converged = converged | (rel < tolerance)
+        if record_history:
+            hist = hist.at[i].set(jnp.max(rel))
+        beta = jnp.where(converged | (rs_old == 0), 0.0,
+                         rs_new / rs_old)
+        P = R + beta[:, None] * P
+        return (i + 1, X, R, P, rs_new, converged, hist)
+
+    i, X, R, P, rs, converged, hist = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), X, R, P, rs_old, converged0, hist0)
+    )
+    rel = jnp.sqrt(rs) / b_norms
+    XO = X.T
+    return CgResult(
+        x=XO if inv_perm is None else XO[inv_perm],
         iterations=i,
         converged=converged,
         residual=rel,
