@@ -327,3 +327,32 @@ def test_spai_cap_bounds_pattern_and_converges(rng):
                               max_iters=4000, tolerance=1e-8)
     assert bool(np.all(np.asarray(res.converged)))
     assert int(res.iterations) < int(base.iterations)
+
+
+def test_pcg_transposed_dia_path_matches_generic(rng):
+    """The transposed-space PCG fast path (pure-DIA fp32 plans; state
+    in (L, n), apply behind boundary transposes) must agree with the
+    generic (n, L) path on the reference-strategy operand: solution,
+    iteration count within 1, all lanes converged."""
+    import numpy as np
+    from tpusparse.io import generators
+    from tpusparse.ops.spmv import plan_matrix
+    from tpusparse.solvers.cg import _pure_dia_of
+
+    csr = generators.make_laplacian_grid3d(6, dtype=np.float32).to_csr()
+    A = plan_matrix(csr, dtype=np.float32, L=32)
+    assert _pure_dia_of(A) is not None
+    A_ref = plan_matrix(csr, dtype=np.float32, strategy="reference")
+    Lf = ic0_factorize(csr)
+    prec = make_ic0_preconditioner(Lf, sweeps=2, num_rhs=32,
+                                   dtype=np.float32)
+    B = rng.standard_normal((csr.num_rows, 32)).astype(np.float32)
+    r_t = pcg_solve_multi(A, jnp.asarray(B), prec, max_iters=600,
+                          tolerance=1e-5)
+    r_g = pcg_solve_multi(A_ref, jnp.asarray(B), prec, max_iters=600,
+                          tolerance=1e-5)
+    assert abs(int(r_t.iterations) - int(r_g.iterations)) <= 1
+    assert bool(np.all(np.asarray(r_t.converged)))
+    np.testing.assert_allclose(
+        np.asarray(r_t.x), np.asarray(r_g.x), rtol=2e-4, atol=2e-4
+    )

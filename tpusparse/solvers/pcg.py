@@ -37,7 +37,21 @@ def pcg_solve_multi(
 ) -> CgResult:
     """Blocked multi-RHS PCG. ``apply_precond(R) -> Z`` applies
     z = M^{-1} r column-wise (e.g. forward+backward Jacobi tri-solves
-    for IC(0), or an SpMM for SPAI — see spai_cg.py)."""
+    for IC(0), or an SpMM for SPAI — see spai_cg.py).
+
+    Pure-DIA fp32 plans take the transposed-space fast path (state in
+    (L, n); the apply stays a black-box (n, L) callable behind two
+    boundary transposes) — the per-lane-scalar BLAS-1 ops in (n, L)
+    layout cost 10x past L=16 (measured 354 -> 30 us/iter at L=32,
+    lap3d-32, scripts/r3_s8_pcg_transposed.py)."""
+    if matmat is None:
+        from tpusparse.solvers.cg import _pure_dia_of
+
+        D = _pure_dia_of(A)
+        if D is not None and jnp.asarray(B).dtype.itemsize <= 4:
+            return _pcg_solve_multi_transposed(
+                D, jnp.asarray(B), apply_precond, max_iters,
+                tolerance, record_history)
     mm = matmat if matmat is not None else (
         lambda V: spmm(A, V, strategy=strategy)
     )
@@ -88,6 +102,70 @@ def pcg_solve_multi(
     rel = jnp.sqrt(rs) / b_norms
     return CgResult(
         x=X, iterations=i, converged=converged, residual=rel, history=hist
+    )
+
+
+def _pcg_solve_multi_transposed(D, B, apply_precond, max_iters,
+                                tolerance, record_history) -> CgResult:
+    """PCG with state in (L, n) (see pcg_solve_multi): the A-matvec is
+    spmm_dia_t, per-lane alpha/beta/masks are (L, 1) sublane
+    broadcasts; ``apply_precond`` keeps its (n, L) contract behind two
+    boundary transposes per iteration. Recurrences, masking, and
+    history match the generic path (incomplete_cholesky.hpp:36-199);
+    only the dots' fp reduction order differs (axis-1 sums)."""
+    from tpusparse.ops.dia import spmm_dia_t
+
+    BT = B.T  # (L, n)
+    L = BT.shape[0]
+
+    def apply_t(RT):
+        return apply_precond(RT.T).astype(B.dtype).T
+
+    X = jnp.zeros_like(BT)
+    R = BT
+    Z = apply_t(R)
+    P = Z
+    b_norms = jnp.sqrt(jnp.sum(BT * BT, axis=1))
+    b_norms = jnp.where(b_norms == 0.0, 1.0, b_norms)
+    rho_old = jnp.sum(R * Z, axis=1)
+    converged0 = jnp.zeros((L,), dtype=bool)
+    hist0 = (
+        jnp.full((max_iters,), jnp.nan, dtype=B.dtype)
+        if record_history
+        else jnp.zeros((0,), dtype=B.dtype)
+    )
+
+    def cond(state):
+        i, X, R, P, rho_old, converged, hist = state
+        return (i < max_iters) & ~jnp.all(converged)
+
+    def body(state):
+        i, X, R, P, rho_old, converged, hist = state
+        AP = spmm_dia_t(D, P).astype(B.dtype)
+        pAp = jnp.sum(P * AP, axis=1)
+        alpha = jnp.where(converged | (pAp == 0), 0.0, rho_old / pAp)
+        X = X + alpha[:, None] * P
+        R = R - alpha[:, None] * AP
+        r_norms = jnp.sum(R * R, axis=1)
+        rel = jnp.sqrt(r_norms) / b_norms
+        converged = converged | (rel < tolerance)
+        if record_history:
+            hist = hist.at[i].set(jnp.max(rel))
+        Z = apply_t(R)
+        rho_new = jnp.sum(R * Z, axis=1)
+        beta = jnp.where(converged | (rho_old == 0), 0.0,
+                         rho_new / rho_old)
+        P = Z + beta[:, None] * P
+        return (i + 1, X, R, P, rho_new, converged, hist)
+
+    i, X, R, P, rho, converged, hist = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), X, R, P, rho_old, converged0, hist0)
+    )
+    rs = jnp.sum(R * R, axis=1)
+    rel = jnp.sqrt(rs) / b_norms
+    return CgResult(
+        x=X.T, iterations=i, converged=converged, residual=rel,
+        history=hist,
     )
 
 
