@@ -327,8 +327,10 @@ class TestBakedDispatch:
         hg = np.asarray(r_g.history)[:it]
         np.testing.assert_allclose(ht, hg, rtol=0.3)
 
-    def test_fp64_keeps_generic_path(self, rng):
-        """fp64 multi-RHS stays on the generic path (df scalar dots)."""
+    def test_fp64_transposed_path_accuracy(self, rng):
+        """fp64 multi-RHS also rides the transposed fast path (4.7x
+        measured; dots are native lane-wise sums on both paths) and
+        must hit full fp64 accuracy vs a dense solve."""
         from tpusparse.ops.spmv import plan_matrix
 
         csr = generators.make_laplacian_grid2d(10, dtype=np.float64).to_csr()

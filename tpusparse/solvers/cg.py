@@ -306,14 +306,16 @@ def _cg_solve_multi_impl(A, B, max_iters, tolerance, strategy, matmat,
         inv_perm = A.inv_perm
         A = A.inner
     if matmat is None:
-        # Transposed-space fast path for pure-DIA fp32 plans: the
-        # (n, L) layout breaks XLA's layout assignment past L=16 once
+        # Transposed-space fast path for pure-DIA plans: the (n, L)
+        # layout breaks XLA's layout assignment past L=16 once
         # per-lane-scalar BLAS-1 ops mix with spmm_dia's internal
-        # (L, n) compute (measured 103.6 vs 12.8 us/iter at L=32,
-        # lap3d-32 — RESULTS session 8). fp64 keeps the generic path:
-        # its scalar dots ride the compensated df reduction.
+        # (L, n) compute (measured 103.6 vs 12.8 us/iter fp32 and
+        # 758 vs 162 fp64 at L=32, lap3d-32 — RESULTS session 8).
+        # Semantics-preserving for fp64 too: multi-RHS dots are
+        # native lane-wise sums on both paths (the compensated df
+        # reduction is scalar-dots/single-RHS only).
         D = _pure_dia_of(A)
-        if D is not None and jnp.asarray(B).dtype.itemsize <= 4:
+        if D is not None:
             return _cg_solve_multi_transposed(
                 D, jnp.asarray(B), max_iters, tolerance,
                 record_history, inv_perm)

@@ -39,16 +39,18 @@ def pcg_solve_multi(
     z = M^{-1} r column-wise (e.g. forward+backward Jacobi tri-solves
     for IC(0), or an SpMM for SPAI — see spai_cg.py).
 
-    Pure-DIA fp32 plans take the transposed-space fast path (state in
+    Pure-DIA plans take the transposed-space fast path (state in
     (L, n); the apply stays a black-box (n, L) callable behind two
     boundary transposes) — the per-lane-scalar BLAS-1 ops in (n, L)
-    layout cost 10x past L=16 (measured 354 -> 30 us/iter at L=32,
-    lap3d-32, scripts/r3_s8_pcg_transposed.py)."""
+    layout cost 10x past L=16 (measured 354 -> 30 us/iter fp32 at
+    L=32, lap3d-32, scripts/r3_s8_pcg_transposed.py; the fp64 CG body
+    measured 4.7x). Multi-RHS dots are native lane-wise sums on both
+    paths, so fp64 semantics are preserved."""
     if matmat is None:
         from tpusparse.solvers.cg import _pure_dia_of
 
         D = _pure_dia_of(A)
-        if D is not None and jnp.asarray(B).dtype.itemsize <= 4:
+        if D is not None:
             return _pcg_solve_multi_transposed(
                 D, jnp.asarray(B), apply_precond, max_iters,
                 tolerance, record_history)
