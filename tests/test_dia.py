@@ -4,6 +4,7 @@ Parity oracle: scipy.sparse (the reference's SpmvGold semantics,
 work_2025/spmm/sample.hpp:14-34).
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.sparse as sp
@@ -318,23 +319,72 @@ class TestDiaStream:
         ref = (S @ x).astype(np.float32)
         assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
 
-    def test_auto_keeps_xla_dia_for_multirhs_and_fp64(self, monkeypatch):
+    def test_auto_streams_multirhs_keeps_xla_under_f64_budget(
+        self, monkeypatch
+    ):
         import importlib
 
         spmv_mod = importlib.import_module("tpusparse.ops.spmv")
         from tpusparse.formats.dia import DiaDevice
+        from tpusparse.kernels.dia_stream import DiaStreamDevice
 
         monkeypatch.setattr(spmv_mod, "DIA_STREAM_MIN_BYTES", 1024)
         csr32 = generators.make_laplacian_grid3d(
             12, dtype=np.float32
         ).to_csr()
+        # multi-RHS plans stream too past the plane budget (the kernel
+        # is RHS-major; solvers ride spmm_dia_stream_t)
         plan = plan_matrix(csr32, dtype=np.float32, L=8)
-        assert isinstance(plan.dia, DiaDevice)
+        assert isinstance(plan.dia, DiaStreamDevice)
+        S = csr32.to_scipy()
+        X = _rng().standard_normal((csr32.num_cols, 8)).astype(np.float32)
+        Y = np.asarray(spmm(plan, X))
+        refM = (S @ X).astype(np.float32)
+        assert np.abs(Y - refM).max() / np.abs(refM).max() < 1e-5
+        # fp64 under DIA_STREAM_F64_MIN_BYTES stays on the XLA DIA op
         csr64 = generators.make_laplacian_grid3d(
             12, dtype=np.float64
         ).to_csr()
         plan64 = plan_matrix(csr64, dtype=np.float64)
         assert isinstance(plan64.dia, DiaDevice)
+
+    def test_df_stream_multirhs_parity(self):
+        from tpusparse.kernels.dia_stream import (
+            spmm_dia_stream_df,
+            spmm_dia_stream_df_t,
+            to_device_dia_stream_df,
+        )
+
+        n = 1280
+        offsets = [-130, -1, 0, 1, 130]
+        rng = np.random.default_rng(11)
+        A = sp.diags([rng.standard_normal(n) for _ in offsets], offsets,
+                     shape=(n, n), format="csr")
+        csr = CsrMatrix.from_scipy(A.tocsr())
+        dia, _ = partition_dia(csr, np.array(offsets))
+        D = to_device_dia_stream_df(dia, block_rows=256)
+        X = rng.standard_normal((n, 5))
+        refM = A @ X
+        Y = np.asarray(spmm_dia_stream_df(D, X))
+        assert np.abs(Y - refM).max() / np.abs(refM).max() < 1e-13
+        YT = np.asarray(spmm_dia_stream_df_t(D, jnp.asarray(X.T)))
+        assert np.abs(YT.T - refM).max() / np.abs(refM).max() < 1e-13
+
+    def test_stream_t_parity(self):
+        from tpusparse.kernels.dia_stream import (
+            spmm_dia_stream_t,
+            to_device_dia_stream,
+        )
+
+        n = 1024
+        offsets = [-200, -1, 0, 1, 200]
+        csr, A = self._band(n, offsets, seed=5)
+        dia, _ = partition_dia(csr, np.array(offsets))
+        D = to_device_dia_stream(dia, block_rows=256)
+        XT = _rng().standard_normal((4, n)).astype(np.float32)
+        YT = np.asarray(spmm_dia_stream_t(D, jnp.asarray(XT)))
+        refM = (A @ XT.T).astype(np.float32)
+        assert np.abs(YT.T - refM).max() / np.abs(refM).max() < 1e-5
 
     def test_df_stream_parity_and_gating(self, monkeypatch):
         import importlib

@@ -327,6 +327,95 @@ class TestBakedDispatch:
         hg = np.asarray(r_g.history)[:it]
         np.testing.assert_allclose(ht, hg, rtol=0.3)
 
+    def test_stream_plan_transposed_path_matches_generic(
+        self, rng, monkeypatch
+    ):
+        """Stream-plan (DiaStreamDevice) multi-RHS solves take the
+        transposed fast path through spmm_dia_stream_t and must agree
+        with the generic reference-strategy path."""
+        import importlib
+
+        spmv_mod = importlib.import_module("tpusparse.ops.spmv")
+        from tpusparse.kernels.dia_stream import DiaStreamDevice
+        from tpusparse.ops.spmv import plan_matrix
+        from tpusparse.solvers.cg import _transposed_matmat_of
+
+        monkeypatch.setattr(spmv_mod, "DIA_STREAM_MIN_BYTES", 1024)
+        csr = generators.make_laplacian_grid3d(6, dtype=np.float32).to_csr()
+        A = plan_matrix(csr, dtype=np.float32, L=16)
+        assert isinstance(A.dia, DiaStreamDevice)
+        assert _transposed_matmat_of(A) is not None
+        B = rng.standard_normal((csr.num_rows, 16)).astype(np.float32)
+        r_t = cg_solve_multi(A, B, max_iters=600, tolerance=1e-5)
+        A_ref = plan_matrix(csr, dtype=np.float32, strategy="reference")
+        r_g = cg_solve_multi(A_ref, B, max_iters=600, tolerance=1e-5)
+        assert abs(int(r_t.iterations) - int(r_g.iterations)) <= 1
+        assert bool(np.all(np.asarray(r_t.converged)))
+        np.testing.assert_allclose(
+            np.asarray(r_t.x), np.asarray(r_g.x), rtol=2e-4, atol=2e-4
+        )
+
+    def test_hybrid_with_rest_transposed_path_matches_generic(self, rng):
+        """Hybrid plans with a scattered remainder also take the
+        transposed fast path (DIA part in (L, n), remainder SpMM behind
+        two boundary transposes); parity vs the reference strategy."""
+        import scipy.sparse as sp
+
+        from tpusparse.formats.csr import CsrMatrix
+        from tpusparse.ops.hybrid import HybridPlan
+        from tpusparse.ops.spmv import plan_matrix
+        from tpusparse.solvers.cg import _transposed_matmat_of
+
+        n = 3000
+        T = sp.diags(
+            [np.ones(n - 1), 4 * np.ones(n), np.ones(n - 1)],
+            [-1, 0, 1], format="csr",
+        )
+        N = sp.random(n, n, density=0.001, random_state=2, format="csr")
+        # + 8I keeps the noisy matrix strictly diagonally dominant (SPD)
+        S = (T + N + N.T + 8 * sp.eye(n)).tocsr().astype(np.float32)
+        csr = CsrMatrix.from_scipy(S)
+        A = plan_matrix(csr, dtype=np.float32, L=16)
+        assert isinstance(A, HybridPlan) and A.rest is not None
+        assert _transposed_matmat_of(A) is not None
+        B = rng.standard_normal((n, 16)).astype(np.float32)
+        r_t = cg_solve_multi(A, B, max_iters=600, tolerance=1e-5)
+        A_ref = plan_matrix(csr, dtype=np.float32, strategy="reference")
+        r_g = cg_solve_multi(A_ref, B, max_iters=600, tolerance=1e-5)
+        assert abs(int(r_t.iterations) - int(r_g.iterations)) <= 1
+        assert bool(np.all(np.asarray(r_t.converged)))
+        np.testing.assert_allclose(
+            np.asarray(r_t.x), np.asarray(r_g.x), rtol=2e-4, atol=2e-4
+        )
+
+    def test_df_stream_plan_transposed_path_accuracy(
+        self, rng, monkeypatch
+    ):
+        """fp64 stream plans (double-float kernel) ride the transposed
+        path through spmm_dia_stream_df_t; the solve must hit the df
+        plan's documented ~1e-12 accuracy vs a dense solve."""
+        import importlib
+
+        spmv_mod = importlib.import_module("tpusparse.ops.spmv")
+        from tpusparse.kernels.dia_stream import DiaStreamDFDevice
+        from tpusparse.ops.spmv import plan_matrix
+        from tpusparse.solvers.cg import _transposed_matmat_of
+
+        monkeypatch.setattr(spmv_mod, "DIA_STREAM_F64_MIN_BYTES", 1024)
+        csr = generators.make_laplacian_grid2d(10, dtype=np.float64).to_csr()
+        A = plan_matrix(csr, dtype=np.float64, L=4)
+        assert isinstance(A.dia, DiaStreamDFDevice)
+        assert _transposed_matmat_of(A) is not None
+        B = rng.standard_normal((csr.num_rows, 4))
+        r = cg_solve_multi(A, B, max_iters=600, tolerance=1e-10)
+        assert bool(np.all(np.asarray(r.converged)))
+        x_ref = np.stack([
+            np.linalg.solve(np.asarray(csr.to_scipy().todense()), B[:, j])
+            for j in range(4)
+        ], axis=1)
+        np.testing.assert_allclose(np.asarray(r.x), x_ref, rtol=1e-6,
+                                   atol=1e-8)
+
     def test_fp64_transposed_path_accuracy(self, rng):
         """fp64 multi-RHS also rides the transposed fast path (4.7x
         measured; dots are native lane-wise sums on both paths) and

@@ -261,12 +261,101 @@ def spmv_dia_stream_df(D: DiaStreamDFDevice, x, alpha=1.0, beta=0.0,
     return alpha * y_new + beta * y
 
 
+def _dia_stream_kernel_df_mrhs(offsets, R, interpret, xh0, xh1, xh2,
+                               xl0, xl1, xl2, dh_ref, dl_ref,
+                               yh_ref, yl_ref):
+    from tpusparse.kernels.ell_df import _df_add, _df_mul
+
+    bufh = jnp.concatenate([xh0[0, 0], xh1[0, 0], xh2[0, 0]], axis=0)
+    bufl = jnp.concatenate([xl0[0, 0], xl1[0, 0], xl2[0, 0]], axis=0)
+    acc_h = jnp.zeros((R, LANES), jnp.float32)
+    acc_l = jnp.zeros((R, LANES), jnp.float32)
+    for k, off in enumerate(offsets):
+        wh = _shifted(bufh, off, R, interpret)
+        wl = _shifted(bufl, off, R, interpret)
+        ph, pl = _df_mul(dh_ref[0, k], dl_ref[0, k], wh, wl)
+        acc_h, acc_l = _df_add(acc_h, acc_l, ph, pl)
+    yh_ref[0, 0] = acc_h
+    yl_ref[0, 0] = acc_l
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "R"))
+@kernel_no_x64
+def _spmm_dia_stream_df(dh_b, dl_b, xh_b, xl_b, offsets, R):
+    """Multi-RHS double-float: xh_b/xl_b (L, nb+2, R, 128) -> two
+    (L, nb, R, 128) hi/lo planes. Grid (nb, L) with the RHS index
+    minor, exactly as `_spmm_dia_stream`: the K hi/lo plane blocks'
+    index maps depend only on the row block, so their DMAs are skipped
+    across the L steps that share them."""
+    L, nbp2, _, _ = xh_b.shape
+    nb = nbp2 - 2
+    K = dh_b.shape[1]
+    kernel = functools.partial(_dia_stream_kernel_df_mrhs, offsets, R,
+                               _interpret())
+    xspec = lambda d: pl.BlockSpec(
+        (1, 1, R, LANES), lambda i, l, d=d: (l, i + d, 0, 0)
+    )
+    if _interpret():
+        params = {}
+    else:
+        from jax.experimental.pallas import tpu as pltpu
+
+        step = (6 + 2 * (K + 1)) * R * LANES * 4
+        params = {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=min(2 * step + (8 << 20), 100 << 20)
+        )}
+    return pl.pallas_call(
+        kernel,
+        grid=(nb, L),
+        in_specs=[
+            xspec(0), xspec(1), xspec(2),
+            xspec(0), xspec(1), xspec(2),
+            pl.BlockSpec((1, K, R, LANES), lambda i, l: (i, 0, 0, 0)),
+            pl.BlockSpec((1, K, R, LANES), lambda i, l: (i, 0, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, R, LANES), lambda i, l: (l, i, 0, 0)),
+            pl.BlockSpec((1, 1, R, LANES), lambda i, l: (l, i, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((L, nb, R, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((L, nb, R, LANES), jnp.float32),
+        ),
+        interpret=_interpret(),
+        **params,
+    )(xh_b, xh_b, xh_b, xl_b, xl_b, xl_b, dh_b, dl_b)
+
+
+def spmm_dia_stream_df_t(D: DiaStreamDFDevice, XT):
+    """Transposed-layout df SpMM: XT (L, num_cols) fp64 ->
+    (L, num_rows) fp64 via the multi-RHS double-float stream kernel
+    (~1e-14 relative accuracy, f32 exponent range — the plan's
+    documented semantics). Native entry point for the transposed-space
+    multi-RHS solvers at fp64 scale."""
+    B = D.block_rows
+    nb = D.data_hi.shape[0]
+    L = XT.shape[0]
+    XT = XT.astype(jnp.float64)
+    xh = XT.astype(jnp.float32)
+    xl = (XT - xh.astype(jnp.float64)).astype(jnp.float32)
+
+    def padded(V):
+        p = jnp.zeros((L, (nb + 2) * B), jnp.float32)
+        p = jax.lax.dynamic_update_slice(p, V, (0, B))
+        return p.reshape(L, nb + 2, B // LANES, LANES)
+
+    yh, yl = _spmm_dia_stream_df(D.data_hi, D.data_lo, padded(xh),
+                                 padded(xl), D.offsets, B // LANES)
+    n = D.num_rows
+    return (yh.reshape(L, -1)[:, :n].astype(jnp.float64)
+            + yl.reshape(L, -1)[:, :n].astype(jnp.float64))
+
+
 def spmm_dia_stream_df(D: DiaStreamDFDevice, X, alpha=1.0, beta=0.0,
                        Y=None):
-    """Column-at-a-time fallback (the df stream plan is gated to
-    L == 1 workloads; columns keep full single-vector accuracy)."""
-    cols = [spmv_dia_stream_df(D, X[:, j]) for j in range(X.shape[1])]
-    Y_new = jnp.stack(cols, axis=1)
+    """Y = alpha * A @ X + beta * Y, fp64 in/out via the multi-RHS
+    double-float stream kernel."""
+    Y_new = spmm_dia_stream_df_t(D, jnp.asarray(X).T).T
     if beta == 0.0 or Y is None:
         return alpha * Y_new if alpha != 1.0 else Y_new
     return alpha * Y_new + beta * Y
@@ -388,19 +477,29 @@ def _spmm_dia_stream(data_b, xpad_b, offsets, R):
     return out
 
 
+def spmm_dia_stream_t(D: DiaStreamDevice, XT):
+    """Transposed-layout SpMM: XT (L, num_cols) -> A@X as (L, num_rows)
+    with no boundary transposes. The kernel's blocked layout IS the
+    transposed layout (RHS-major, rows on lanes), so this is the native
+    entry point — solvers keep their whole multi-RHS state in (L, n)
+    (the (n, L) layout cliff, RESULTS session 8) and the stream plan
+    joins the transposed-space fast path at any matrix size."""
+    B = D.block_rows
+    nb = D.data_b.shape[0]
+    L = XT.shape[0]
+    Xf = XT.astype(jnp.float32)
+    xpad = jnp.zeros((L, (nb + 2) * B), jnp.float32)
+    xpad = jax.lax.dynamic_update_slice(xpad, Xf, (0, B))
+    xpad = xpad.reshape(L, nb + 2, B // LANES, LANES)
+    Yb = _spmm_dia_stream(D.data_b, xpad, D.offsets, B // LANES)
+    return Yb.reshape(L, -1)[:, : D.num_rows]
+
+
 def spmm_dia_stream(D: DiaStreamDevice, X, alpha=1.0, beta=0.0,
                     Y=None):
     """Y = alpha * A @ X + beta * Y via the multi-RHS streaming kernel
     (X of shape (num_cols, L))."""
-    B = D.block_rows
-    nb = D.data_b.shape[0]
-    L = X.shape[1]
-    Xf = X.astype(jnp.float32)
-    xpad = jnp.zeros((L, (nb + 2) * B), jnp.float32)
-    xpad = jax.lax.dynamic_update_slice(xpad, Xf.T, (0, B))
-    xpad = xpad.reshape(L, nb + 2, B // LANES, LANES)
-    Yb = _spmm_dia_stream(D.data_b, xpad, D.offsets, B // LANES)
-    Y_new = Yb.reshape(L, -1)[:, : D.num_rows].T
+    Y_new = spmm_dia_stream_t(D, X.T).T
     if beta == 0.0 or Y is None:
         return alpha * Y_new if alpha != 1.0 else Y_new
     return alpha * Y_new + beta * Y

@@ -223,6 +223,15 @@ DIA_STREAM_MIN_BYTES = 128 * 1024 * 1024
 # at any size, ~1e-14 accuracy — NOT strict IEEE fp64) takes over.
 DIA_STREAM_F64_MIN_BYTES = 256 * 1024 * 1024
 
+# Multi-RHS fp32 crossover: the single-RHS XLA collapse does NOT
+# apply at L > 1 (the op is x/y-stream-bound, not plane-bound), so
+# past DIA_STREAM_MIN_BYTES the stream kernel wins only while its 3x
+# halo re-reads beat XLA's per-diagonal re-stream of the (L, n) RHS.
+# Measured lap3d-192 (198 MB planes), transposed CG GFLOP/s:
+# L=4: 259 vs 143, L=8: 217 vs 180, L=16: 222 vs 214 (stream vs XLA);
+# L=32: 224 vs 236 — XLA wins (same verdict at 163 MB planes).
+DIA_STREAM_MAX_L = 16
+
 
 def _try_plan_dia(csr, strategy, dtype, L):
     """DIA / hybrid plan, or None when the matrix has no diagonal
@@ -254,11 +263,10 @@ def _try_plan_dia(csr, strategy, dtype, L):
     itemsize = np.dtype(dtype).itemsize
     plane_bytes = dia_host.data.size * itemsize
     stream_ok = (
-        L <= 1
-        and csr.num_rows == csr.num_cols
+        csr.num_rows == csr.num_cols
         and dia_stream.fits_stream(dia_host.offsets)
     )
-    if (itemsize <= 4 and stream_ok
+    if (itemsize <= 4 and stream_ok and L <= DIA_STREAM_MAX_L
             and plane_bytes > DIA_STREAM_MIN_BYTES):
         dev = dia_stream.to_device_dia_stream(dia_host)
     elif (itemsize > 4 and stream_ok

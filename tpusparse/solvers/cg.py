@@ -294,6 +294,61 @@ def _pure_dia_of(A):
     return None
 
 
+def _dia_t_callable(D):
+    """Transposed-layout SpMM callable for a bare diagonal operand
+    (XLA shifted-slice op, or the streaming kernels — fp32 and
+    double-float, whose blocked layout is natively RHS-major); None
+    for non-diagonal operands."""
+    from tpusparse.formats.dia import DiaDevice
+    from tpusparse.kernels.dia_stream import (
+        DiaStreamDevice,
+        DiaStreamDFDevice,
+        spmm_dia_stream_df_t,
+        spmm_dia_stream_t,
+    )
+    from tpusparse.ops.dia import spmm_dia_t
+
+    if isinstance(D, DiaDevice):
+        return lambda P: spmm_dia_t(D, P)
+    if isinstance(D, DiaStreamDevice):
+        return lambda P: spmm_dia_stream_t(D, P)
+    if isinstance(D, DiaStreamDFDevice):
+        return lambda P: spmm_dia_stream_df_t(D, P)
+    return None
+
+
+def _transposed_matmat_of(A):
+    """A transposed-layout SpMM callable (XT (L, n) -> A@X as (L, n))
+    when the plan supports the multi-RHS transposed-state fast path;
+    None otherwise. Covers DIA-family plans at any size (stream plans
+    past the XLA fusion scale included) and hybrid plans with a
+    scattered remainder: the diagonal part runs natively in (L, n),
+    the remainder SpMM keeps its (n, L) kernel behind two boundary
+    transposes — measured cheap (~17 us/iter at L=32, lap3d-32, the
+    PCG apply's identical contract) against the ~320 us (n, L) BLAS-1
+    layout cliff the transposed state removes (RESULTS session 8).
+    y-accumulation is order-independent, so summing the two paths is
+    exact. Gather-only plans return None (measured a wash — their
+    SpMM dominates; RESULTS session 8 negative result)."""
+    from tpusparse.ops.hybrid import HybridPlan
+
+    if isinstance(A, HybridPlan):
+        dia_t = _dia_t_callable(A.dia)
+        if dia_t is None:
+            return None
+        if A.rest is None:
+            return dia_t
+        rest = A.rest
+
+        def mm_t(P):
+            from tpusparse.ops.spmv import spmm
+
+            return dia_t(P) + spmm(rest, P.T).astype(P.dtype).T
+
+        return mm_t
+    return _dia_t_callable(A)
+
+
 def _cg_solve_multi_impl(A, B, max_iters, tolerance, strategy, matmat,
                          record_history) -> CgResult:
     from tpusparse.ops.reorder import ReorderedPlan
@@ -314,10 +369,10 @@ def _cg_solve_multi_impl(A, B, max_iters, tolerance, strategy, matmat,
         # Semantics-preserving for fp64 too: multi-RHS dots are
         # native lane-wise sums on both paths (the compensated df
         # reduction is scalar-dots/single-RHS only).
-        D = _pure_dia_of(A)
-        if D is not None:
+        mm_t = _transposed_matmat_of(A)
+        if mm_t is not None:
             return _cg_solve_multi_transposed(
-                D, jnp.asarray(B), max_iters, tolerance,
+                mm_t, jnp.asarray(B), max_iters, tolerance,
                 record_history, inv_perm)
     mm = matmat if matmat is not None else _matmat(A, strategy)
     n, L = B.shape
@@ -371,15 +426,14 @@ def _cg_solve_multi_impl(A, B, max_iters, tolerance, strategy, matmat,
     )
 
 
-def _cg_solve_multi_transposed(D, B, max_iters, tolerance,
+def _cg_solve_multi_transposed(spmm_t, B, max_iters, tolerance,
                                record_history, inv_perm) -> CgResult:
     """Multi-RHS CG with the whole state in (L, n): lane dim = rows,
     per-lane alpha/beta/masks as (L, 1) sublane broadcasts, SpMM via
-    spmm_dia_t with no boundary transposes. Same recurrences and
-    masking semantics as the generic path (no_pretreatment.hpp:35-197);
-    only the fp reduction order of the dots differs (axis-1 sums)."""
-    from tpusparse.ops.dia import spmm_dia_t
-
+    a transposed-layout callable (see _transposed_matmat_of) with no
+    boundary transposes. Same recurrences and masking semantics as the
+    generic path (no_pretreatment.hpp:35-197); only the fp reduction
+    order of the dots differs (axis-1 sums)."""
     BT = B.T  # (L, n)
     L = BT.shape[0]
     X = jnp.zeros_like(BT)
@@ -401,7 +455,7 @@ def _cg_solve_multi_transposed(D, B, max_iters, tolerance,
 
     def body(state):
         i, X, R, P, rs_old, converged, hist = state
-        AP = spmm_dia_t(D, P).astype(B.dtype)
+        AP = spmm_t(P).astype(B.dtype)
         pAp = jnp.sum(P * AP, axis=1)
         alpha = jnp.where(converged | (pAp == 0), 0.0, rs_old / pAp)
         X = X + alpha[:, None] * P

@@ -47,12 +47,12 @@ def pcg_solve_multi(
     measured 4.7x). Multi-RHS dots are native lane-wise sums on both
     paths, so fp64 semantics are preserved."""
     if matmat is None:
-        from tpusparse.solvers.cg import _pure_dia_of
+        from tpusparse.solvers.cg import _transposed_matmat_of
 
-        D = _pure_dia_of(A)
-        if D is not None:
+        mm_t = _transposed_matmat_of(A)
+        if mm_t is not None:
             return _pcg_solve_multi_transposed(
-                D, jnp.asarray(B), apply_precond, max_iters,
+                mm_t, jnp.asarray(B), apply_precond, max_iters,
                 tolerance, record_history)
     mm = matmat if matmat is not None else (
         lambda V: spmm(A, V, strategy=strategy)
@@ -107,16 +107,15 @@ def pcg_solve_multi(
     )
 
 
-def _pcg_solve_multi_transposed(D, B, apply_precond, max_iters,
+def _pcg_solve_multi_transposed(spmm_t, B, apply_precond, max_iters,
                                 tolerance, record_history) -> CgResult:
     """PCG with state in (L, n) (see pcg_solve_multi): the A-matvec is
-    spmm_dia_t, per-lane alpha/beta/masks are (L, 1) sublane
-    broadcasts; ``apply_precond`` keeps its (n, L) contract behind two
-    boundary transposes per iteration. Recurrences, masking, and
-    history match the generic path (incomplete_cholesky.hpp:36-199);
-    only the dots' fp reduction order differs (axis-1 sums)."""
-    from tpusparse.ops.dia import spmm_dia_t
-
+    a transposed-layout callable (cg._transposed_matmat_of), per-lane
+    alpha/beta/masks are (L, 1) sublane broadcasts; ``apply_precond``
+    keeps its (n, L) contract behind two boundary transposes per
+    iteration. Recurrences, masking, and history match the generic
+    path (incomplete_cholesky.hpp:36-199); only the dots' fp reduction
+    order differs (axis-1 sums)."""
     BT = B.T  # (L, n)
     L = BT.shape[0]
 
@@ -143,7 +142,7 @@ def _pcg_solve_multi_transposed(D, B, apply_precond, max_iters,
 
     def body(state):
         i, X, R, P, rho_old, converged, hist = state
-        AP = spmm_dia_t(D, P).astype(B.dtype)
+        AP = spmm_t(P).astype(B.dtype)
         pAp = jnp.sum(P * AP, axis=1)
         alpha = jnp.where(converged | (pAp == 0), 0.0, rho_old / pAp)
         X = X + alpha[:, None] * P
