@@ -24,8 +24,11 @@ from tpusparse.solvers.cg import (
     cg_solve_multi,
 )
 
+import sys
+
 N = 262144
 L = 32
+M_NOISE = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
 
 
 def build():
@@ -35,7 +38,7 @@ def build():
     ]
     T = sp.diags(vals, diags, shape=(N, N), format="csr")
     rng = np.random.default_rng(7)
-    m = 300_000  # scattered noise entries (duplicates just sum)
+    m = M_NOISE  # scattered noise entries (duplicates just sum)
     r = rng.integers(0, N, m)
     c = rng.integers(0, N, m)
     v = rng.random(m).astype(np.float64)

@@ -91,9 +91,27 @@ def cg_rate(tag, A, B, nnz, n, iters):
 
 if __name__ == "__main__":
     import faulthandler
+    import os
     import signal
+    import threading
 
     faulthandler.register(signal.SIGUSR1)
+
+    # per-process tunnel wedge (see CLAUDE.md): if device staging
+    # doesn't complete quickly, exit so a supervisor can retry in a
+    # fresh process (where the same ops run in seconds).
+    _staged = threading.Event()
+
+    def _fire():
+        if not _staged.is_set():
+            print("STARTUP WEDGE: device staging stuck, exiting for "
+                  "retry", flush=True)
+            os._exit(3)
+
+    _t = threading.Timer(300.0, _fire)
+    _t.daemon = True
+    _t.start()
+
     jax.config.update("jax_enable_x64", True)
     csr = generators.make_laplacian_grid3d(K, dtype=np.float32).to_csr()
     n, nnz = csr.num_rows, csr.nnz
@@ -121,17 +139,27 @@ if __name__ == "__main__":
     XT = jax.random.normal(key, (L, n), jnp.float32)
     float(jnp.sum(XT[:, :8]))
     stamp("XT generated")
-    from tpusparse.kernels.dia_stream import spmm_dia_stream_t
+    _staged.set()
+    from tpusparse.kernels.dia_stream import (
+        padded_cols,
+        spmm_dia_stream_t,
+        spmm_dia_stream_tp,
+    )
     from tpusparse.ops.dia import spmm_dia_t
 
+    np_ = padded_cols(A_new)
+    XTP = jnp.pad(XT, ((0, 0), (0, np_ - n)))
     for _ in range(2):
-        spmm_rate("stream(new)",
+        spmm_rate("stream-edge(tp)",
+                  lambda Aa, P: spmm_dia_stream_tp(Aa, P), A_new,
+                  XTP, nnz, iters=(4, 40))
+        spmm_rate("stream-3blk(t)",
                   lambda Aa, P: spmm_dia_stream_t(Aa, P), A_new,
                   XT, nnz, iters=(4, 40))
         spmm_rate("xla-dia(old)",
                   lambda Aa, P: spmm_dia_t(Aa, P), A_old,
                   XT, nnz, iters=(2, 12))
-    del XT
+    del XT, XTP
 
     Bmat = jax.random.normal(key, (n, L), jnp.float32)
     for _ in range(2):

@@ -197,6 +197,32 @@ class TestAutoGating:
         assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
 
 
+def test_multirhs_ultra_sparse_scatter_routes_to_ell():
+    """Ultra-sparse uniform scatter (the hybrid-remainder pattern):
+    merge tiles pack terribly AND the merge SpMM pays L serially per
+    tile, so AUTO at L >= 8 must route below MERGE_MIN_OCC_MULTIRHS to
+    the ELL gather kernel (measured 27x on-chip,
+    scripts/r3_s9_rest_strategies.py). Correctness is checked through
+    the planned kernel."""
+    from tpusparse.kernels.ell_spmm import DeviceEll
+
+    n, m = 131072, 8000  # merge occ 0.0083, well under the 0.05 floor
+    rng = np.random.default_rng(11)
+    Nz = sp.coo_matrix(
+        (rng.random(m), (rng.integers(0, n, m), rng.integers(0, n, m))),
+        shape=(n, n),
+    ).tocsr()
+    S = (0.1 * (Nz + Nz.T)).tocsr().astype(np.float32)
+    S.eliminate_zeros()
+    csr = CsrMatrix.from_scipy(S)
+    plan = plan_matrix(csr, dtype=np.float32, L=32)
+    assert isinstance(plan, DeviceEll), type(plan)
+    X = _rng().standard_normal((n, 32)).astype(np.float32)
+    Y = np.asarray(spmm(plan, X))
+    refM = (S @ X).astype(np.float32)
+    assert np.abs(Y - refM).max() / np.abs(refM).max() < 1e-5
+
+
 def test_cg_on_hybrid_plan():
     from tpusparse.solvers.cg import cg_solve
 
@@ -369,6 +395,32 @@ class TestDiaStream:
         assert np.abs(Y - refM).max() / np.abs(refM).max() < 1e-13
         YT = np.asarray(spmm_dia_stream_df_t(D, jnp.asarray(X.T)))
         assert np.abs(YT.T - refM).max() / np.abs(refM).max() < 1e-13
+
+    def test_stream_tp_edge_kernel_parity_and_zero_tail(self):
+        """Padded transposed entry (edge-halo kernel): ragged n, zero
+        tail preserved, |off| up to the full block (E == R)."""
+        from tpusparse.kernels.dia_stream import (
+            padded_cols,
+            spmm_dia_stream_tp,
+            to_device_dia_stream,
+        )
+
+        n = 1000  # ragged: pads to 2 blocks of 512
+        offsets = [-512, -200, -1, 0, 1, 200, 512]
+        csr, A = self._band(n, offsets, seed=9)
+        dia, _ = partition_dia(csr, np.array(offsets))
+        D = to_device_dia_stream(dia, block_rows=512)
+        np_ = padded_cols(D)
+        assert np_ == 1024 and np_ > n
+        XT = _rng().standard_normal((4, n)).astype(np.float32)
+        XTP = np.zeros((4, np_), np.float32)
+        XTP[:, :n] = XT
+        YTP = np.asarray(spmm_dia_stream_tp(D, jnp.asarray(XTP)))
+        assert YTP.shape == (4, np_)
+        np.testing.assert_array_equal(YTP[:, n:], 0.0)
+        refM = (A @ XT.T).astype(np.float32)
+        err = np.abs(YTP[:, :n].T - refM).max() / np.abs(refM).max()
+        assert err < 1e-5
 
     def test_stream_t_parity(self):
         from tpusparse.kernels.dia_stream import (

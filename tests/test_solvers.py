@@ -344,7 +344,7 @@ class TestBakedDispatch:
         csr = generators.make_laplacian_grid3d(6, dtype=np.float32).to_csr()
         A = plan_matrix(csr, dtype=np.float32, L=16)
         assert isinstance(A.dia, DiaStreamDevice)
-        assert _transposed_matmat_of(A) is not None
+        assert _transposed_matmat_of(A)[0] is not None
         B = rng.standard_normal((csr.num_rows, 16)).astype(np.float32)
         r_t = cg_solve_multi(A, B, max_iters=600, tolerance=1e-5)
         A_ref = plan_matrix(csr, dtype=np.float32, strategy="reference")
@@ -377,7 +377,7 @@ class TestBakedDispatch:
         csr = CsrMatrix.from_scipy(S)
         A = plan_matrix(csr, dtype=np.float32, L=16)
         assert isinstance(A, HybridPlan) and A.rest is not None
-        assert _transposed_matmat_of(A) is not None
+        assert _transposed_matmat_of(A)[0] is not None
         B = rng.standard_normal((n, 16)).astype(np.float32)
         r_t = cg_solve_multi(A, B, max_iters=600, tolerance=1e-5)
         A_ref = plan_matrix(csr, dtype=np.float32, strategy="reference")
@@ -405,7 +405,7 @@ class TestBakedDispatch:
         csr = generators.make_laplacian_grid2d(10, dtype=np.float64).to_csr()
         A = plan_matrix(csr, dtype=np.float64, L=4)
         assert isinstance(A.dia, DiaStreamDFDevice)
-        assert _transposed_matmat_of(A) is not None
+        assert _transposed_matmat_of(A)[0] is not None
         B = rng.standard_normal((csr.num_rows, 4))
         r = cg_solve_multi(A, B, max_iters=600, tolerance=1e-10)
         assert bool(np.all(np.asarray(r.converged)))

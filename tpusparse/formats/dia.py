@@ -172,8 +172,10 @@ def to_device_dia(dia: DiaHost, dtype=None) -> DiaDevice:
             "fp64 DIA requires jax_enable_x64=True (the value planes "
             "would silently truncate to f32 otherwise)"
         )
+    from tpusparse.utils.transfer import device_put_chunked
+
     return DiaDevice(
         dia.num_rows, dia.num_cols,
         tuple(int(o) for o in dia.offsets),
-        jnp.asarray(dia.data.astype(dtype)),
+        device_put_chunked(dia.data.astype(dtype)),
     )

@@ -54,19 +54,24 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _shifted(buf, off: int, R: int, interpret: bool):
-    """(R, 128) view of ``buf[(R + s) * 128 + l + off]`` for the
-    (3R, 128) halo buffer. The offset decomposes as a sublane shift
-    ``q = off // 128`` plus a lane rotation ``r``; lanes whose rotated
-    source wraps past lane 127 come from the NEXT sublane row, so the
-    rotate is applied to a per-lane select between the two row slices
-    (Mosaic cannot concat lane-misaligned slices, but it rotates and
-    selects full registers natively)."""
+def _shifted(buf, off: int, R: int, interpret: bool, base: int | None = None):
+    """(R, 128) view of ``buf[(base + s) * 128 + l + off]`` for a halo
+    buffer whose centre block starts at sublane row ``base`` (= R for
+    the 3-full-block halo, = E for the edge-slab halo). The offset
+    decomposes as a sublane shift ``q = off // 128`` plus a lane
+    rotation ``r``; lanes whose rotated source wraps past lane 127
+    come from the NEXT sublane row, so the rotate is applied to a
+    per-lane select between the two row slices (Mosaic cannot concat
+    lane-misaligned slices, but it rotates and selects full registers
+    natively)."""
+    if base is None:
+        base = R
     q, r = divmod(off, LANES)
-    c0 = jax.lax.slice(buf, (R + q, 0), (2 * R + q, LANES))
+    c0 = jax.lax.slice(buf, (base + q, 0), (base + R + q, LANES))
     if r == 0:
         return c0
-    c1 = jax.lax.slice(buf, (R + q + 1, 0), (2 * R + q + 1, LANES))
+    c1 = jax.lax.slice(buf, (base + q + 1, 0),
+                       (base + R + q + 1, LANES))
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
     pre = jnp.where(lane < r, c1, c0)
     if interpret:
@@ -230,10 +235,12 @@ def to_device_dia_stream_df(dia_host,
             out.reshape(-1, nb, B // LANES, LANES).transpose(1, 0, 2, 3)
         )
 
+    from tpusparse.utils.transfer import device_put_chunked
+
     return DiaStreamDFDevice(
         n, dia_host.num_cols,
         tuple(int(o) for o in dia_host.offsets), B,
-        jnp.asarray(block(hi)), jnp.asarray(block(lo)),
+        device_put_chunked(block(hi)), device_put_chunked(block(lo)),
     )
 
 
@@ -405,11 +412,13 @@ class DiaStreamDevice:
 def to_device_dia_stream(dia_host,
                          block_rows: int = BLOCK_ROWS
                          ) -> DiaStreamDevice:
+    from tpusparse.utils.transfer import device_put_chunked
+
     data_b, n, B = prepare_stream(dia_host, block_rows)
     return DiaStreamDevice(
         n, dia_host.num_cols,
         tuple(int(o) for o in dia_host.offsets), B,
-        jnp.asarray(data_b),
+        device_put_chunked(data_b),
     )
 
 
@@ -503,3 +512,88 @@ def spmm_dia_stream(D: DiaStreamDevice, X, alpha=1.0, beta=0.0,
     if beta == 0.0 or Y is None:
         return alpha * Y_new if alpha != 1.0 else Y_new
     return alpha * Y_new + beta * Y
+
+
+def _edge_sublanes(offsets) -> int:
+    """Halo depth in sublane rows: the edge-slab kernel needs only
+    ceil(max|off|/128) rows from each neighbour block, not the whole
+    block (the 3-full-block halo reads each x block 3x; for a 7-point
+    lap3d stencil at K=192 the true need is 288 of 1024 rows)."""
+    return max(1, -(-max(abs(int(o)) for o in offsets) // LANES))
+
+
+def _dia_stream_kernel_edge(offsets, R, E, interpret, lo_ref, x_ref,
+                            hi_ref, d_ref, y_ref):
+    buf = jnp.concatenate(
+        [lo_ref[0, 0], x_ref[0, 0], hi_ref[0, 0]], axis=0
+    )  # (E + R + E, 128)
+    acc = jnp.zeros((R, LANES), jnp.float32)
+    for k, off in enumerate(offsets):
+        acc = acc + d_ref[0, k] * _shifted(buf, off, R, interpret,
+                                           base=E)
+    y_ref[0, 0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "R", "E"))
+@kernel_no_x64
+def _spmm_dia_stream_edge(data_b, x_b, lo_b, hi_b, offsets, R, E):
+    """Edge-halo multi-RHS stream: x_b (L, nb, R, 128) consumed
+    IN PLACE (no padded copy), neighbour context as two E-sublane edge
+    slabs (L, nb, E, 128). Grid (nb, L), RHS minor, planes DMA-shared
+    across the L steps of a row block exactly as _spmm_dia_stream.
+    x/y traffic per matvec = (1 + 2E/R) x reads + 1 y write versus the
+    3-full-block kernel's 3 x reads + 1 y + a whole padded-x copy."""
+    L, nb, _, _ = x_b.shape
+    K = data_b.shape[1]
+    kernel = functools.partial(_dia_stream_kernel_edge, offsets, R, E,
+                               _interpret())
+    if _interpret():
+        params = {}
+    else:
+        from jax.experimental.pallas import tpu as pltpu
+
+        step = (2 + K + 2 * E / R) * R * LANES * 4
+        params = {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(2 * step) + (8 << 20), 100 << 20)
+        )}
+    return pl.pallas_call(
+        kernel,
+        grid=(nb, L),
+        in_specs=[
+            pl.BlockSpec((1, 1, E, LANES), lambda i, l: (l, i, 0, 0)),
+            pl.BlockSpec((1, 1, R, LANES), lambda i, l: (l, i, 0, 0)),
+            pl.BlockSpec((1, 1, E, LANES), lambda i, l: (l, i, 0, 0)),
+            pl.BlockSpec((1, K, R, LANES), lambda i, l: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, R, LANES),
+                               lambda i, l: (l, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((L, nb, R, LANES), jnp.float32),
+        interpret=_interpret(),
+        **params,
+    )(lo_b, x_b, hi_b, data_b)
+
+
+def padded_cols(D: DiaStreamDevice) -> int:
+    """State width for the padded transposed fast path: multiples of
+    the kernel block so (L, np) reshapes to (L, nb, R, 128) for free."""
+    return D.data_b.shape[0] * D.block_rows
+
+
+def spmm_dia_stream_tp(D: DiaStreamDevice, XTP):
+    """Padded transposed SpMM: XTP (L, nb*B) with zero tail rows ->
+    A@X as (L, nb*B) with zero tail rows (the value planes are
+    zero-padded past num_rows, so pad outputs stay exactly 0 — solver
+    state can live permanently in this layout with no per-iteration
+    pad copies; dots/axpys over the zero tail are exact)."""
+    B = D.block_rows
+    nb = D.data_b.shape[0]
+    L = XTP.shape[0]
+    R = B // LANES
+    E = _edge_sublanes(D.offsets)
+    x_b = XTP.astype(jnp.float32).reshape(L, nb, R, LANES)
+    zero = jnp.zeros((L, 1, E, LANES), jnp.float32)
+    lo_b = jnp.concatenate([zero, x_b[:, :-1, R - E:, :]], axis=1)
+    hi_b = jnp.concatenate([x_b[:, 1:, :E, :], zero], axis=1)
+    Yb = _spmm_dia_stream_edge(D.data_b, x_b, lo_b, hi_b, D.offsets,
+                               R, E)
+    return Yb.reshape(L, nb * B)

@@ -66,6 +66,13 @@ class SpmvStrategy(enum.Enum):
 # takes over (kernels/merge_df._spmm_kernel_df).
 DF_ELL_MIN_OCC = 0.2
 
+# fp32 multi-RHS AUTO: below this merge-tile slot occupancy the merge
+# SpMM's per-tile work (repeated serially per RHS lane block) loses to
+# the ELL gather kernel even when ELL's own packing is poor — see the
+# gate comment in plan_matrix (measured 27x at L=32 on ultra-sparse
+# scatter; rmat-class patterns sit well above this floor).
+MERGE_MIN_OCC_MULTIRHS = 0.05
+
 
 def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1,
                 reorder=None, _allow_dia: bool = True):
@@ -204,6 +211,22 @@ def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1,
             return ell_spmm.to_device_ell(
                 build_ell_tiles(csr, jobs_per_tile=J), dtype=dtype
             )
+        # Both packings poor (ultra-sparse scatter): the merge kernel
+        # pays the RHS count SERIALLY per tile (its MXU-scan work
+        # repeats per lane block) while ELL rides its (L,128)
+        # registers, so badly-packed merge tiles lose by the L factor
+        # — measured 27x at L=32 (50.1 vs 1.85 ms/SpMM on 262k rows /
+        # 60k scattered nnz, scripts/r3_s9_rest_strategies.py; BCOO
+        # within 7% of ELL). Merge keeps well-packed scattered
+        # patterns (rmat et al, occ >~ 0.1).
+        tiles = _host_merge_tiles(csr)
+        if csr.nnz / (tiles.ntiles * 1024) < MERGE_MIN_OCC_MULTIRHS:
+            return ell_spmm.to_device_ell(
+                build_ell_tiles(csr, jobs_per_tile=J), dtype=dtype
+            )
+        from tpusparse.kernels import merge_spmv
+
+        return merge_spmv.to_device_tiles(tiles, dtype=dtype)
     return _plan_merge(csr, dtype)
 
 
@@ -225,12 +248,13 @@ DIA_STREAM_F64_MIN_BYTES = 256 * 1024 * 1024
 
 # Multi-RHS fp32 crossover: the single-RHS XLA collapse does NOT
 # apply at L > 1 (the op is x/y-stream-bound, not plane-bound), so
-# past DIA_STREAM_MIN_BYTES the stream kernel wins only while its 3x
-# halo re-reads beat XLA's per-diagonal re-stream of the (L, n) RHS.
-# Measured lap3d-192 (198 MB planes), transposed CG GFLOP/s:
-# L=4: 259 vs 143, L=8: 217 vs 180, L=16: 222 vs 214 (stream vs XLA);
-# L=32: 224 vs 236 — XLA wins (same verdict at 163 MB planes).
-DIA_STREAM_MAX_L = 16
+# past DIA_STREAM_MIN_BYTES the edge-halo stream kernel wins only
+# while its fixed per-step VPU work beats XLA's per-diagonal
+# re-stream of the (L, n) RHS. Measured lap3d-192 (198 MB planes),
+# transposed CG GFLOP/s (stream-edge vs XLA): L=4: 259 vs 143,
+# L=8: 217 vs 180, L=16: 222 vs 214, L=32: 239 vs 236 (tie),
+# L=64: 241 vs 250 — XLA takes over past 32.
+DIA_STREAM_MAX_L = 32
 
 
 def _try_plan_dia(csr, strategy, dtype, L):

@@ -295,57 +295,65 @@ def _pure_dia_of(A):
 
 
 def _dia_t_callable(D):
-    """Transposed-layout SpMM callable for a bare diagonal operand
-    (XLA shifted-slice op, or the streaming kernels — fp32 and
-    double-float, whose blocked layout is natively RHS-major); None
-    for non-diagonal operands."""
+    """(mm_t, pad_to) for a bare diagonal operand: a transposed-layout
+    SpMM callable plus the padded state width it consumes (None = the
+    natural n). The fp32 stream kernel uses the edge-halo variant on
+    PERMANENTLY padded (L, nb*B) state — zero per-iteration pad
+    copies; zero-tail arithmetic is exact. (None, None) for
+    non-diagonal operands."""
     from tpusparse.formats.dia import DiaDevice
     from tpusparse.kernels.dia_stream import (
         DiaStreamDevice,
         DiaStreamDFDevice,
+        padded_cols,
         spmm_dia_stream_df_t,
-        spmm_dia_stream_t,
+        spmm_dia_stream_tp,
     )
     from tpusparse.ops.dia import spmm_dia_t
 
     if isinstance(D, DiaDevice):
-        return lambda P: spmm_dia_t(D, P)
+        return (lambda P: spmm_dia_t(D, P)), None
     if isinstance(D, DiaStreamDevice):
-        return lambda P: spmm_dia_stream_t(D, P)
+        return (lambda P: spmm_dia_stream_tp(D, P)), padded_cols(D)
     if isinstance(D, DiaStreamDFDevice):
-        return lambda P: spmm_dia_stream_df_t(D, P)
-    return None
+        return (lambda P: spmm_dia_stream_df_t(D, P)), None
+    return None, None
 
 
 def _transposed_matmat_of(A):
-    """A transposed-layout SpMM callable (XT (L, n) -> A@X as (L, n))
-    when the plan supports the multi-RHS transposed-state fast path;
-    None otherwise. Covers DIA-family plans at any size (stream plans
-    past the XLA fusion scale included) and hybrid plans with a
-    scattered remainder: the diagonal part runs natively in (L, n),
-    the remainder SpMM keeps its (n, L) kernel behind two boundary
+    """(mm_t, pad_to) when the plan supports the multi-RHS
+    transposed-state fast path (state in (L, n) — or (L, pad_to) with
+    a zero tail when pad_to is not None); (None, None) otherwise.
+    Covers DIA-family plans at any size (stream plans past the XLA
+    fusion scale included) and hybrid plans with a scattered
+    remainder: the diagonal part runs natively in (L, n), the
+    remainder SpMM keeps its (n, L) kernel behind two boundary
     transposes — measured cheap (~17 us/iter at L=32, lap3d-32, the
     PCG apply's identical contract) against the ~320 us (n, L) BLAS-1
     layout cliff the transposed state removes (RESULTS session 8).
     y-accumulation is order-independent, so summing the two paths is
-    exact. Gather-only plans return None (measured a wash — their
-    SpMM dominates; RESULTS session 8 negative result)."""
+    exact. Gather-only plans return (None, None) (measured a wash —
+    their SpMM dominates; RESULTS session 8 negative result)."""
     from tpusparse.ops.hybrid import HybridPlan
 
     if isinstance(A, HybridPlan):
-        dia_t = _dia_t_callable(A.dia)
+        dia_t, pad_to = _dia_t_callable(A.dia)
         if dia_t is None:
-            return None
+            return None, None
         if A.rest is None:
-            return dia_t
+            return dia_t, pad_to
         rest = A.rest
+        n = A.dia.num_rows
 
         def mm_t(P):
             from tpusparse.ops.spmv import spmm
 
-            return dia_t(P) + spmm(rest, P.T).astype(P.dtype).T
+            Yr = spmm(rest, P[:, :n].T).astype(P.dtype).T
+            if pad_to is not None and pad_to > n:
+                Yr = jnp.pad(Yr, ((0, 0), (0, pad_to - n)))
+            return dia_t(P) + Yr
 
-        return mm_t
+        return mm_t, pad_to
     return _dia_t_callable(A)
 
 
@@ -369,11 +377,11 @@ def _cg_solve_multi_impl(A, B, max_iters, tolerance, strategy, matmat,
         # Semantics-preserving for fp64 too: multi-RHS dots are
         # native lane-wise sums on both paths (the compensated df
         # reduction is scalar-dots/single-RHS only).
-        mm_t = _transposed_matmat_of(A)
+        mm_t, pad_to = _transposed_matmat_of(A)
         if mm_t is not None:
             return _cg_solve_multi_transposed(
                 mm_t, jnp.asarray(B), max_iters, tolerance,
-                record_history, inv_perm)
+                record_history, inv_perm, pad_to)
     mm = matmat if matmat is not None else _matmat(A, strategy)
     n, L = B.shape
     X = jnp.zeros_like(B)
@@ -427,14 +435,21 @@ def _cg_solve_multi_impl(A, B, max_iters, tolerance, strategy, matmat,
 
 
 def _cg_solve_multi_transposed(spmm_t, B, max_iters, tolerance,
-                               record_history, inv_perm) -> CgResult:
+                               record_history, inv_perm,
+                               pad_to=None) -> CgResult:
     """Multi-RHS CG with the whole state in (L, n): lane dim = rows,
     per-lane alpha/beta/masks as (L, 1) sublane broadcasts, SpMM via
     a transposed-layout callable (see _transposed_matmat_of) with no
-    boundary transposes. Same recurrences and masking semantics as the
-    generic path (no_pretreatment.hpp:35-197); only the fp reduction
-    order of the dots differs (axis-1 sums)."""
+    boundary transposes. When ``pad_to`` is set the state lives
+    zero-tail-padded at (L, pad_to) — the edge-halo stream kernel's
+    native block width; dots/axpys over the zero tail are exact. Same
+    recurrences and masking semantics as the generic path
+    (no_pretreatment.hpp:35-197); only the fp reduction order of the
+    dots differs (axis-1 sums)."""
+    n_out = B.shape[0]
     BT = B.T  # (L, n)
+    if pad_to is not None and pad_to > n_out:
+        BT = jnp.pad(BT, ((0, 0), (0, pad_to - n_out)))
     L = BT.shape[0]
     X = jnp.zeros_like(BT)
     R = BT
@@ -474,7 +489,7 @@ def _cg_solve_multi_transposed(spmm_t, B, max_iters, tolerance,
         cond, body, (jnp.int32(0), X, R, P, rs_old, converged0, hist0)
     )
     rel = jnp.sqrt(rs) / b_norms
-    XO = X.T
+    XO = X[:, :n_out].T
     return CgResult(
         x=XO if inv_perm is None else XO[inv_perm],
         iterations=i,

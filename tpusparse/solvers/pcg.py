@@ -49,11 +49,11 @@ def pcg_solve_multi(
     if matmat is None:
         from tpusparse.solvers.cg import _transposed_matmat_of
 
-        mm_t = _transposed_matmat_of(A)
+        mm_t, pad_to = _transposed_matmat_of(A)
         if mm_t is not None:
             return _pcg_solve_multi_transposed(
                 mm_t, jnp.asarray(B), apply_precond, max_iters,
-                tolerance, record_history)
+                tolerance, record_history, pad_to)
     mm = matmat if matmat is not None else (
         lambda V: spmm(A, V, strategy=strategy)
     )
@@ -108,19 +108,27 @@ def pcg_solve_multi(
 
 
 def _pcg_solve_multi_transposed(spmm_t, B, apply_precond, max_iters,
-                                tolerance, record_history) -> CgResult:
+                                tolerance, record_history,
+                                pad_to=None) -> CgResult:
     """PCG with state in (L, n) (see pcg_solve_multi): the A-matvec is
     a transposed-layout callable (cg._transposed_matmat_of), per-lane
     alpha/beta/masks are (L, 1) sublane broadcasts; ``apply_precond``
     keeps its (n, L) contract behind two boundary transposes per
-    iteration. Recurrences, masking, and history match the generic
-    path (incomplete_cholesky.hpp:36-199); only the dots' fp reduction
-    order differs (axis-1 sums)."""
+    iteration (plus unpad/repad when the state is zero-tail-padded to
+    the stream kernel's block width). Recurrences, masking, and
+    history match the generic path (incomplete_cholesky.hpp:36-199);
+    only the dots' fp reduction order differs (axis-1 sums)."""
+    n_out = B.shape[0]
     BT = B.T  # (L, n)
+    if pad_to is not None and pad_to > n_out:
+        BT = jnp.pad(BT, ((0, 0), (0, pad_to - n_out)))
     L = BT.shape[0]
 
     def apply_t(RT):
-        return apply_precond(RT.T).astype(B.dtype).T
+        ZT = apply_precond(RT[:, :n_out].T).astype(B.dtype).T
+        if pad_to is not None and pad_to > n_out:
+            ZT = jnp.pad(ZT, ((0, 0), (0, pad_to - n_out)))
+        return ZT
 
     X = jnp.zeros_like(BT)
     R = BT
@@ -165,7 +173,8 @@ def _pcg_solve_multi_transposed(spmm_t, B, apply_precond, max_iters,
     rs = jnp.sum(R * R, axis=1)
     rel = jnp.sqrt(rs) / b_norms
     return CgResult(
-        x=X.T, iterations=i, converged=converged, residual=rel,
+        x=X[:, :n_out].T, iterations=i, converged=converged,
+        residual=rel,
         history=hist,
     )
 
