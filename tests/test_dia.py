@@ -221,6 +221,18 @@ def test_multirhs_ultra_sparse_scatter_routes_to_ell():
     Y = np.asarray(spmm(plan, X))
     refM = (S @ X).astype(np.float32)
     assert np.abs(Y - refM).max() / np.abs(refM).max() < 1e-5
+    # past ELL's resident-RHS budget the same pattern goes BCOO
+    import jax.experimental.sparse as jsparse
+    from tpusparse.kernels import ell_spmm
+
+    assert not ell_spmm.ell_fits(1_048_576, 32)
+    wide = sp.coo_matrix(
+        (S.tocoo().data, (S.tocoo().row, S.tocoo().col)),
+        shape=(1_048_576, 1_048_576),
+    ).tocsr()
+    plan_w = plan_matrix(CsrMatrix.from_scipy(wide.astype(np.float32)),
+                         dtype=np.float32, L=32)
+    assert isinstance(plan_w, jsparse.BCOO), type(plan_w)
 
 
 def test_cg_on_hybrid_plan():

@@ -355,10 +355,11 @@ class TestBakedDispatch:
             np.asarray(r_t.x), np.asarray(r_g.x), rtol=2e-4, atol=2e-4
         )
 
-    def test_hybrid_with_rest_transposed_path_matches_generic(self, rng):
-        """Hybrid plans with a scattered remainder also take the
-        transposed fast path (DIA part in (L, n), remainder SpMM behind
-        two boundary transposes); parity vs the reference strategy."""
+    def test_hybrid_with_rest_keeps_generic_path(self, rng):
+        """Hybrid plans with a scattered remainder KEEP the generic
+        (n, L) path — measured 4% worse transposed (the gather-kernel
+        remainder dominates; RESULTS session 9). The solve itself must
+        still match the reference strategy."""
         import scipy.sparse as sp
 
         from tpusparse.formats.csr import CsrMatrix
@@ -377,7 +378,7 @@ class TestBakedDispatch:
         csr = CsrMatrix.from_scipy(S)
         A = plan_matrix(csr, dtype=np.float32, L=16)
         assert isinstance(A, HybridPlan) and A.rest is not None
-        assert _transposed_matmat_of(A)[0] is not None
+        assert _transposed_matmat_of(A)[0] is None
         B = rng.standard_normal((n, 16)).astype(np.float32)
         r_t = cg_solve_multi(A, B, max_iters=600, tolerance=1e-5)
         A_ref = plan_matrix(csr, dtype=np.float32, strategy="reference")

@@ -227,6 +227,17 @@ def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1,
         from tpusparse.kernels import merge_spmv
 
         return merge_spmv.to_device_tiles(tiles, dtype=dtype)
+    if L >= 8:
+        # ELL's resident-RHS budget excludes this width (ell_fits
+        # false): the same serial-per-lane merge pathology applies, so
+        # ultra-sparse scatter goes to the BCOO vendor baseline
+        # instead (measured within 7% of ELL on the scatter fixture).
+        tiles = _host_merge_tiles(csr)
+        if csr.nnz / (tiles.ntiles * 1024) < MERGE_MIN_OCC_MULTIRHS:
+            return ref.to_bcoo(csr, dtype=dtype)
+        from tpusparse.kernels import merge_spmv
+
+        return merge_spmv.to_device_tiles(tiles, dtype=dtype)
     return _plan_merge(csr, dtype)
 
 

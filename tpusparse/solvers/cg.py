@@ -324,36 +324,21 @@ def _transposed_matmat_of(A):
     """(mm_t, pad_to) when the plan supports the multi-RHS
     transposed-state fast path (state in (L, n) — or (L, pad_to) with
     a zero tail when pad_to is not None); (None, None) otherwise.
-    Covers DIA-family plans at any size (stream plans past the XLA
-    fusion scale included) and hybrid plans with a scattered
-    remainder: the diagonal part runs natively in (L, n), the
-    remainder SpMM keeps its (n, L) kernel behind two boundary
-    transposes — measured cheap (~17 us/iter at L=32, lap3d-32, the
-    PCG apply's identical contract) against the ~320 us (n, L) BLAS-1
-    layout cliff the transposed state removes (RESULTS session 8).
-    y-accumulation is order-independent, so summing the two paths is
-    exact. Gather-only plans return (None, None) (measured a wash —
-    their SpMM dominates; RESULTS session 8 negative result)."""
+    Covers pure-DIA plans at any size (stream plans past the XLA
+    fusion scale included). Plans with ANY gather-kernel SpMM in the
+    matvec keep the generic (n, L) path — measured: gather-only plans
+    are a wash (their SpMM dominates, RESULTS session 8), and
+    hybrid-with-remainder came out 4% WORSE transposed (2.33 vs 2.24
+    ms/iter on band+noise at rest_frac 0.03, L=32 — even a tiny
+    scattered remainder dominates the DIA part by the gather kernels'
+    ~100x per-nnz cost, so the boundary transposes only add;
+    scripts/r3_s9_hybrid_rest_t.py, RESULTS session 9)."""
     from tpusparse.ops.hybrid import HybridPlan
 
     if isinstance(A, HybridPlan):
-        dia_t, pad_to = _dia_t_callable(A.dia)
-        if dia_t is None:
+        if A.rest is not None:
             return None, None
-        if A.rest is None:
-            return dia_t, pad_to
-        rest = A.rest
-        n = A.dia.num_rows
-
-        def mm_t(P):
-            from tpusparse.ops.spmv import spmm
-
-            Yr = spmm(rest, P[:, :n].T).astype(P.dtype).T
-            if pad_to is not None and pad_to > n:
-                Yr = jnp.pad(Yr, ((0, 0), (0, pad_to - n)))
-            return dia_t(P) + Yr
-
-        return mm_t, pad_to
+        return _dia_t_callable(A.dia)
     return _dia_t_callable(A)
 
 
