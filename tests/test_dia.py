@@ -434,6 +434,35 @@ class TestDiaStream:
         err = np.abs(YTP[:, :n].T - refM).max() / np.abs(refM).max()
         assert err < 1e-5
 
+    def test_df_stream_tp_edge_kernel_parity(self):
+        """df padded transposed entry (edge-halo df kernel): ragged n,
+        zero tail, block-boundary offsets, fp64 accuracy."""
+        from tpusparse.kernels.dia_stream import (
+            padded_cols_df,
+            spmm_dia_stream_df_tp,
+            to_device_dia_stream_df,
+        )
+
+        n = 1000
+        offsets = [-512, -130, -1, 0, 1, 130, 512]
+        rng = np.random.default_rng(13)
+        A = sp.diags([rng.standard_normal(n - abs(d))
+                      for d in offsets], offsets,
+                     shape=(n, n), format="csr")
+        csr = CsrMatrix.from_scipy(A.tocsr())
+        dia, _ = partition_dia(csr, np.array(offsets))
+        D = to_device_dia_stream_df(dia, block_rows=512)
+        np_ = padded_cols_df(D)
+        assert np_ == 1024
+        XT = rng.standard_normal((3, n))
+        XTP = np.zeros((3, np_))
+        XTP[:, :n] = XT
+        YTP = np.asarray(spmm_dia_stream_df_tp(D, jnp.asarray(XTP)))
+        np.testing.assert_array_equal(YTP[:, n:], 0.0)
+        refM = A @ XT.T
+        err = np.abs(YTP[:, :n].T - refM).max() / np.abs(refM).max()
+        assert err < 1e-13
+
     def test_stream_t_parity(self):
         from tpusparse.kernels.dia_stream import (
             spmm_dia_stream_t,

@@ -1,33 +1,41 @@
-"""Streaming DIA SpMV kernel — the large-matrix diagonal path.
+"""Streaming DIA kernels — the large-matrix diagonal path.
 
 The XLA DIA op (ops/dia.py) is the right tool while the value planes
 fit VMEM (~300-500 GF with plane residency across a solver loop), but
-beyond ~100 MB of planes XLA's elementwise fusion materializes the
-shifted slices in HBM and throughput collapses (measured 36 GF at 7M
-rows). This kernel tiles the row space into B-sized blocks and stages
-each block's x-halo in VMEM exactly once per step:
+at L=1 beyond ~100 MB of planes XLA's elementwise fusion materializes
+the shifted slices in HBM and throughput collapses (measured 36 GF at
+7M rows; multi-RHS does NOT collapse — it is x-stream-bound — so AUTO
+gates by L, see ops.spmv.DIA_STREAM_MAX_L). These kernels tile the
+row space into B-sized blocks (B = 128 R rows) and stage each block's
+x context in VMEM exactly once per step — the EDGE-HALO formulation
+(session 9; it replaced a 3-full-block halo, measured 391 vs 336 GF
+single-RHS and 194 vs 177 GF at L=32):
 
-  * x ships pre-padded into (nb + 2, R, 128) blocks (B = 128 R rows
-    per block); the SAME array is passed three times with index maps
-    (i, i+1, i+2), so the kernel sees the previous/current/next blocks
-    — an overlapping halo window expressed through non-overlapping
-    BlockSpecs.
-  * per grid step: stack the three x blocks into a (3R, 128) buffer,
-    then for each static diagonal offset ``off = 128 q + r`` take the
-    sublane-shifted slice at q and lane-rotate by r (two static
-    slices + one lane concat — no gathers) and FMA into the (R, 128)
-    accumulator. Everything runs on full (R, 128) registers at native
-    VPU width.
-  * traffic per step = K data planes + 3 x blocks + 1 y block — the
-    stream-bound operating point at any matrix size.
+  * operands are RHS-major blocked: x as (L, nb, R, 128) consumed IN
+    PLACE, plus two E-sublane edge slabs (E = ceil(max|off|/128))
+    carrying just the neighbour rows any offset can reach — x traffic
+    per matvec is (1 + 2E/R) reads, not 3.
+  * grid (nb, L) with the RHS index minor: the K plane blocks' index
+    maps depend only on the row block, so Pallas skips their DMAs
+    across the L steps that share them.
+  * per grid step: concat [lo_edge, x, hi_edge] into an (R + 2E, 128)
+    buffer, then for each static diagonal offset ``off = 128 q + r``
+    take the sublane-shifted slice at q and lane-rotate by r (two
+    static slices + select + one pltpu.roll — no gathers) and FMA
+    into the (R, 128) accumulator.
+  * solvers keep their whole transposed state PERMANENTLY padded at
+    (L, nb*B) (`spmm_dia_stream_tp` + `padded_cols`): the value
+    planes are zero past num_rows, so pad outputs stay exactly 0 and
+    no per-iteration pad copies exist at all.
 
 Requires max |offset| <= B (the planner falls back to the XLA op for
 pathologically wide bands). Mosaic has no 64-bit types, so fp64 at
-scale runs the double-float variant (`_spmv_dia_stream_df`): hi/lo f32
-plane pairs, Dekker products + Knuth two-sums sequentially over the K
-offsets — ~1e-14 relative accuracy, 86 GF at 7.1M rows where the
-fused XLA f64 path collapses to 13 GF. Below the collapse thresholds
-the XLA op keeps both dtypes (and strict IEEE f64).
+scale runs the double-float variant (`_spmm_dia_stream_df_edge`):
+hi/lo f32 plane pairs, Dekker products + Knuth two-sums sequentially
+over the K offsets — ~1e-14 relative accuracy; 77.6 GF at L=32 /
+4.9M rows where the fused XLA native-f64 path reads 43 GF (and 13 GF
+at L=1). Below the collapse thresholds the XLA op keeps both dtypes
+(and strict IEEE f64).
 
 Reference capability: the grid2d/grid3d stencil fixtures at scale
 (``/root/reference/sparse_matrix.h:458-623``) under the SpMV drivers
@@ -79,107 +87,6 @@ def _shifted(buf, off: int, R: int, interpret: bool, base: int | None = None):
     from jax.experimental.pallas import tpu as pltpu
 
     return pltpu.roll(pre, LANES - r, axis=1)
-
-
-def _dia_stream_kernel(offsets, R, interpret, x0_ref, x1_ref, x2_ref,
-                       d_ref, y_ref):
-    buf = jnp.concatenate(
-        [x0_ref[0], x1_ref[0], x2_ref[0]], axis=0
-    )  # (3R, 128)
-    acc = jnp.zeros((R, LANES), jnp.float32)
-    for k, off in enumerate(offsets):
-        acc = acc + d_ref[0, k] * _shifted(buf, off, R, interpret)
-    y_ref[0] = acc
-
-
-@functools.partial(jax.jit, static_argnames=("offsets", "R"))
-@kernel_no_x64
-def _spmv_dia_stream(data_b, xpad_b, offsets, R):
-    """data_b: (nb, K, R, 128); xpad_b: (nb+2, R, 128) -> (nb, R, 128)."""
-    nb, K, _, _ = data_b.shape
-    kernel = functools.partial(_dia_stream_kernel, offsets, R,
-                               _interpret())
-    return pl.pallas_call(
-        kernel,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, R, LANES), lambda i: (i + 1, 0, 0)),
-            pl.BlockSpec((1, R, LANES), lambda i: (i + 2, 0, 0)),
-            pl.BlockSpec((1, K, R, LANES), lambda i: (i, 0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nb, R, LANES), jnp.float32),
-        interpret=_interpret(),
-    )(xpad_b, xpad_b, xpad_b, data_b)
-
-
-def _dia_stream_kernel_df(offsets, R, interpret, xh0, xh1, xh2,
-                          xl0, xl1, xl2, dh_ref, dl_ref,
-                          yh_ref, yl_ref):
-    """Double-float (two-f32) variant: Dekker product + Knuth two-sum
-    per diagonal. The accumulation is SEQUENTIAL over the K offsets —
-    compensated arithmetic cannot ride a parallel scan — but K is
-    small (<= 64), so the kernel stays stream-shaped. ~1e-14 relative
-    accuracy at f32 exponent range (same semantics as kernels/ell_df).
-    """
-    from tpusparse.kernels.ell_df import _df_add, _df_mul
-
-    bufh = jnp.concatenate([xh0[0], xh1[0], xh2[0]], axis=0)
-    bufl = jnp.concatenate([xl0[0], xl1[0], xl2[0]], axis=0)
-    acc_h = jnp.zeros((R, LANES), jnp.float32)
-    acc_l = jnp.zeros((R, LANES), jnp.float32)
-    for k, off in enumerate(offsets):
-        wh = _shifted(bufh, off, R, interpret)
-        wl = _shifted(bufl, off, R, interpret)
-        ph, pl = _df_mul(dh_ref[0, k], dl_ref[0, k], wh, wl)
-        acc_h, acc_l = _df_add(acc_h, acc_l, ph, pl)
-    yh_ref[0] = acc_h
-    yl_ref[0] = acc_l
-
-
-@functools.partial(jax.jit, static_argnames=("offsets", "R"))
-@kernel_no_x64
-def _spmv_dia_stream_df(dh_b, dl_b, xh_b, xl_b, offsets, R):
-    """hi/lo planes (nb, K, R, 128) x2; hi/lo x (nb+2, R, 128) x2
-    -> ((nb, R, 128), (nb, R, 128)) double-float y."""
-    nb, K, _, _ = dh_b.shape
-    kernel = functools.partial(_dia_stream_kernel_df, offsets, R,
-                               _interpret())
-    xspec = lambda d: pl.BlockSpec((1, R, LANES),
-                                   lambda i, d=d: (i + d, 0, 0))
-    # per step: 6 halo x blocks + 2 K-plane blocks + 2 y blocks,
-    # double-buffered — ~22 MB at the default 128k-row block, over
-    # Mosaic's 16 MB default scoped-vmem budget
-    if _interpret():
-        params = {}
-    else:
-        from jax.experimental.pallas import tpu as pltpu
-
-        step = (6 + 2 * (K + 1)) * R * LANES * 4
-        params = {"compiler_params": pltpu.CompilerParams(
-            vmem_limit_bytes=min(2 * step + (8 << 20), 100 << 20)
-        )}
-    return pl.pallas_call(
-        kernel,
-        grid=(nb,),
-        in_specs=[
-            xspec(0), xspec(1), xspec(2),
-            xspec(0), xspec(1), xspec(2),
-            pl.BlockSpec((1, K, R, LANES), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, K, R, LANES), lambda i: (i, 0, 0, 0)),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nb, R, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((nb, R, LANES), jnp.float32),
-        ),
-        interpret=_interpret(),
-        **params,
-    )(xh_b, xh_b, xh_b, xl_b, xl_b, xl_b, dh_b, dl_b)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -246,77 +153,83 @@ def to_device_dia_stream_df(dia_host,
 
 def spmv_dia_stream_df(D: DiaStreamDFDevice, x, alpha=1.0, beta=0.0,
                        y=None):
-    """y = alpha * A @ x + beta * y, fp64 in/out via the double-float
-    stream kernel."""
-    B = D.block_rows
-    nb = D.data_hi.shape[0]
-    x = x.astype(jnp.float64)
-    xh = x.astype(jnp.float32)
-    xl = (x - xh.astype(jnp.float64)).astype(jnp.float32)
-
-    def padded(v):
-        p = jnp.zeros(((nb + 2) * B,), jnp.float32)
-        p = jax.lax.dynamic_update_slice(p, v, (B,))
-        return p.reshape(nb + 2, B // LANES, LANES)
-
-    yh, yl = _spmv_dia_stream_df(D.data_hi, D.data_lo, padded(xh),
-                                 padded(xl), D.offsets, B // LANES)
-    y_new = (yh.reshape(-1)[: D.num_rows].astype(jnp.float64)
-             + yl.reshape(-1)[: D.num_rows].astype(jnp.float64))
+    """y = alpha * A @ x + beta * y, fp64 in/out via the edge-halo
+    double-float stream kernel at L=1 (see spmv_dia_stream)."""
+    y_new = spmm_dia_stream_df_t(D, x.astype(jnp.float64)[None, :])[0]
     if beta == 0.0 or y is None:
         return alpha * y_new if alpha != 1.0 else y_new
     return alpha * y_new + beta * y
 
 
-def _dia_stream_kernel_df_mrhs(offsets, R, interpret, xh0, xh1, xh2,
-                               xl0, xl1, xl2, dh_ref, dl_ref,
+def spmm_dia_stream_df_t(D: DiaStreamDFDevice, XT):
+    """Transposed-layout df SpMM: XT (L, num_cols) fp64 ->
+    (L, num_rows) fp64 via the multi-RHS double-float stream kernel
+    (~1e-14 relative accuracy, f32 exponent range — the plan's
+    documented semantics). Native entry point for the transposed-space
+    multi-RHS solvers at fp64 scale; routes through the edge-halo df
+    kernel (one tail pad per call)."""
+    n = XT.shape[1]
+    np_ = padded_cols_df(D)
+    XTP = XT if np_ == n else jnp.pad(XT, ((0, 0), (0, np_ - n)))
+    return spmm_dia_stream_df_tp(D, XTP)[:, :n]
+
+
+def spmm_dia_stream_df(D: DiaStreamDFDevice, X, alpha=1.0, beta=0.0,
+                       Y=None):
+    """Y = alpha * A @ X + beta * Y, fp64 in/out via the multi-RHS
+    double-float stream kernel."""
+    Y_new = spmm_dia_stream_df_t(D, jnp.asarray(X).T).T
+    if beta == 0.0 or Y is None:
+        return alpha * Y_new if alpha != 1.0 else Y_new
+    return alpha * Y_new + beta * Y
+
+
+def _dia_stream_kernel_df_edge(offsets, R, E, interpret, loh, xh, hih,
+                               lol, xl, hil, dh_ref, dl_ref,
                                yh_ref, yl_ref):
     from tpusparse.kernels.ell_df import _df_add, _df_mul
 
-    bufh = jnp.concatenate([xh0[0, 0], xh1[0, 0], xh2[0, 0]], axis=0)
-    bufl = jnp.concatenate([xl0[0, 0], xl1[0, 0], xl2[0, 0]], axis=0)
+    bufh = jnp.concatenate([loh[0, 0], xh[0, 0], hih[0, 0]], axis=0)
+    bufl = jnp.concatenate([lol[0, 0], xl[0, 0], hil[0, 0]], axis=0)
     acc_h = jnp.zeros((R, LANES), jnp.float32)
     acc_l = jnp.zeros((R, LANES), jnp.float32)
     for k, off in enumerate(offsets):
-        wh = _shifted(bufh, off, R, interpret)
-        wl = _shifted(bufl, off, R, interpret)
+        wh = _shifted(bufh, off, R, interpret, base=E)
+        wl = _shifted(bufl, off, R, interpret, base=E)
         ph, pl = _df_mul(dh_ref[0, k], dl_ref[0, k], wh, wl)
         acc_h, acc_l = _df_add(acc_h, acc_l, ph, pl)
     yh_ref[0, 0] = acc_h
     yl_ref[0, 0] = acc_l
 
 
-@functools.partial(jax.jit, static_argnames=("offsets", "R"))
+@functools.partial(jax.jit, static_argnames=("offsets", "R", "E"))
 @kernel_no_x64
-def _spmm_dia_stream_df(dh_b, dl_b, xh_b, xl_b, offsets, R):
-    """Multi-RHS double-float: xh_b/xl_b (L, nb+2, R, 128) -> two
-    (L, nb, R, 128) hi/lo planes. Grid (nb, L) with the RHS index
-    minor, exactly as `_spmm_dia_stream`: the K hi/lo plane blocks'
-    index maps depend only on the row block, so their DMAs are skipped
-    across the L steps that share them."""
-    L, nbp2, _, _ = xh_b.shape
-    nb = nbp2 - 2
+def _spmm_dia_stream_df_edge(dh_b, dl_b, xh_b, xl_b, loh, hih, lol,
+                             hil, offsets, R, E):
+    """Edge-halo df multi-RHS stream (see _spmm_dia_stream_edge): hi/lo
+    x blocks consumed in place, neighbour context as E-sublane edge
+    slabs per plane."""
+    L, nb, _, _ = xh_b.shape
     K = dh_b.shape[1]
-    kernel = functools.partial(_dia_stream_kernel_df_mrhs, offsets, R,
-                               _interpret())
-    xspec = lambda d: pl.BlockSpec(
-        (1, 1, R, LANES), lambda i, l, d=d: (l, i + d, 0, 0)
-    )
+    kernel = functools.partial(_dia_stream_kernel_df_edge, offsets, R,
+                               E, _interpret())
+    xspec = pl.BlockSpec((1, 1, R, LANES), lambda i, l: (l, i, 0, 0))
+    espec = pl.BlockSpec((1, 1, E, LANES), lambda i, l: (l, i, 0, 0))
     if _interpret():
         params = {}
     else:
         from jax.experimental.pallas import tpu as pltpu
 
-        step = (6 + 2 * (K + 1)) * R * LANES * 4
+        step = (4 + 2 * K + 4 * E / R) * R * LANES * 4
         params = {"compiler_params": pltpu.CompilerParams(
-            vmem_limit_bytes=min(2 * step + (8 << 20), 100 << 20)
+            vmem_limit_bytes=min(int(2 * step) + (8 << 20), 100 << 20)
         )}
     return pl.pallas_call(
         kernel,
         grid=(nb, L),
         in_specs=[
-            xspec(0), xspec(1), xspec(2),
-            xspec(0), xspec(1), xspec(2),
+            espec, xspec, espec,
+            espec, xspec, espec,
             pl.BlockSpec((1, K, R, LANES), lambda i, l: (i, 0, 0, 0)),
             pl.BlockSpec((1, K, R, LANES), lambda i, l: (i, 0, 0, 0)),
         ],
@@ -330,42 +243,42 @@ def _spmm_dia_stream_df(dh_b, dl_b, xh_b, xl_b, offsets, R):
         ),
         interpret=_interpret(),
         **params,
-    )(xh_b, xh_b, xh_b, xl_b, xl_b, xl_b, dh_b, dl_b)
+    )(loh, xh_b, hih, lol, xl_b, hil, dh_b, dl_b)
 
 
-def spmm_dia_stream_df_t(D: DiaStreamDFDevice, XT):
-    """Transposed-layout df SpMM: XT (L, num_cols) fp64 ->
-    (L, num_rows) fp64 via the multi-RHS double-float stream kernel
-    (~1e-14 relative accuracy, f32 exponent range — the plan's
-    documented semantics). Native entry point for the transposed-space
-    multi-RHS solvers at fp64 scale."""
+def padded_cols_df(D: DiaStreamDFDevice) -> int:
+    """Padded state width for the df edge path (see padded_cols)."""
+    return D.data_hi.shape[0] * D.block_rows
+
+
+def spmm_dia_stream_df_tp(D: DiaStreamDFDevice, XTP):
+    """Padded transposed df SpMM: XTP (L, nb*B) fp64 with zero tail ->
+    (L, nb*B) fp64 with zero tail, via the edge-halo df kernel. The
+    hi/lo split is per call (the solver state stays one f64 array);
+    pad outputs stay exactly 0 (zero-padded planes)."""
     B = D.block_rows
     nb = D.data_hi.shape[0]
-    L = XT.shape[0]
-    XT = XT.astype(jnp.float64)
-    xh = XT.astype(jnp.float32)
-    xl = (XT - xh.astype(jnp.float64)).astype(jnp.float32)
+    L = XTP.shape[0]
+    R = B // LANES
+    E = _edge_sublanes(D.offsets)
+    XTP = XTP.astype(jnp.float64)
+    xh = XTP.astype(jnp.float32).reshape(L, nb, R, LANES)
+    xl = (XTP - XTP.astype(jnp.float32).astype(jnp.float64)).astype(
+        jnp.float32).reshape(L, nb, R, LANES)
+    zero = jnp.zeros((L, 1, E, LANES), jnp.float32)
 
-    def padded(V):
-        p = jnp.zeros((L, (nb + 2) * B), jnp.float32)
-        p = jax.lax.dynamic_update_slice(p, V, (0, B))
-        return p.reshape(L, nb + 2, B // LANES, LANES)
+    def edges(xb):
+        lo = jnp.concatenate([zero, xb[:, :-1, R - E:, :]], axis=1)
+        hi = jnp.concatenate([xb[:, 1:, :E, :], zero], axis=1)
+        return lo, hi
 
-    yh, yl = _spmm_dia_stream_df(D.data_hi, D.data_lo, padded(xh),
-                                 padded(xl), D.offsets, B // LANES)
-    n = D.num_rows
-    return (yh.reshape(L, -1)[:, :n].astype(jnp.float64)
-            + yl.reshape(L, -1)[:, :n].astype(jnp.float64))
-
-
-def spmm_dia_stream_df(D: DiaStreamDFDevice, X, alpha=1.0, beta=0.0,
-                       Y=None):
-    """Y = alpha * A @ X + beta * Y, fp64 in/out via the multi-RHS
-    double-float stream kernel."""
-    Y_new = spmm_dia_stream_df_t(D, jnp.asarray(X).T).T
-    if beta == 0.0 or Y is None:
-        return alpha * Y_new if alpha != 1.0 else Y_new
-    return alpha * Y_new + beta * Y
+    loh, hih = edges(xh)
+    lol, hil = edges(xl)
+    yh, yl = _spmm_dia_stream_df_edge(D.data_hi, D.data_lo, xh, xl,
+                                      loh, hih, lol, hil, D.offsets,
+                                      R, E)
+    return (yh.reshape(L, nb * B).astype(jnp.float64)
+            + yl.reshape(L, nb * B).astype(jnp.float64))
 
 
 def fits_stream(offsets, block_rows: int = BLOCK_ROWS) -> bool:
@@ -424,66 +337,14 @@ def to_device_dia_stream(dia_host,
 
 def spmv_dia_stream(D: DiaStreamDevice, x, alpha=1.0, beta=0.0,
                     y=None):
-    """y = alpha * A @ x + beta * y via the streaming kernel."""
-    B = D.block_rows
-    nb = D.data_b.shape[0]
-    xf = x.astype(jnp.float32)
-    xpad_b = jnp.zeros(((nb + 2) * B,), jnp.float32)
-    xpad_b = jax.lax.dynamic_update_slice(xpad_b, xf, (B,))
-    xpad_b = xpad_b.reshape(nb + 2, B // LANES, LANES)
-    yb = _spmv_dia_stream(D.data_b, xpad_b, D.offsets, B // LANES)
-    y_new = yb.reshape(-1)[: D.num_rows]
+    """y = alpha * A @ x + beta * y via the edge-halo streaming kernel
+    at L=1 (same-process A/B vs the former dedicated (nb,)-grid
+    3-block kernel: 391/344 vs 336/345 GF on lap3d-192 — equal or
+    better, one kernel to maintain)."""
+    y_new = spmm_dia_stream_t(D, x.astype(jnp.float32)[None, :])[0]
     if beta == 0.0 or y is None:
         return alpha * y_new if alpha != 1.0 else y_new
     return alpha * y_new + beta * y
-
-
-def _dia_stream_kernel_mrhs(offsets, R, interpret, x0_ref, x1_ref,
-                            x2_ref, d_ref, y_ref):
-    buf = jnp.concatenate(
-        [x0_ref[0, 0], x1_ref[0, 0], x2_ref[0, 0]], axis=0
-    )  # (3R, 128)
-    acc = jnp.zeros((R, LANES), jnp.float32)
-    for k, off in enumerate(offsets):
-        acc = acc + d_ref[0, k] * _shifted(buf, off, R, interpret)
-    y_ref[0, 0] = acc
-
-
-@functools.partial(jax.jit, static_argnames=("offsets", "R"))
-@kernel_no_x64
-def _spmm_dia_stream(data_b, xpad_b, offsets, R):
-    """Multi-RHS: xpad_b (L, nb+2, R, 128) -> (L, nb, R, 128).
-
-    The grid is (nb, L) with the RHS index l MINOR (fastest): the
-    plane block's index map depends only on the row block i, so Pallas
-    skips its DMA across the L consecutive steps that share it — the
-    planes stream from HBM once per row block, exactly like the
-    single-RHS kernel, while each step works on one RHS's halo window.
-    Total traffic = K planes + 4 x/y blocks per RHS: the same bytes as
-    an RHS-in-lanes layout, but with (R, 128) blocks whose VMEM
-    footprint is independent of L (no halo-width VMEM blowup)."""
-    L, nbp2, _, _ = xpad_b.shape
-    nb = nbp2 - 2
-    K = data_b.shape[1]
-    kernel = functools.partial(_dia_stream_kernel_mrhs, offsets, R,
-                               _interpret())
-    out = pl.pallas_call(
-        kernel,
-        grid=(nb, L),
-        in_specs=[
-            pl.BlockSpec((1, 1, R, LANES), lambda i, l: (l, i, 0, 0)),
-            pl.BlockSpec((1, 1, R, LANES),
-                         lambda i, l: (l, i + 1, 0, 0)),
-            pl.BlockSpec((1, 1, R, LANES),
-                         lambda i, l: (l, i + 2, 0, 0)),
-            pl.BlockSpec((1, K, R, LANES), lambda i, l: (i, 0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, R, LANES),
-                               lambda i, l: (l, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((L, nb, R, LANES), jnp.float32),
-        interpret=_interpret(),
-    )(xpad_b, xpad_b, xpad_b, data_b)
-    return out
 
 
 def spmm_dia_stream_t(D: DiaStreamDevice, XT):
@@ -492,16 +353,14 @@ def spmm_dia_stream_t(D: DiaStreamDevice, XT):
     transposed layout (RHS-major, rows on lanes), so this is the native
     entry point — solvers keep their whole multi-RHS state in (L, n)
     (the (n, L) layout cliff, RESULTS session 8) and the stream plan
-    joins the transposed-space fast path at any matrix size."""
-    B = D.block_rows
-    nb = D.data_b.shape[0]
-    L = XT.shape[0]
-    Xf = XT.astype(jnp.float32)
-    xpad = jnp.zeros((L, (nb + 2) * B), jnp.float32)
-    xpad = jax.lax.dynamic_update_slice(xpad, Xf, (0, B))
-    xpad = xpad.reshape(L, nb + 2, B // LANES, LANES)
-    Yb = _spmm_dia_stream(D.data_b, xpad, D.offsets, B // LANES)
-    return Yb.reshape(L, -1)[:, : D.num_rows]
+    joins the transposed-space fast path at any matrix size. Routes
+    through the edge-halo kernel (one tail pad per call): measured
+    351 vs 228 GF at L=1 and 194 vs 177 at L=32 over the 3-full-block
+    halo (lap3d-192, RESULTS session 9)."""
+    n = XT.shape[1]
+    np_ = padded_cols(D)
+    XTP = XT if np_ == n else jnp.pad(XT, ((0, 0), (0, np_ - n)))
+    return spmm_dia_stream_tp(D, XTP)[:, :n]
 
 
 def spmm_dia_stream(D: DiaStreamDevice, X, alpha=1.0, beta=0.0,
@@ -540,7 +399,7 @@ def _spmm_dia_stream_edge(data_b, x_b, lo_b, hi_b, offsets, R, E):
     """Edge-halo multi-RHS stream: x_b (L, nb, R, 128) consumed
     IN PLACE (no padded copy), neighbour context as two E-sublane edge
     slabs (L, nb, E, 128). Grid (nb, L), RHS minor, planes DMA-shared
-    across the L steps of a row block exactly as _spmm_dia_stream.
+    across the L steps of a row block (their index maps depend only on i).
     x/y traffic per matvec = (1 + 2E/R) x reads + 1 y write versus the
     3-full-block kernel's 3 x reads + 1 y + a whole padded-x copy."""
     L, nb, _, _ = x_b.shape

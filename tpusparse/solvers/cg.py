@@ -306,7 +306,8 @@ def _dia_t_callable(D):
         DiaStreamDevice,
         DiaStreamDFDevice,
         padded_cols,
-        spmm_dia_stream_df_t,
+        padded_cols_df,
+        spmm_dia_stream_df_tp,
         spmm_dia_stream_tp,
     )
     from tpusparse.ops.dia import spmm_dia_t
@@ -316,7 +317,7 @@ def _dia_t_callable(D):
     if isinstance(D, DiaStreamDevice):
         return (lambda P: spmm_dia_stream_tp(D, P)), padded_cols(D)
     if isinstance(D, DiaStreamDFDevice):
-        return (lambda P: spmm_dia_stream_df_t(D, P)), None
+        return (lambda P: spmm_dia_stream_df_tp(D, P)), padded_cols_df(D)
     return None, None
 
 
