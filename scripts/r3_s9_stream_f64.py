@@ -78,10 +78,20 @@ if __name__ == "__main__":
     del dia_host
     print("plans on device", flush=True)
 
+    from tpusparse.kernels.dia_stream import (
+        padded_cols_df,
+        spmm_dia_stream_df_tp,
+    )
+
     key = jax.random.PRNGKey(0)
     XT = jax.random.normal(key, (L, n), jnp.float64)
+    np_ = padded_cols_df(A_df)
+    XTP = jnp.pad(XT, ((0, 0), (0, np_ - n)))
     for _ in range(2):
-        spmm_rate("df-stream(new)",
+        spmm_rate("df-edge-tp(padded)",
+                  lambda Aa, P: spmm_dia_stream_df_tp(Aa, P), A_df,
+                  XTP, nnz, iters=(3, 15))
+        spmm_rate("df-edge-t(wrap)",
                   lambda Aa, P: spmm_dia_stream_df_t(Aa, P), A_df,
                   XT, nnz, iters=(3, 15))
         spmm_rate("xla-f64(old)",

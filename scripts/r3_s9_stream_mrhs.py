@@ -127,7 +127,7 @@ if __name__ == "__main__":
         print(f"[{_time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
     stamp("building device plans...")
-    A_new = to_device_dia_stream(dia_host)
+    A_new = to_device_dia_stream(dia_host, L=L)
     float(jnp.sum(A_new.data_b[0, 0, 0]))  # sync the upload
     stamp("stream plan on device")
     A_old = to_device_dia(dia_host, dtype=np.float32)
@@ -151,11 +151,11 @@ if __name__ == "__main__":
     XTP = jnp.pad(XT, ((0, 0), (0, np_ - n)))
     for _ in range(2):
         spmm_rate("stream-edge(tp)",
-                  lambda Aa, P: spmm_dia_stream_tp(Aa, P), A_new,
-                  XTP, nnz, iters=(4, 40))
-        spmm_rate("stream-3blk(t)",
-                  lambda Aa, P: spmm_dia_stream_t(Aa, P), A_new,
-                  XT, nnz, iters=(4, 40))
+                  lambda Aa, P: spmm_dia_stream_tp(Aa, P, mxu=False),
+                  A_new, XTP, nnz, iters=(4, 40))
+        spmm_rate("stream-edge-mxu(tp)",
+                  lambda Aa, P: spmm_dia_stream_tp(Aa, P, mxu=True),
+                  A_new, XTP, nnz, iters=(4, 40))
         spmm_rate("xla-dia(old)",
                   lambda Aa, P: spmm_dia_t(Aa, P), A_old,
                   XT, nnz, iters=(2, 12))

@@ -463,6 +463,35 @@ class TestDiaStream:
         err = np.abs(YTP[:, :n].T - refM).max() / np.abs(refM).max()
         assert err < 1e-13
 
+    def test_stream_tp_mxu_rotation_bit_identical(self):
+        """The MXU selection-matmul kernel body (mxu=True) must be
+        BIT-identical to the VPU select+roll body — each output lane
+        has exactly one unit product, so the matmul is exact
+        selection. (On-chip A/B was a wash: 16.41 vs 16.25 ms at
+        L=32, lap3d-192 — the VPU body stays the default.)"""
+        from tpusparse.kernels.dia_stream import (
+            padded_cols,
+            spmm_dia_stream_tp,
+            to_device_dia_stream,
+        )
+
+        n = 1500
+        offsets = [-512, -200, -1, 0, 1, 200, 512]
+        csr, A = self._band(n, offsets, seed=21)
+        dia, _ = partition_dia(csr, np.array(offsets))
+        D = to_device_dia_stream(dia, block_rows=512)
+        np_ = padded_cols(D)
+        XTP = np.zeros((4, np_), np.float32)
+        XTP[:, :n] = _rng().standard_normal((4, n)).astype(np.float32)
+        Ya = np.asarray(spmm_dia_stream_tp(D, jnp.asarray(XTP),
+                                           mxu=False))
+        Yb = np.asarray(spmm_dia_stream_tp(D, jnp.asarray(XTP),
+                                           mxu=True))
+        np.testing.assert_array_equal(Ya, Yb)
+        refM = (A @ XTP[:, :n].T).astype(np.float32)
+        err = np.abs(Ya[:, :n].T - refM).max() / np.abs(refM).max()
+        assert err < 1e-5
+
     def test_stream_t_parity(self):
         from tpusparse.kernels.dia_stream import (
             spmm_dia_stream_t,

@@ -97,3 +97,66 @@ def test_cg_single_merge_plan(rng):
     x = np.asarray(res.x)
     rel = np.linalg.norm(b - csr.to_scipy() @ x) / np.linalg.norm(b)
     assert rel < 1e-4
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_edge_halo_stream_kernels(seed):
+    """Edge-halo stream kernels (f32 + double-float) against scipy on
+    random banded matrices: random offset sets (lane-crossing, exact
+    block-boundary, r==0 multiples of 128), random block_rows, ragged
+    n, random L — the geometry space the static E/q/r decomposition
+    must cover."""
+    import scipy.sparse as sp
+
+    from tpusparse.formats.dia import partition_dia
+    from tpusparse.kernels.dia_stream import (
+        fits_stream,
+        padded_cols,
+        padded_cols_df,
+        spmm_dia_stream_df_t,
+        spmm_dia_stream_t,
+        spmm_dia_stream_tp,
+        to_device_dia_stream,
+        to_device_dia_stream_df,
+    )
+
+    r = np.random.default_rng(1000 + seed)
+    blk = int(r.choice([256, 512, 1024]))
+    n = int(r.integers(blk // 2, 3 * blk + 7))
+    K = int(r.integers(1, 8))
+    cand = np.unique(np.concatenate([
+        r.integers(-blk, blk + 1, K),
+        [0],                       # keep the main diagonal
+        r.choice([-blk, blk, -128, 128, -256, 256], 2),
+    ]))
+    offsets = np.array(
+        [o for o in cand if abs(o) < n and abs(o) <= blk],
+        dtype=np.int64,
+    )
+    assert fits_stream(offsets, block_rows=blk)
+    diags = [r.standard_normal(n - abs(int(o))) for o in offsets]
+    A = sp.diags(diags, offsets, shape=(n, n), format="csr")
+    csr = CsrMatrix.from_scipy(A.tocsr())
+    dia, rest = partition_dia(csr, offsets)
+    assert rest.nnz == 0
+    L = int(r.integers(1, 6))
+    XT = r.standard_normal((L, n))
+    refM = (A @ XT.T).T
+
+    D = to_device_dia_stream(dia, block_rows=blk)
+    YT = np.asarray(spmm_dia_stream_t(D, jnp.asarray(XT.astype(np.float32))))
+    scale = max(np.abs(refM).max(), 1e-6)
+    np.testing.assert_allclose(YT / scale, refM / scale, atol=5e-5)
+    # padded entry: zero tail in, zero tail out
+    np_ = padded_cols(D)
+    XTP = np.zeros((L, np_), np.float32)
+    XTP[:, :n] = XT
+    YTP = np.asarray(spmm_dia_stream_tp(D, jnp.asarray(XTP)))
+    np.testing.assert_array_equal(YTP[:, n:], 0.0)
+    np.testing.assert_allclose(YTP[:, :n] / scale, refM / scale,
+                               atol=5e-5)
+
+    Ddf = to_device_dia_stream_df(dia, block_rows=blk)
+    assert padded_cols_df(Ddf) == np_
+    YTd = np.asarray(spmm_dia_stream_df_t(Ddf, jnp.asarray(XT)))
+    np.testing.assert_allclose(YTd / scale, refM / scale, atol=1e-12)

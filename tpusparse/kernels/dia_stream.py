@@ -57,6 +57,50 @@ from tpusparse.kernels._util import kernel_no_x64
 LANES = 128
 BLOCK_ROWS = 131072  # 128k rows/block: ~6 MB/step at K=7, 2x buffered
 
+# Kernel-body choice for the fp32 edge-halo stream kernel: False =
+# VPU select+roll lane rotation, True = MXU selection-matmul rotation
+# (see _rotation_mats). Default set by on-chip A/B (session 9).
+DIA_STREAM_MXU_ROTATE = False
+
+# Double-buffered per-step VMEM the block chooser budgets for (the
+# raise-able scoped-vmem window is ~80 MB in practice — the 1M-row
+# block OOM'd at 88.15 vs limit 80.56; leave headroom for Mosaic's
+# stack overhead).
+_BLOCK_VMEM_BUDGET = 48 * 1024 * 1024
+
+
+def _auto_block_rows(dia_host, df: bool, L: int = 1) -> int:
+    """Default block for a plan: L-aware (lap3d-192 sweep, session 9
+    — single-RHS is pipeline-bound and prefers the 128k block (397 vs
+    296 GF at 512k), multi-RHS is orchestration-bound and prefers the
+    biggest VMEM-budgeted block (231 vs 194 GF at L=32)), capped at
+    the matrix size (rounded to an (8,128)-tile multiple) so small
+    matrices don't zero-pad to a full block — unless the cap would
+    break the max|off| <= block invariant."""
+    if L <= 1:
+        blk = BLOCK_ROWS
+    else:
+        blk = choose_block_rows(len(dia_host.offsets), df=df)
+    cap = max(1024, -(-int(dia_host.num_rows) // 1024) * 1024)
+    if cap < blk and fits_stream(dia_host.offsets, cap):
+        return cap
+    return blk
+
+
+def choose_block_rows(num_planes: int, df: bool = False) -> int:
+    """Largest kernel block (rows) whose per-step working set fits the
+    scoped-vmem budget. Fewer, bigger blocks win — the per-step cost
+    is DMA orchestration, not arithmetic (L=32 sweep on lap3d-192:
+    128k rows 194 GF, 256k 221, 512k 231, 1M VMEM-OOM; the MXU-rotate
+    wash isolated the orchestration bound). The step holds K value
+    planes (x2 for the df kernel's hi/lo pairs) plus x/edge/y blocks,
+    all (R, 128) f32, double-buffered."""
+    per_R = (4 + 2 * num_planes + 4) if df else (2 + num_planes + 2)
+    for R in (4096, 2048, 1024):
+        if 2 * per_R * R * LANES * 4 <= _BLOCK_VMEM_BUDGET:
+            return R * LANES
+    return 1024 * LANES
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -120,10 +164,12 @@ class DiaStreamDFDevice:
 
 
 def to_device_dia_stream_df(dia_host,
-                            block_rows: int = BLOCK_ROWS
-                            ) -> DiaStreamDFDevice:
+                            block_rows: int | None = None,
+                            L: int = 1) -> DiaStreamDFDevice:
     from tpusparse.kernels.ell_df import split_f64
 
+    if block_rows is None:
+        block_rows = _auto_block_rows(dia_host, df=True, L=L)
     if not jax.config.jax_enable_x64:
         raise TypeError(
             "the double-float DIA stream plan requires "
@@ -163,15 +209,23 @@ def spmv_dia_stream_df(D: DiaStreamDFDevice, x, alpha=1.0, beta=0.0,
 
 def spmm_dia_stream_df_t(D: DiaStreamDFDevice, XT):
     """Transposed-layout df SpMM: XT (L, num_cols) fp64 ->
-    (L, num_rows) fp64 via the multi-RHS double-float stream kernel
+    (L, num_rows) fp64 via the edge-halo double-float stream kernel
     (~1e-14 relative accuracy, f32 exponent range — the plan's
-    documented semantics). Native entry point for the transposed-space
-    multi-RHS solvers at fp64 scale; routes through the edge-halo df
-    kernel (one tail pad per call)."""
+    documented semantics). Splits to f32 hi/lo BEFORE the tail pad and
+    recombines to f64 AFTER the tail slice — padding/slicing in f64
+    measured 14.5 ms/matvec of pure emulated-f64 copy traffic at
+    4.9M rows x L=32 (38.7 vs 24.1 ms, scripts/r3_s9_stream_f64.py)."""
     n = XT.shape[1]
     np_ = padded_cols_df(D)
-    XTP = XT if np_ == n else jnp.pad(XT, ((0, 0), (0, np_ - n)))
-    return spmm_dia_stream_df_tp(D, XTP)[:, :n]
+    XT = XT.astype(jnp.float64)
+    xh = XT.astype(jnp.float32)
+    xl = (XT - xh.astype(jnp.float64)).astype(jnp.float32)
+    if np_ > n:
+        pad = ((0, 0), (0, np_ - n))
+        xh, xl = jnp.pad(xh, pad), jnp.pad(xl, pad)
+    yh, yl = _df_edge_core(D, xh, xl)
+    return (yh[:, :n].astype(jnp.float64)
+            + yl[:, :n].astype(jnp.float64))
 
 
 def spmm_dia_stream_df(D: DiaStreamDFDevice, X, alpha=1.0, beta=0.0,
@@ -251,20 +305,16 @@ def padded_cols_df(D: DiaStreamDFDevice) -> int:
     return D.data_hi.shape[0] * D.block_rows
 
 
-def spmm_dia_stream_df_tp(D: DiaStreamDFDevice, XTP):
-    """Padded transposed df SpMM: XTP (L, nb*B) fp64 with zero tail ->
-    (L, nb*B) fp64 with zero tail, via the edge-halo df kernel. The
-    hi/lo split is per call (the solver state stays one f64 array);
-    pad outputs stay exactly 0 (zero-padded planes)."""
+def _df_edge_core(D: DiaStreamDFDevice, xh, xl):
+    """Edge-halo df kernel on pre-split f32 hi/lo planes of shape
+    (L, nb*B); returns the (L, nb*B) f32 hi/lo output pair."""
     B = D.block_rows
     nb = D.data_hi.shape[0]
-    L = XTP.shape[0]
+    L = xh.shape[0]
     R = B // LANES
     E = _edge_sublanes(D.offsets)
-    XTP = XTP.astype(jnp.float64)
-    xh = XTP.astype(jnp.float32).reshape(L, nb, R, LANES)
-    xl = (XTP - XTP.astype(jnp.float32).astype(jnp.float64)).astype(
-        jnp.float32).reshape(L, nb, R, LANES)
+    xh = xh.reshape(L, nb, R, LANES)
+    xl = xl.reshape(L, nb, R, LANES)
     zero = jnp.zeros((L, 1, E, LANES), jnp.float32)
 
     def edges(xb):
@@ -277,8 +327,21 @@ def spmm_dia_stream_df_tp(D: DiaStreamDFDevice, XTP):
     yh, yl = _spmm_dia_stream_df_edge(D.data_hi, D.data_lo, xh, xl,
                                       loh, hih, lol, hil, D.offsets,
                                       R, E)
-    return (yh.reshape(L, nb * B).astype(jnp.float64)
-            + yl.reshape(L, nb * B).astype(jnp.float64))
+    return yh.reshape(L, nb * B), yl.reshape(L, nb * B)
+
+
+def spmm_dia_stream_df_tp(D: DiaStreamDFDevice, XTP):
+    """Padded transposed df SpMM: XTP (L, nb*B) fp64 with zero tail ->
+    (L, nb*B) fp64 with zero tail, via the edge-halo df kernel. The
+    hi/lo split is per call (the solver state stays one f64 array);
+    pad outputs stay exactly 0 (zero-padded planes). Measured 24.1
+    ms/matvec (90.7 GF) at 4.9M rows x L=32 — 1.9x the XLA native-f64
+    op and 1.17x the former 3-block df kernel."""
+    XTP = XTP.astype(jnp.float64)
+    xh = XTP.astype(jnp.float32)
+    xl = (XTP - xh.astype(jnp.float64)).astype(jnp.float32)
+    yh, yl = _df_edge_core(D, xh, xl)
+    return yh.astype(jnp.float64) + yl.astype(jnp.float64)
 
 
 def fits_stream(offsets, block_rows: int = BLOCK_ROWS) -> bool:
@@ -323,10 +386,12 @@ class DiaStreamDevice:
 
 
 def to_device_dia_stream(dia_host,
-                         block_rows: int = BLOCK_ROWS
-                         ) -> DiaStreamDevice:
+                         block_rows: int | None = None,
+                         L: int = 1) -> DiaStreamDevice:
     from tpusparse.utils.transfer import device_put_chunked
 
+    if block_rows is None:
+        block_rows = _auto_block_rows(dia_host, df=False, L=L)
     data_b, n, B = prepare_stream(dia_host, block_rows)
     return DiaStreamDevice(
         n, dia_host.num_cols,
@@ -438,12 +503,109 @@ def padded_cols(D: DiaStreamDevice) -> int:
     return D.data_b.shape[0] * D.block_rows
 
 
-def spmm_dia_stream_tp(D: DiaStreamDevice, XTP):
+def _rotation_mats(offsets) -> np.ndarray:
+    """(K, 2, 128, 128) f32 0/1 selection-rotation matrices: for an
+    offset with lane remainder r != 0, ``c0 @ M0 + c1 @ M1`` equals
+    the select+roll of `_shifted` — each output lane has exactly one
+    unit product, so the MXU matmul is EXACT selection. Offsets with
+    r == 0 leave zero matrices (the kernel's static branch skips
+    them)."""
+    K = len(offsets)
+    M = np.zeros((K, 2, LANES, LANES), np.float32)
+    o = np.arange(LANES)
+    for k, off in enumerate(offsets):
+        r = int(off) % LANES
+        if r == 0:
+            continue
+        j = (o + r) % LANES
+        wrap = j < r
+        M[k, 0, j[~wrap], o[~wrap]] = 1.0
+        M[k, 1, j[wrap], o[wrap]] = 1.0
+    return M
+
+
+def _rot_mats_of(D) -> "jnp.ndarray":
+    """Per-plan cache of the rotation-matrix operand (built once)."""
+    m = D.__dict__.get("_tpusparse_rot_mats")
+    if m is None:
+        m = jnp.asarray(_rotation_mats(D.offsets))
+        D.__dict__["_tpusparse_rot_mats"] = m
+    return m
+
+
+def _dia_stream_kernel_edge_mxu(offsets, R, E, interpret, m_ref,
+                                lo_ref, x_ref, hi_ref, d_ref, y_ref):
+    """Edge-halo kernel body with the lane rotation on the MXU: the
+    VPU select+iota+roll sequence (~5 ops per offset on (R, 128)
+    registers) becomes two (R,128)@(128,128) selection matmuls that
+    run on the otherwise-idle MXU, leaving the VPU only the FMA."""
+    buf = jnp.concatenate(
+        [lo_ref[0, 0], x_ref[0, 0], hi_ref[0, 0]], axis=0
+    )
+    acc = jnp.zeros((R, LANES), jnp.float32)
+    for k, off in enumerate(offsets):
+        q, r = divmod(off, LANES)
+        c0 = jax.lax.slice(buf, (E + q, 0), (E + R + q, LANES))
+        if r == 0:
+            w = c0
+        else:
+            c1 = jax.lax.slice(buf, (E + q + 1, 0),
+                               (E + R + q + 1, LANES))
+            w = (jnp.dot(c0, m_ref[k, 0],
+                         preferred_element_type=jnp.float32)
+                 + jnp.dot(c1, m_ref[k, 1],
+                           preferred_element_type=jnp.float32))
+        acc = acc + d_ref[0, k] * w
+    y_ref[0, 0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "R", "E"))
+@kernel_no_x64
+def _spmm_dia_stream_edge_mxu(data_b, x_b, lo_b, hi_b, mats, offsets,
+                              R, E):
+    """MXU-rotation variant of _spmm_dia_stream_edge; ``mats`` is the
+    (K, 2, 128, 128) selection-matrix operand (DMA'd once — its index
+    map is constant)."""
+    L, nb, _, _ = x_b.shape
+    K = data_b.shape[1]
+    kernel = functools.partial(_dia_stream_kernel_edge_mxu, offsets,
+                               R, E, _interpret())
+    if _interpret():
+        params = {}
+    else:
+        from jax.experimental.pallas import tpu as pltpu
+
+        step = (2 + K + 2 * E / R) * R * LANES * 4
+        params = {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(2 * step) + (12 << 20), 100 << 20)
+        )}
+    return pl.pallas_call(
+        kernel,
+        grid=(nb, L),
+        in_specs=[
+            pl.BlockSpec((K, 2, LANES, LANES),
+                         lambda i, l: (0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, E, LANES), lambda i, l: (l, i, 0, 0)),
+            pl.BlockSpec((1, 1, R, LANES), lambda i, l: (l, i, 0, 0)),
+            pl.BlockSpec((1, 1, E, LANES), lambda i, l: (l, i, 0, 0)),
+            pl.BlockSpec((1, K, R, LANES), lambda i, l: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, R, LANES),
+                               lambda i, l: (l, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((L, nb, R, LANES), jnp.float32),
+        interpret=_interpret(),
+        **params,
+    )(mats, lo_b, x_b, hi_b, data_b)
+
+
+def spmm_dia_stream_tp(D: DiaStreamDevice, XTP, mxu: bool | None = None):
     """Padded transposed SpMM: XTP (L, nb*B) with zero tail rows ->
     A@X as (L, nb*B) with zero tail rows (the value planes are
     zero-padded past num_rows, so pad outputs stay exactly 0 — solver
     state can live permanently in this layout with no per-iteration
-    pad copies; dots/axpys over the zero tail are exact)."""
+    pad copies; dots/axpys over the zero tail are exact). ``mxu``
+    selects the MXU-rotation kernel body (None = module default
+    DIA_STREAM_MXU_ROTATE)."""
     B = D.block_rows
     nb = D.data_b.shape[0]
     L = XTP.shape[0]
@@ -453,6 +615,13 @@ def spmm_dia_stream_tp(D: DiaStreamDevice, XTP):
     zero = jnp.zeros((L, 1, E, LANES), jnp.float32)
     lo_b = jnp.concatenate([zero, x_b[:, :-1, R - E:, :]], axis=1)
     hi_b = jnp.concatenate([x_b[:, 1:, :E, :], zero], axis=1)
-    Yb = _spmm_dia_stream_edge(D.data_b, x_b, lo_b, hi_b, D.offsets,
-                               R, E)
+    if mxu is None:
+        mxu = DIA_STREAM_MXU_ROTATE
+    if mxu:
+        Yb = _spmm_dia_stream_edge_mxu(D.data_b, x_b, lo_b, hi_b,
+                                       _rot_mats_of(D), D.offsets,
+                                       R, E)
+    else:
+        Yb = _spmm_dia_stream_edge(D.data_b, x_b, lo_b, hi_b,
+                                   D.offsets, R, E)
     return Yb.reshape(L, nb * B)

@@ -297,19 +297,24 @@ def _try_plan_dia(csr, strategy, dtype, L):
 
     itemsize = np.dtype(dtype).itemsize
     plane_bytes = dia_host.data.size * itemsize
-    stream_ok = (
-        csr.num_rows == csr.num_cols
-        and dia_stream.fits_stream(dia_host.offsets)
+    K_planes = len(dia_host.offsets)
+    square = csr.num_rows == csr.num_cols
+    stream_ok = square and dia_stream.fits_stream(
+        dia_host.offsets, dia_stream.choose_block_rows(K_planes)
+    )
+    stream_ok_df = square and dia_stream.fits_stream(
+        dia_host.offsets,
+        dia_stream.choose_block_rows(K_planes, df=True),
     )
     if (itemsize <= 4 and stream_ok and L <= DIA_STREAM_MAX_L
             and plane_bytes > DIA_STREAM_MIN_BYTES):
-        dev = dia_stream.to_device_dia_stream(dia_host)
-    elif (itemsize > 4 and stream_ok
+        dev = dia_stream.to_device_dia_stream(dia_host, L=L)
+    elif (itemsize > 4 and stream_ok_df
             and plane_bytes > DIA_STREAM_F64_MIN_BYTES):
         # double-float accuracy semantics (~1e-14, f32 exponent range)
         # past the fp64 fusion collapse; strict-IEEE callers at this
         # scale must pass strategy='reference'
-        dev = dia_stream.to_device_dia_stream_df(dia_host)
+        dev = dia_stream.to_device_dia_stream_df(dia_host, L=L)
     else:
         dev = to_device_dia(dia_host, dtype=dtype)
     rest_plan = None
