@@ -86,18 +86,34 @@ def main():
 
     # chain lengths must put ~20+ ms between the two chains to clear
     # the tunnel's ms-scale round-trip jitter: the merge kernel is
-    # ~60 us/op (420-op chain suffices) but the DIA stream path is
-    # ~7 us/op, needing ~3200
-    iters = (200, 3200) if strategy.startswith(("dia", "hybrid")) else (
-        20, 420
-    )
+    # ~60 us/op (420-op chain suffices), the DIA stream path ~7 us/op
+    # (3200), and the MASKED stream path ~1.7 us/op (14000 — at 3200
+    # the slope delta is ~5 ms and the spread blew past 1.0)
+    masked = False
+    if isinstance(A, HybridPlan):
+        from tpusparse.kernels.dia_stream import DiaStreamDevice
+
+        masked = (isinstance(A.dia, DiaStreamDevice)
+                  and A.dia.data_b is None)
+    if masked:
+        strategy = "dia-masked"
+        iters = (2000, 14000)
+    elif strategy.startswith(("dia", "hybrid")):
+        iters = (200, 3200)
+    else:
+        iters = (20, 420)
     st = slope_time(
         lambda v: spmv(A, v), x, iters=iters,
         sets=8, reps=4,
     )
     per_op = st.median_s
     gf = 2.0 * csr.nnz / max(per_op, 1e-9) / 1e9
-    if strategy == "dia":
+    if masked:
+        # plane traffic compressed to one int32 word per row; >100%
+        # of the r+w ceiling is expected (read channel at speed of
+        # light, y write overlapped — RESULTS.md session 10)
+        ebytes = models.dia_masked_bytes(csr.num_rows)
+    elif strategy == "dia":
         # no index traffic on the DIA path; >100% roofline flags
         # VMEM-resident planes (legitimate under solver-style reuse)
         ebytes = models.dia_bytes(len(A.dia.offsets), csr.num_rows)

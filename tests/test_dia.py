@@ -463,6 +463,183 @@ class TestDiaStream:
         err = np.abs(YTP[:, :n].T - refM).max() / np.abs(refM).max()
         assert err < 1e-13
 
+    def _const_band(self, n, offsets, consts, seed=0, zero_frac=0.3):
+        """Constant-coefficient band with IRREGULAR (random, not
+        periodic) structural-zero patterns per plane — the general
+        two-valued-plane case masked compression must cover."""
+        rng = np.random.default_rng(seed)
+        diags = []
+        for o, c in zip(offsets, consts):
+            d = np.full(n - abs(int(o)), float(c))
+            d[rng.random(d.size) < zero_frac] = 0.0
+            diags.append(d)
+        A = sp.diags(diags, offsets, shape=(n, n), format="csr")
+        return CsrMatrix.from_scipy(A.tocsr().astype(np.float32)), A
+
+    def test_plane_constants_detection(self):
+        from tpusparse.formats.dia import plane_constants
+
+        n = 600
+        offsets = [-7, 0, 7]
+        csr, _ = self._const_band(n, offsets, [1.5, 4.0, 1.5], seed=3)
+        dia, _ = partition_dia(csr, np.array(offsets))
+        vals, ok = plane_constants(dia.data)
+        assert ok.all()
+        np.testing.assert_allclose(vals, [1.5, 4.0, 1.5])
+        dia.data[1, 10] = 9.0  # plane 1 no longer two-valued
+        vals, ok = plane_constants(dia.data)
+        assert ok[0] and not ok[1] and ok[2]
+
+    def test_masked_stream_bit_identical_and_parity(self):
+        """Masked compression (int32 bitmask + static scalars) must be
+        BIT-identical to the value-plane kernel — the per-element
+        coefficient ``mask ? c : 0`` IS the stored plane value — and
+        match scipy. Irregular zero patterns, ragged n, lane-crossing
+        and block-boundary offsets."""
+        from tpusparse.kernels.dia_stream import (
+            padded_cols,
+            spmm_dia_stream_t,
+            spmm_dia_stream_tp,
+            to_device_dia_stream,
+        )
+
+        n = 1300
+        offsets = [-512, -129, -1, 0, 1, 129, 512]
+        consts = [2.5, -1.25, 0.75, 6.0, 0.75, -1.25, 2.5]
+        csr, A = self._const_band(n, offsets, consts, seed=17)
+        dia, rest = partition_dia(csr, np.array(offsets))
+        assert rest.nnz == 0
+        Dm = to_device_dia_stream(dia, block_rows=512)
+        Du = to_device_dia_stream(dia, block_rows=512, masked=False)
+        assert Dm.data_b is None and Dm.mask_b is not None
+        assert Du.mask_b is None
+        XT = _rng().standard_normal((3, n)).astype(np.float32)
+        Ym = np.asarray(spmm_dia_stream_t(Dm, jnp.asarray(XT)))
+        Yu = np.asarray(spmm_dia_stream_t(Du, jnp.asarray(XT)))
+        np.testing.assert_array_equal(Ym, Yu)
+        refM = (A @ XT.T).astype(np.float32)
+        assert np.abs(Ym.T - refM).max() / np.abs(refM).max() < 1e-5
+        # padded entry: zero tail in, zero tail out
+        np_ = padded_cols(Dm)
+        assert np_ == padded_cols(Du)
+        XTP = np.zeros((3, np_), np.float32)
+        XTP[:, :n] = XT
+        YTP = np.asarray(spmm_dia_stream_tp(Dm, jnp.asarray(XTP)))
+        np.testing.assert_array_equal(YTP[:, n:], 0.0)
+        np.testing.assert_array_equal(YTP[:, :n], Ym)
+
+    def test_masked_stream_df_bit_identical(self):
+        from tpusparse.kernels.dia_stream import (
+            spmm_dia_stream_df_t,
+            to_device_dia_stream_df,
+        )
+
+        n = 1100
+        offsets = [-256, -1, 0, 1, 256]
+        # constants that do NOT split losslessly to one f32 (exercise
+        # the hi/lo scalar pairs); keep f64 values end-to-end
+        consts = [1 / 3, -0.1, 4.7, -0.1, 1 / 3]
+        rng = np.random.default_rng(23)
+        diags = []
+        for o, c in zip(offsets, consts):
+            d = np.full(n - abs(int(o)), float(c))
+            d[rng.random(d.size) < 0.3] = 0.0
+            diags.append(d)
+        A = sp.diags(diags, offsets, shape=(n, n), format="csr")
+        csr = CsrMatrix.from_scipy(A.tocsr())
+        dia, _ = partition_dia(csr, np.array(offsets))
+        Dm = to_device_dia_stream_df(dia, block_rows=512)
+        Du = to_device_dia_stream_df(dia, block_rows=512, masked=False)
+        assert Dm.data_hi is None and Dm.mask_b is not None
+        XT = _rng().standard_normal((2, n))
+        Ym = np.asarray(spmm_dia_stream_df_t(Dm, jnp.asarray(XT)))
+        Yu = np.asarray(spmm_dia_stream_df_t(Du, jnp.asarray(XT)))
+        refM = (A @ XT.T).T
+        scale = np.abs(refM).max()
+        # element-wise the masked arithmetic IS the unmasked kernel's,
+        # but the two programs compile separately and XLA's FMA
+        # contraction choices perturb the Dekker/Knuth sequences at
+        # the ~1e-16 level — assert df-class agreement, not bitwise
+        assert np.abs(Ym - Yu).max() / scale < 1e-14
+        assert np.abs(Ym - refM).max() / scale < 1e-12
+
+    def test_masked_autodetect_fallback_and_force(self):
+        from tpusparse.kernels.dia_stream import to_device_dia_stream
+
+        n = 700
+        offsets = [-3, 0, 3]
+        csr, _ = self._const_band(n, offsets, [1.0, 4.0, 1.0], seed=5)
+        dia, _ = partition_dia(csr, np.array(offsets))
+        dia.data[0, 11] = 2.0  # break plane 0's constancy
+        D = to_device_dia_stream(dia, block_rows=512)
+        assert D.data_b is not None and D.mask_b is None
+        with pytest.raises(ValueError):
+            to_device_dia_stream(dia, block_rows=512, masked=True)
+
+    def test_masked_default_L_gates(self):
+        """Measured defaults: f32 auto-masks at any L (1.5-3% win at
+        L=32 plus the plan-memory saving); df auto-masks only at
+        L <= 1 (L=32 measured a reproducible 2% loss — the per-offset
+        hi/lo selects repeat per RHS step). masked=True still forces
+        the df compression for the memory saving."""
+        from tpusparse.kernels.dia_stream import (
+            to_device_dia_stream,
+            to_device_dia_stream_df,
+        )
+
+        n = 800
+        offsets = [-1, 0, 1]
+        csr, _ = self._const_band(n, offsets, [-1.0, 4.0, -1.0])
+        dia, _ = partition_dia(csr, np.array(offsets))
+        assert to_device_dia_stream(dia, block_rows=512,
+                                    L=32).mask_b is not None
+        dia64, _ = partition_dia(
+            CsrMatrix.from_scipy(csr.to_scipy().astype(np.float64)),
+            np.array(offsets))
+        assert to_device_dia_stream_df(dia64, block_rows=512,
+                                       L=1).mask_b is not None
+        D32 = to_device_dia_stream_df(dia64, block_rows=512, L=32)
+        assert D32.mask_b is None and D32.data_hi is not None
+        forced = to_device_dia_stream_df(dia64, block_rows=512, L=32,
+                                         masked=True)
+        assert forced.mask_b is not None
+
+    def test_masked_plan_solver_parity_and_roundtrip(self):
+        """cg_solve_multi on a masked stream plan: iteration parity
+        with the value-plane plan, and save/load roundtrip preserves
+        the masked payload (io/plans)."""
+        from tpusparse.io.plans import load_plan, save_plan
+        from tpusparse.kernels.dia_stream import to_device_dia_stream
+        from tpusparse.solvers.cg import cg_solve_multi
+
+        n = 1500
+        offsets = np.array([-40, -1, 0, 1, 40])
+        diags = [np.full(n - 40, -1.0), np.full(n - 1, -1.0),
+                 np.full(n, 4.2), np.full(n - 1, -1.0),
+                 np.full(n - 40, -1.0)]
+        A = sp.diags(diags, offsets, shape=(n, n), format="csr")
+        csr = CsrMatrix.from_scipy(A.astype(np.float32))
+        dia, _ = partition_dia(csr, offsets)
+        Dm = to_device_dia_stream(dia, block_rows=1024)
+        Du = to_device_dia_stream(dia, block_rows=1024, masked=False)
+        assert Dm.data_b is None
+        B = _rng().standard_normal((n, 3)).astype(np.float32)
+        rm = cg_solve_multi(Dm, B, tolerance=1e-6)
+        ru = cg_solve_multi(Du, B, tolerance=1e-6)
+        assert int(rm.iterations) == int(ru.iterations)
+        X = np.asarray(rm.x, np.float64)
+        rel = np.linalg.norm(B - A @ X) / np.linalg.norm(B)
+        assert rel < 1e-5
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            path = f"{d}/m.plan"
+            save_plan(path, Dm)
+            D2 = load_plan(path)
+            assert D2.data_b is None and D2.vals == Dm.vals
+            np.testing.assert_array_equal(np.asarray(D2.mask_b),
+                                          np.asarray(Dm.mask_b))
+
     def test_stream_tp_mxu_rotation_bit_identical(self):
         """The MXU selection-matmul kernel body (mxu=True) must be
         BIT-identical to the VPU select+roll body — each output lane

@@ -39,6 +39,18 @@ def dia_bytes(n_diags: int, rows: int, L: int = 1,
     return (n_diags + 2 * L) * rows * value_bytes
 
 
+def dia_masked_bytes(rows: int, L: int = 1,
+                     value_bytes: int = 4) -> float:
+    """Byte model for the MASKED DIA stream path: the K value planes
+    compress to one int32 bitmask word per row (constant-coefficient
+    operators), so traffic is mask + x + y. Percentages above 100 of
+    the r+w stream ceiling are expected at scale: reads (x + mask)
+    and the y write pipeline on separate HBM channels, so the kernel
+    runs at the READ channel's speed of light (RESULTS.md session
+    10)."""
+    return (1 + 2 * L) * rows * value_bytes
+
+
 def cg_flops(nnz: int, n: int, L: int, iters: int) -> float:
     return (2.0 * nnz + 10.0 * n) * L * iters
 

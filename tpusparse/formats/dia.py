@@ -132,6 +132,31 @@ def partition_dia(csr, offsets):
     return DiaHost(n, m, offsets, data), rest
 
 
+def plane_constants(data: np.ndarray):
+    """Per-plane two-valued detection for masked-DIA compression.
+
+    Returns ``(vals, ok)``: ``ok[k]`` is True when plane k's value
+    alphabet is exactly ``{0, vals[k]}`` — i.e. the diagonal is a
+    CONSTANT coefficient wherever it is populated (structural zeros
+    and boundary gaps are the 0s). Every constant-coefficient stencil
+    operator (the reference's grid2d/grid3d fixtures,
+    ``/root/reference/sparse_matrix.h:458-623``) satisfies this on all
+    planes, so its K f32 value planes compress to ONE int32 bitmask
+    word per row (bit k = plane k populated) + K static scalars —
+    exact, not approximate: ``mask * c`` reproduces the stored plane
+    values bit-for-bit. Empty planes report ok=True, vals=0."""
+    K = data.shape[0]
+    vals = np.zeros(K, dtype=np.float64)
+    ok = np.ones(K, dtype=bool)
+    for k in range(K):
+        plane = data[k]
+        nz = plane[plane != 0]
+        if nz.size:
+            vals[k] = nz[0]
+            ok[k] = bool((nz == nz[0]).all())
+    return vals, ok
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class DiaDevice:

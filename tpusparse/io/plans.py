@@ -26,7 +26,10 @@ import zlib
 
 import numpy as np
 
-_FORMAT_VERSION = 1
+# v2: DiaStreamDevice / DiaStreamDFDevice grew the masked-compression
+# payload fields (mask_b + static vals) — v1 pickles would unpickle to
+# objects missing them.
+_FORMAT_VERSION = 2
 _MAGIC = "tpusparse-plan"
 
 
@@ -124,7 +127,10 @@ def cached_plan(csr, cache_dir, **plan_kwargs):
     key = plan_cache_key(csr, **plan_kwargs)
     path = os.path.join(cache_dir, f"{key}.plan")
     if os.path.exists(path):
-        return load_plan(path)
+        try:
+            return load_plan(path)
+        except ValueError:
+            pass  # stale format version: fall through and re-plan
     plan = plan_matrix(csr, **plan_kwargs)
     save_plan(path, plan, extra_meta={
         "rows": csr.num_rows, "cols": csr.num_cols, "nnz": csr.nnz,

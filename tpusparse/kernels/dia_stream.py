@@ -69,7 +69,8 @@ DIA_STREAM_MXU_ROTATE = False
 _BLOCK_VMEM_BUDGET = 48 * 1024 * 1024
 
 
-def _auto_block_rows(dia_host, df: bool, L: int = 1) -> int:
+def _auto_block_rows(dia_host, df: bool, L: int = 1,
+                     masked: bool = False) -> int:
     """Default block for a plan: L-aware (lap3d-192 sweep, session 9
     — single-RHS is pipeline-bound and prefers the 128k block (397 vs
     296 GF at 512k), multi-RHS is orchestration-bound and prefers the
@@ -80,22 +81,30 @@ def _auto_block_rows(dia_host, df: bool, L: int = 1) -> int:
     if L <= 1:
         blk = BLOCK_ROWS
     else:
-        blk = choose_block_rows(len(dia_host.offsets), df=df)
+        blk = choose_block_rows(len(dia_host.offsets), df=df,
+                                masked=masked)
     cap = max(1024, -(-int(dia_host.num_rows) // 1024) * 1024)
     if cap < blk and fits_stream(dia_host.offsets, cap):
         return cap
     return blk
 
 
-def choose_block_rows(num_planes: int, df: bool = False) -> int:
+def choose_block_rows(num_planes: int, df: bool = False,
+                      masked: bool = False) -> int:
     """Largest kernel block (rows) whose per-step working set fits the
     scoped-vmem budget. Fewer, bigger blocks win — the per-step cost
     is DMA orchestration, not arithmetic (L=32 sweep on lap3d-192:
     128k rows 194 GF, 256k 221, 512k 231, 1M VMEM-OOM; the MXU-rotate
     wash isolated the orchestration bound). The step holds K value
-    planes (x2 for the df kernel's hi/lo pairs) plus x/edge/y blocks,
-    all (R, 128) f32, double-buffered."""
-    per_R = (4 + 2 * num_planes + 4) if df else (2 + num_planes + 2)
+    planes (x2 for the df kernel's hi/lo pairs; ONE int32 mask block
+    replaces them all in masked form) plus x/edge/y blocks, all
+    (R, 128) f32, double-buffered."""
+    if masked:
+        per_R = (4 + 1 + 4) if df else (2 + 1 + 2)
+    elif df:
+        per_R = 4 + 2 * num_planes + 4
+    else:
+        per_R = 2 + num_planes + 2
     for R in (4096, 2048, 1024):
         if 2 * per_R * R * LANES * 4 <= _BLOCK_VMEM_BUDGET:
             return R * LANES
@@ -141,40 +150,81 @@ class DiaStreamDFDevice:
     fp64 (the same semantics as the df-ELL plan; plan_matrix documents
     the trade). Chosen for fp64 matrices whose f64 planes outgrow the
     XLA DIA op's fusion capacity (collapse measured 110 -> 13 GF
-    between 229 MB and 396 MB of planes on lap3d)."""
+    between 229 MB and 396 MB of planes on lap3d).
+
+    Masked (compressed) form: when every diagonal is a constant
+    coefficient (``formats.dia.plane_constants``), ``data_hi/lo`` are
+    None and the operand is ``mask_b`` — ONE int32 bitmask word per
+    row (bit k = plane k populated) — plus static per-plane hi/lo
+    scalar pairs ``vals_hi/vals_lo``. Plane traffic drops from 8K to
+    4 bytes/row; ``mask ? split(c) : 0`` reproduces the stored hi/lo
+    plane values exactly (outputs agree to ~1e-16 — separate
+    compilation can perturb FMA contraction in the df sequences)."""
 
     def __init__(self, num_rows, num_cols, offsets, block_rows,
-                 data_hi, data_lo):
+                 data_hi, data_lo, mask_b=None, vals_hi=None,
+                 vals_lo=None):
         self.num_rows = num_rows
         self.num_cols = num_cols
         self.offsets = offsets
         self.block_rows = block_rows
         self.data_hi = data_hi
         self.data_lo = data_lo
+        self.mask_b = mask_b
+        self.vals_hi = vals_hi      # static tuple of f32 floats
+        self.vals_lo = vals_lo
 
     def tree_flatten(self):
-        return (self.data_hi, self.data_lo), (
+        return (self.data_hi, self.data_lo, self.mask_b), (
             self.num_rows, self.num_cols, self.offsets,
-            self.block_rows,
+            self.block_rows, self.vals_hi, self.vals_lo,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*aux, *children)
+        return cls(aux[0], aux[1], aux[2], aux[3],
+                   children[0], children[1], children[2],
+                   aux[4], aux[5])
 
 
 def to_device_dia_stream_df(dia_host,
                             block_rows: int | None = None,
-                            L: int = 1) -> DiaStreamDFDevice:
+                            L: int = 1,
+                            masked: bool | None = None
+                            ) -> DiaStreamDFDevice:
     from tpusparse.kernels.ell_df import split_f64
 
-    if block_rows is None:
-        block_rows = _auto_block_rows(dia_host, df=True, L=L)
     if not jax.config.jax_enable_x64:
         raise TypeError(
             "the double-float DIA stream plan requires "
             "jax_enable_x64=True (x splits and the hi+lo recombine "
             "run in f64 outside the kernel)"
+        )
+    vals64, ok = (None, False) if masked is False \
+        else _maskable(dia_host)
+    if masked is True and not ok:
+        raise ValueError(
+            "masked df stream plan requires every diagonal to be a "
+            "constant coefficient (formats.dia.plane_constants)")
+    # df auto-masks only at L <= 1: the single-RHS matvec is
+    # plane-read-bound (65 vs 50 GF at 275 MB planes) but multi-RHS
+    # is RHS-stream-bound and the per-offset hi/lo selects cost x L
+    # (masked 96.3 vs 98.5 GF at L=32, reproducible) — callers who
+    # want the 14x plan-memory saving anyway pass masked=True
+    use_mask = (ok and L <= 1) if masked is None else masked
+    if block_rows is None:
+        block_rows = _auto_block_rows(dia_host, df=True, L=L,
+                                      masked=use_mask)
+    from tpusparse.utils.transfer import device_put_chunked
+
+    offsets = tuple(int(o) for o in dia_host.offsets)
+    if use_mask:
+        mask_b, n, B = prepare_stream_mask(dia_host, block_rows)
+        vh, vl = split_f64(vals64)
+        return DiaStreamDFDevice(
+            n, dia_host.num_cols, offsets, B, None, None,
+            device_put_chunked(mask_b),
+            tuple(float(v) for v in vh), tuple(float(v) for v in vl),
         )
     hi, lo = split_f64(dia_host.data)
     n = dia_host.num_rows
@@ -188,11 +238,8 @@ def to_device_dia_stream_df(dia_host,
             out.reshape(-1, nb, B // LANES, LANES).transpose(1, 0, 2, 3)
         )
 
-    from tpusparse.utils.transfer import device_put_chunked
-
     return DiaStreamDFDevice(
-        n, dia_host.num_cols,
-        tuple(int(o) for o in dia_host.offsets), B,
+        n, dia_host.num_cols, offsets, B,
         device_put_chunked(block(hi)), device_put_chunked(block(lo)),
     )
 
@@ -274,9 +321,13 @@ def _spmm_dia_stream_df_edge(dh_b, dl_b, xh_b, xl_b, loh, hih, lol,
     else:
         from jax.experimental.pallas import tpu as pltpu
 
+        # blocks (x/y hi+lo, 2K planes, 4 edge slabs) double-buffered
+        # + the kernel-stack concat buffers (2x (R+2E) hi/lo)
         step = (4 + 2 * K + 4 * E / R) * R * LANES * 4
+        stack = 2 * (R + 2 * E) * LANES * 4
         params = {"compiler_params": pltpu.CompilerParams(
-            vmem_limit_bytes=min(int(2 * step) + (8 << 20), 100 << 20)
+            vmem_limit_bytes=min(int(2 * step + stack) + (8 << 20),
+                                 100 << 20)
         )}
     return pl.pallas_call(
         kernel,
@@ -302,14 +353,97 @@ def _spmm_dia_stream_df_edge(dh_b, dl_b, xh_b, xl_b, loh, hih, lol,
 
 def padded_cols_df(D: DiaStreamDFDevice) -> int:
     """Padded state width for the df edge path (see padded_cols)."""
-    return D.data_hi.shape[0] * D.block_rows
+    payload = D.data_hi if D.data_hi is not None else D.mask_b
+    return payload.shape[0] * D.block_rows
+
+
+def _dia_stream_kernel_df_edge_mask(offsets, vals_hi, vals_lo, R, E,
+                                    interpret, loh, xh, hih, lol, xl,
+                                    hil, m_ref, yh_ref, yl_ref):
+    """Masked df edge body: hi/lo plane blocks become
+    ``mask bit k ? split(c_k) : (0, 0)`` selects against static
+    scalars — element-for-element the values the unmasked kernel
+    loads (agreement to ~1e-16: separate compilation can perturb the
+    Dekker/Knuth FMA contraction) while 8K B/row of plane traffic
+    becomes one int32 word."""
+    from tpusparse.kernels.ell_df import _df_add, _df_mul
+
+    bufh = jnp.concatenate([loh[0, 0], xh[0, 0], hih[0, 0]], axis=0)
+    bufl = jnp.concatenate([lol[0, 0], xl[0, 0], hil[0, 0]], axis=0)
+    m = m_ref[0]
+    acc_h = jnp.zeros((R, LANES), jnp.float32)
+    acc_l = jnp.zeros((R, LANES), jnp.float32)
+    for k, off in enumerate(offsets):
+        wh = _shifted(bufh, off, R, interpret, base=E)
+        wl = _shifted(bufl, off, R, interpret, base=E)
+        bit = (m & (1 << k)) != 0
+        dh = jnp.where(bit, jnp.float32(vals_hi[k]), jnp.float32(0.0))
+        dl = jnp.where(bit, jnp.float32(vals_lo[k]), jnp.float32(0.0))
+        ph, pl = _df_mul(dh, dl, wh, wl)
+        acc_h, acc_l = _df_add(acc_h, acc_l, ph, pl)
+    yh_ref[0, 0] = acc_h
+    yl_ref[0, 0] = acc_l
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "vals_hi",
+                                             "vals_lo", "R", "E"))
+@kernel_no_x64
+def _spmm_dia_stream_df_edge_mask(mask_b, xh_b, xl_b, loh, hih, lol,
+                                  hil, offsets, vals_hi, vals_lo,
+                                  R, E):
+    """Masked variant of _spmm_dia_stream_df_edge: one int32 bitmask
+    block replaces BOTH hi and lo plane sets (lap3d K=7 df: 56 -> 4
+    B/row of operand traffic)."""
+    L, nb, _, _ = xh_b.shape
+    kernel = functools.partial(_dia_stream_kernel_df_edge_mask,
+                               offsets, vals_hi, vals_lo, R, E,
+                               _interpret())
+    xspec = pl.BlockSpec((1, 1, R, LANES), lambda i, l: (l, i, 0, 0))
+    espec = pl.BlockSpec((1, 1, E, LANES), lambda i, l: (l, i, 0, 0))
+    if _interpret():
+        params = {}
+    else:
+        from jax.experimental.pallas import tpu as pltpu
+
+        # blocks (x/y hi+lo, mask, 4 edge slabs) double-buffered + the
+        # kernel STACK: hi/lo concat buffers (2x (R+2E)), hi/lo
+        # accumulators (2R) and live shifted/product temporaries
+        # (~2R). The value-plane kernels hide these under their 2K
+        # plane-block slack; here the planes are gone and omitting
+        # the stack term OOM'd the 512k masked block at lap3d-170
+        # L=32 (38.89M need vs 28.88M limit).
+        step = (4 + 1 + 4 * E / R) * R * LANES * 4
+        stack = (2 * (R + 2 * E) + 4 * R) * LANES * 4
+        params = {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(2 * step + stack) + (8 << 20),
+                                 100 << 20)
+        )}
+    return pl.pallas_call(
+        kernel,
+        grid=(nb, L),
+        in_specs=[
+            espec, xspec, espec,
+            espec, xspec, espec,
+            pl.BlockSpec((1, R, LANES), lambda i, l: (i, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, R, LANES), lambda i, l: (l, i, 0, 0)),
+            pl.BlockSpec((1, 1, R, LANES), lambda i, l: (l, i, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((L, nb, R, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((L, nb, R, LANES), jnp.float32),
+        ),
+        interpret=_interpret(),
+        **params,
+    )(loh, xh_b, hih, lol, xl_b, hil, mask_b)
 
 
 def _df_edge_core(D: DiaStreamDFDevice, xh, xl):
     """Edge-halo df kernel on pre-split f32 hi/lo planes of shape
     (L, nb*B); returns the (L, nb*B) f32 hi/lo output pair."""
     B = D.block_rows
-    nb = D.data_hi.shape[0]
+    nb = padded_cols_df(D) // B
     L = xh.shape[0]
     R = B // LANES
     E = _edge_sublanes(D.offsets)
@@ -324,9 +458,14 @@ def _df_edge_core(D: DiaStreamDFDevice, xh, xl):
 
     loh, hih = edges(xh)
     lol, hil = edges(xl)
-    yh, yl = _spmm_dia_stream_df_edge(D.data_hi, D.data_lo, xh, xl,
-                                      loh, hih, lol, hil, D.offsets,
-                                      R, E)
+    if D.data_hi is None:
+        yh, yl = _spmm_dia_stream_df_edge_mask(
+            D.mask_b, xh, xl, loh, hih, lol, hil, D.offsets,
+            D.vals_hi, D.vals_lo, R, E)
+    else:
+        yh, yl = _spmm_dia_stream_df_edge(D.data_hi, D.data_lo, xh,
+                                          xl, loh, hih, lol, hil,
+                                          D.offsets, R, E)
     return yh.reshape(L, nb * B), yl.reshape(L, nb * B)
 
 
@@ -366,36 +505,108 @@ def prepare_stream(dia_host, block_rows: int = BLOCK_ROWS):
 
 @jax.tree_util.register_pytree_node_class
 class DiaStreamDevice:
-    """Device operand for the streaming DIA kernel."""
+    """Device operand for the streaming DIA kernel.
+
+    Masked (compressed) form: when every diagonal is a constant
+    coefficient (``formats.dia.plane_constants``), ``data_b`` is None
+    and the operand is ``mask_b`` — ONE int32 bitmask word per row
+    (bit k = plane k populated) — plus the static per-plane f32
+    scalars ``vals``. Plane traffic drops from 4K to 4 bytes/row
+    (lap3d K=7: 28 -> 4) on a kernel that is DMA-bound, and results
+    stay BIT-identical to the unmasked kernel: the per-element
+    coefficient ``mask ? c : 0`` IS the stored plane value."""
 
     def __init__(self, num_rows, num_cols, offsets, block_rows,
-                 data_b):
+                 data_b, mask_b=None, vals=None):
         self.num_rows = num_rows
         self.num_cols = num_cols
         self.offsets = offsets          # static tuple
         self.block_rows = block_rows
-        self.data_b = data_b            # (nb, K, R, 128) f32
+        self.data_b = data_b            # (nb, K, R, 128) f32, or None
+        self.mask_b = mask_b            # (nb, R, 128) int32, or None
+        self.vals = vals                # static tuple of f32 floats
 
     def tree_flatten(self):
-        return (self.data_b,), (self.num_rows, self.num_cols,
-                                self.offsets, self.block_rows)
+        return (self.data_b, self.mask_b), (
+            self.num_rows, self.num_cols, self.offsets,
+            self.block_rows, self.vals,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*aux, *children)
+        return cls(aux[0], aux[1], aux[2], aux[3],
+                   children[0], children[1], aux[4])
+
+
+# Masked-DIA packs one validity bit per plane into an int32 word per
+# row; planner falls back to value planes past 32 diagonals.
+MASK_MAX_PLANES = 32
+
+
+def prepare_stream_mask(dia_host, block_rows: int):
+    """Host-side bitmask blocking: (mask_b int32 (nb, R, 128), n, B).
+    Bit k of word i = plane k populated at row i; pad tail rows are 0
+    so pad outputs stay exactly 0 (same contract as zero-padded value
+    planes)."""
+    n = dia_host.num_rows
+    K = dia_host.offsets.shape[0]
+    assert K <= MASK_MAX_PLANES
+    B = int(block_rows)
+    assert B % LANES == 0
+    nb = -(-n // B)
+    w = np.zeros(n, dtype=np.uint32)
+    for k in range(K):
+        w |= (dia_host.data[k] != 0).astype(np.uint32) << np.uint32(k)
+    flat = np.zeros(nb * B, dtype=np.uint32)
+    flat[:n] = w
+    mask_b = np.ascontiguousarray(
+        flat.view(np.int32).reshape(nb, B // LANES, LANES)
+    )
+    return mask_b, n, B
+
+
+def _maskable(dia_host) -> tuple:
+    """(vals_f64, ok): masked-compression eligibility of a host plan."""
+    from tpusparse.formats.dia import plane_constants
+
+    if len(dia_host.offsets) > MASK_MAX_PLANES:
+        return None, False
+    vals, ok = plane_constants(dia_host.data)
+    return vals, bool(ok.all())
 
 
 def to_device_dia_stream(dia_host,
                          block_rows: int | None = None,
-                         L: int = 1) -> DiaStreamDevice:
+                         L: int = 1,
+                         masked: bool | None = None) -> DiaStreamDevice:
+    """Ship a host DIA plan for the stream kernel. ``masked=None``
+    auto-compresses constant-coefficient operators to the int32
+    bitmask form (bit-identical results, K-planes -> one-word row
+    traffic); ``False`` forces value planes, ``True`` raises if any
+    plane is not two-valued."""
     from tpusparse.utils.transfer import device_put_chunked
 
+    vals64, ok = (None, False) if masked is False \
+        else _maskable(dia_host)
+    if masked is True and not ok:
+        raise ValueError(
+            "masked stream plan requires every diagonal to be a "
+            "constant coefficient (formats.dia.plane_constants)")
+    use_mask = ok if masked is None else masked
     if block_rows is None:
-        block_rows = _auto_block_rows(dia_host, df=False, L=L)
+        block_rows = _auto_block_rows(dia_host, df=False, L=L,
+                                      masked=use_mask)
+    offsets = tuple(int(o) for o in dia_host.offsets)
+    if use_mask:
+        mask_b, n, B = prepare_stream_mask(dia_host, block_rows)
+        vals = tuple(float(np.float32(v)) for v in vals64)
+        return DiaStreamDevice(
+            n, dia_host.num_cols, offsets, B,
+            None, device_put_chunked(mask_b), vals,
+        )
     data_b, n, B = prepare_stream(dia_host, block_rows)
     return DiaStreamDevice(
-        n, dia_host.num_cols,
-        tuple(int(o) for o in dia_host.offsets), B,
+        n, dia_host.num_cols, offsets, B,
         device_put_chunked(data_b),
     )
 
@@ -477,8 +688,10 @@ def _spmm_dia_stream_edge(data_b, x_b, lo_b, hi_b, offsets, R, E):
         from jax.experimental.pallas import tpu as pltpu
 
         step = (2 + K + 2 * E / R) * R * LANES * 4
+        stack = (R + 2 * E) * LANES * 4   # in-kernel concat buffer
         params = {"compiler_params": pltpu.CompilerParams(
-            vmem_limit_bytes=min(int(2 * step) + (8 << 20), 100 << 20)
+            vmem_limit_bytes=min(int(2 * step + stack) + (8 << 20),
+                                 100 << 20)
         )}
     return pl.pallas_call(
         kernel,
@@ -500,7 +713,70 @@ def _spmm_dia_stream_edge(data_b, x_b, lo_b, hi_b, offsets, R, E):
 def padded_cols(D: DiaStreamDevice) -> int:
     """State width for the padded transposed fast path: multiples of
     the kernel block so (L, np) reshapes to (L, nb, R, 128) for free."""
-    return D.data_b.shape[0] * D.block_rows
+    payload = D.data_b if D.data_b is not None else D.mask_b
+    return payload.shape[0] * D.block_rows
+
+
+def _dia_stream_kernel_edge_mask(offsets, vals, R, E, interpret,
+                                 lo_ref, x_ref, hi_ref, m_ref, y_ref):
+    """Masked edge-halo body: the per-row coefficient of plane k is
+    ``mask bit k ? vals[k] : 0`` — a select against a static scalar
+    (~3 extra VPU ops per offset on a kernel whose bound is DMA, not
+    arithmetic: the MXU-rotation wash). Products are EXACTLY the
+    unmasked kernel's (0 * w included), so outputs are bit-identical."""
+    buf = jnp.concatenate(
+        [lo_ref[0, 0], x_ref[0, 0], hi_ref[0, 0]], axis=0
+    )
+    m = m_ref[0]  # (R, 128) int32 bitmask, shared by all K offsets
+    acc = jnp.zeros((R, LANES), jnp.float32)
+    for k, off in enumerate(offsets):
+        w = _shifted(buf, off, R, interpret, base=E)
+        d = jnp.where((m & (1 << k)) != 0,
+                      jnp.float32(vals[k]), jnp.float32(0.0))
+        acc = acc + d * w
+    y_ref[0, 0] = acc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("offsets", "vals", "R", "E"))
+@kernel_no_x64
+def _spmm_dia_stream_edge_mask(mask_b, x_b, lo_b, hi_b, offsets, vals,
+                               R, E):
+    """Masked variant of _spmm_dia_stream_edge: ONE int32 bitmask
+    block per row block replaces the K f32 value planes (lap3d K=7:
+    28 -> 4 B/row of operand traffic); per-plane constants ride the
+    jit key as static floats."""
+    L, nb, _, _ = x_b.shape
+    kernel = functools.partial(_dia_stream_kernel_edge_mask, offsets,
+                               vals, R, E, _interpret())
+    if _interpret():
+        params = {}
+    else:
+        from jax.experimental.pallas import tpu as pltpu
+
+        # stack: concat buffer (R+2E) + accumulator and live shifted
+        # temporaries (~2R) — no plane-block slack in the masked form
+        step = (2 + 1 + 2 * E / R) * R * LANES * 4
+        stack = ((R + 2 * E) + 2 * R) * LANES * 4
+        params = {"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(2 * step + stack) + (8 << 20),
+                                 100 << 20)
+        )}
+    return pl.pallas_call(
+        kernel,
+        grid=(nb, L),
+        in_specs=[
+            pl.BlockSpec((1, 1, E, LANES), lambda i, l: (l, i, 0, 0)),
+            pl.BlockSpec((1, 1, R, LANES), lambda i, l: (l, i, 0, 0)),
+            pl.BlockSpec((1, 1, E, LANES), lambda i, l: (l, i, 0, 0)),
+            pl.BlockSpec((1, R, LANES), lambda i, l: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, R, LANES),
+                               lambda i, l: (l, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((L, nb, R, LANES), jnp.float32),
+        interpret=_interpret(),
+        **params,
+    )(lo_b, x_b, hi_b, mask_b)
 
 
 def _rotation_mats(offsets) -> np.ndarray:
@@ -576,8 +852,10 @@ def _spmm_dia_stream_edge_mxu(data_b, x_b, lo_b, hi_b, mats, offsets,
         from jax.experimental.pallas import tpu as pltpu
 
         step = (2 + K + 2 * E / R) * R * LANES * 4
+        stack = (R + 2 * E) * LANES * 4   # in-kernel concat buffer
         params = {"compiler_params": pltpu.CompilerParams(
-            vmem_limit_bytes=min(int(2 * step) + (12 << 20), 100 << 20)
+            vmem_limit_bytes=min(int(2 * step + stack) + (12 << 20),
+                                 100 << 20)
         )}
     return pl.pallas_call(
         kernel,
@@ -607,7 +885,7 @@ def spmm_dia_stream_tp(D: DiaStreamDevice, XTP, mxu: bool | None = None):
     selects the MXU-rotation kernel body (None = module default
     DIA_STREAM_MXU_ROTATE)."""
     B = D.block_rows
-    nb = D.data_b.shape[0]
+    nb = padded_cols(D) // B
     L = XTP.shape[0]
     R = B // LANES
     E = _edge_sublanes(D.offsets)
@@ -615,6 +893,10 @@ def spmm_dia_stream_tp(D: DiaStreamDevice, XTP, mxu: bool | None = None):
     zero = jnp.zeros((L, 1, E, LANES), jnp.float32)
     lo_b = jnp.concatenate([zero, x_b[:, :-1, R - E:, :]], axis=1)
     hi_b = jnp.concatenate([x_b[:, 1:, :E, :], zero], axis=1)
+    if D.data_b is None:
+        Yb = _spmm_dia_stream_edge_mask(D.mask_b, x_b, lo_b, hi_b,
+                                        D.offsets, D.vals, R, E)
+        return Yb.reshape(L, nb * B)
     if mxu is None:
         mxu = DIA_STREAM_MXU_ROTATE
     if mxu:

@@ -306,7 +306,18 @@ def _try_plan_dia(csr, strategy, dtype, L):
         dia_host.offsets,
         dia_stream.choose_block_rows(K_planes, df=True),
     )
-    if (itemsize <= 4 and stream_ok and L <= DIA_STREAM_MAX_L
+    maskable = dia_stream._maskable(dia_host)[1]
+    if itemsize <= 4 and L <= 1 and maskable and square \
+            and dia_stream.fits_stream(
+                dia_host.offsets,
+                dia_stream._auto_block_rows(dia_host, df=False, L=1,
+                                            masked=True)):
+        # constant-coefficient single-RHS: the masked stream kernel
+        # (int32 bitmask + static scalars, bit-identical) wins at ANY
+        # size — measured lap3d-48 890-910 GF vs XLA-dia 242-279 and
+        # lap3d-192 1254-1375 vs 339 (scripts/r3_s10_masked_dia.py)
+        dev = dia_stream.to_device_dia_stream(dia_host, L=1)
+    elif (itemsize <= 4 and stream_ok and L <= DIA_STREAM_MAX_L
             and plane_bytes > DIA_STREAM_MIN_BYTES):
         dev = dia_stream.to_device_dia_stream(dia_host, L=L)
     elif (itemsize > 4 and stream_ok_df
