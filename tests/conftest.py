@@ -32,6 +32,21 @@ import pytest  # noqa: E402
 from tpusparse.io import generators  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """Drop JAX's compiled-executable caches at every module boundary.
+
+    The full suite segfaults deterministically inside XLA-CPU's
+    backend_compile_and_load after ~345 tests' worth of accumulated
+    executables (the same test passes alone, both suite halves pass,
+    RSS is modest at 3.7 GB / 126 GB, and a 64 MB stack reproduces it —
+    cumulative backend state, not one bad kernel or stack depth).
+    Clearing between modules keeps per-module compile reuse but bounds
+    the accumulation."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)

@@ -640,6 +640,76 @@ class TestDiaStream:
             np.testing.assert_array_equal(np.asarray(D2.mask_b),
                                           np.asarray(Dm.mask_b))
 
+    def test_xla_matvec_of_forms(self):
+        """ops.dia.xla_matvec_of — the fusable XLA matvec baked solver
+        bodies use instead of the Pallas stream kernels (a pallas_call
+        is a fusion barrier inside the CG while_loop; measured 2.5x).
+        The masked bitmask form computes the same FMA sequence as the
+        value-plane form (``mask ? c : 0`` IS the stored plane value —
+        differences are ULP-level FMA-contraction choices of the two
+        separately compiled programs), and hybrid plans add the
+        remainder."""
+        from tpusparse.kernels.dia_stream import to_device_dia_stream
+        from tpusparse.ops.dia import xla_matvec_of
+
+        n = 1300
+        offsets = [-512, -129, -1, 0, 1, 129, 512]
+        consts = [2.5, -1.25, 0.75, 6.0, 0.75, -1.25, 2.5]
+        csr, A = self._const_band(n, offsets, consts, seed=29)
+        dia, rest = partition_dia(csr, np.array(offsets))
+        assert rest.nnz == 0
+        Dm = to_device_dia_stream(dia, block_rows=512)
+        Du = to_device_dia_stream(dia, block_rows=512, masked=False)
+        x = _rng().standard_normal(n).astype(np.float32)
+        xj = jnp.asarray(x)
+        ym = np.asarray(xla_matvec_of(Dm)(xj))
+        yu = np.asarray(xla_matvec_of(Du)(xj))
+        ref = (A @ x).astype(np.float32)
+        scale = np.abs(ref).max() + 1.0
+        np.testing.assert_allclose(ym / scale, yu / scale, atol=1e-6)
+        np.testing.assert_allclose(ym / scale, ref / scale, atol=2e-6)
+        # hybrid with a scattered remainder: dia XLA term + rest kernel
+        S = A.tolil()
+        rng = np.random.default_rng(5)
+        rows = rng.integers(0, n, 40)
+        cols = rng.integers(0, n, 40)
+        for i, j in zip(rows, cols):
+            S[i, j] = S[i, j] + 0.5
+        csr2 = CsrMatrix.from_scipy(S.tocsr().astype(np.float32))
+        H = plan_matrix(csr2, dtype=np.float32)
+        if isinstance(H, HybridPlan) and H.rest is not None:
+            yh = np.asarray(xla_matvec_of(H)(xj))
+            ref2 = (S.tocsr() @ x).astype(np.float32)
+            scale2 = np.abs(ref2).max() + 1.0
+            np.testing.assert_allclose(yh / scale2, ref2 / scale2,
+                                       atol=2e-5)
+        # no XLA lowering for gather/merge plans
+        merge = plan_matrix(csr2, strategy="merge", dtype=np.float32)
+        assert xla_matvec_of(merge) is None
+
+    def test_cg_baked_fused_matvec_parity(self):
+        """cg_solve's baked path routes DIA-family plans through
+        xla_matvec_of (fuse_mv); the iteration trajectory must match
+        the unbaked Pallas-kernel solve."""
+        from tpusparse.solvers.cg import cg_solve
+
+        n = 1500
+        offsets = np.array([-40, -1, 0, 1, 40])
+        diags = [np.full(n - 40, -1.0), np.full(n - 1, -1.0),
+                 np.full(n, 4.2), np.full(n - 1, -1.0),
+                 np.full(n - 40, -1.0)]
+        A = sp.diags(diags, offsets, shape=(n, n), format="csr")
+        csr = CsrMatrix.from_scipy(A.astype(np.float32))
+        plan = plan_matrix(csr, dtype=np.float32)
+        assert isinstance(plan, HybridPlan) and plan.rest is None
+        b = _rng().standard_normal(n).astype(np.float32)
+        rb = cg_solve(plan, b, tolerance=1e-6)          # baked + fused
+        ru = cg_solve(plan, b, tolerance=1e-6, bake=False)
+        assert abs(int(rb.iterations) - int(ru.iterations)) <= 1
+        x = np.asarray(rb.x, np.float64)
+        rel = np.linalg.norm(b - A @ x) / np.linalg.norm(b)
+        assert rel < 1e-5
+
     def test_stream_tp_mxu_rotation_bit_identical(self):
         """The MXU selection-matmul kernel body (mxu=True) must be
         BIT-identical to the VPU select+roll body — each output lane

@@ -116,3 +116,76 @@ def spmv_dia(D: DiaDevice, x, alpha=1.0, beta=0.0, y=None):
     if beta == 0.0 or y is None:
         return alpha * y_new if alpha != 1.0 else y_new
     return alpha * y_new + beta * y
+
+
+def xla_matvec_of(plan):
+    """Fusable XLA-level matvec for a DIA-family plan, or None.
+
+    Intended for BAKED solver bodies (``solvers/cg.py``): a
+    ``pallas_call`` is a fusion barrier, so inside a ``while_loop`` CG
+    body the stream kernels force separate HBM passes for the matvec
+    and the surrounding BLAS-1, while these shifted-FMA forms fuse
+    into one pass. Measured same-process on lap3d-48/112 fp32 CG
+    (r3_s10_cg_masked_ab): masked Pallas stream 4.6-4.9 / 57-61
+    us/iter vs XLA value-plane 1.7-3.3 / 23-45 and XLA bitmask
+    1.7-6.2 / 22.4-23.1 — the XLA forms win 2.5x, and the bitmask
+    form stays flat at scale where the K value planes both blow the
+    64 MB bake budget and collapse XLA's fusion capacity (the
+    lap3d-192 single-RHS collapse, RESULTS session 10).
+
+    Masked stream plans lower to ``((mask >> k) & 1) ? c_k : 0`` FMAs
+    — one int32 word per row of plan traffic, exactly the Pallas
+    masked kernel's math (agreement with the value-plane form is
+    ULP-level: separately compiled programs contract FMAs
+    differently). Unmasked stream plans reconstruct their value
+    planes from the blocked layout at trace time (compile-time
+    constant folding under bake). Returns None for plans with no
+    XLA-DIA lowering (gather/merge kernels, double-float fp64).
+    """
+    from tpusparse.kernels.dia_stream import DiaStreamDevice
+    from tpusparse.ops.hybrid import HybridPlan
+
+    if isinstance(plan, HybridPlan):
+        inner = xla_matvec_of(plan.dia)
+        if inner is None:
+            return None
+        if plan.rest is None:
+            return inner
+        rest = plan.rest
+
+        def mv_hybrid(x):
+            from tpusparse.ops.spmv import spmv
+
+            return spmv(rest, x, beta=1.0, y=inner(x))
+
+        return mv_hybrid
+    if isinstance(plan, DiaDevice):
+        return lambda x: spmv_dia(plan, x)
+    if not isinstance(plan, DiaStreamDevice):
+        return None
+    D = plan
+    n, m = D.num_rows, D.num_cols
+    offs = D.offsets
+    pad_lo = max(0, -min(offs))
+    pad_hi = max(0, max(offs) + n - m)
+    if D.mask_b is None:
+        # value planes: unblock (nb, K, R, 128) -> (K, n)
+        K = D.data_b.shape[1]
+        data = D.data_b.transpose(1, 0, 2, 3).reshape(K, -1)[:, :n]
+        dd = DiaDevice(n, m, offs, data)
+        return lambda x: spmv_dia(dd, x)
+    mask = D.mask_b.reshape(-1)[:n]
+    consts = tuple(jnp.float32(v) for v in D.vals)
+
+    def mv_masked(x):
+        xp = jnp.pad(x.astype(jnp.float32), (pad_lo, pad_hi))
+        acc = jnp.zeros(n, jnp.float32)
+        for k, off in enumerate(offs):
+            c = jnp.where(((mask >> k) & 1) != 0, consts[k],
+                          jnp.float32(0.0))
+            sl = jax.lax.slice_in_dim(xp, off + pad_lo,
+                                      off + pad_lo + n)
+            acc = acc + c * sl
+        return acc
+
+    return mv_masked

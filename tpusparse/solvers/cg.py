@@ -170,7 +170,7 @@ def cg_solve(
             fn = _baked_worker(A, key, lambda: jax.jit(
                 lambda b_: _cg_solve_impl(
                     A, b_, int(max_iters), float(tolerance), strategy,
-                    None, None, bool(record_history))))
+                    None, None, bool(record_history), fuse_mv=True)))
             if fn is not None:
                 return fn(b)
         return _cg_solve_jit(A, b, int(max_iters), float(tolerance),
@@ -180,7 +180,7 @@ def cg_solve(
 
 
 def _cg_solve_impl(A, b, max_iters, tolerance, strategy, x0, matvec,
-                   record_history) -> CgResult:
+                   record_history, fuse_mv=False) -> CgResult:
     from tpusparse.ops.reorder import ReorderedPlan
 
     inv_perm = None
@@ -192,7 +192,19 @@ def _cg_solve_impl(A, b, max_iters, tolerance, strategy, x0, matvec,
         b = jnp.asarray(b)[A.perm]
         inv_perm = A.inv_perm
         A = A.inner
-    mv = matvec if matvec is not None else _matvec(A, strategy)
+    mv = matvec
+    if mv is None and fuse_mv and strategy == "auto":
+        # baked solves only: the XLA shifted-FMA matvec fuses into the
+        # while_loop body where a pallas_call is a fusion barrier —
+        # measured 2.5x/iter on DIA plans (see ops.dia.xla_matvec_of).
+        # Unbaked (argument-dispatch) solves keep the stream kernels:
+        # parameter value planes re-stream from HBM every iteration,
+        # which is the 8x regression _plan_bakeable exists to avoid.
+        from tpusparse.ops.dia import xla_matvec_of
+
+        mv = xla_matvec_of(A)
+    if mv is None:
+        mv = _matvec(A, strategy)
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - mv(x) if x0 is not None else b
     p = r
