@@ -22,6 +22,11 @@ from typing import Any
 import jax
 
 from tpusparse.formats.dia import DiaDevice
+from tpusparse.kernels.dia_nmajor import (
+    DiaNMajorDevice,
+    spmm_dia_nmajor,
+    spmv_dia_nmajor,
+)
 from tpusparse.kernels.dia_stream import (
     DiaStreamDevice,
     DiaStreamDFDevice,
@@ -54,7 +59,9 @@ class HybridPlan:
 def spmv_hybrid(H: HybridPlan, x, alpha=1.0, beta=0.0, y=None):
     from tpusparse.ops.spmv import spmv
 
-    if isinstance(H.dia, DiaStreamDevice):
+    if isinstance(H.dia, DiaNMajorDevice):
+        y_new = spmv_dia_nmajor(H.dia, x)
+    elif isinstance(H.dia, DiaStreamDevice):
         y_new = spmv_dia_stream(H.dia, x)
     elif isinstance(H.dia, DiaStreamDFDevice):
         y_new = spmv_dia_stream_df(H.dia, x)
@@ -70,7 +77,9 @@ def spmv_hybrid(H: HybridPlan, x, alpha=1.0, beta=0.0, y=None):
 def spmm_hybrid(H: HybridPlan, X, alpha=1.0, beta=0.0, Y=None):
     from tpusparse.ops.spmv import spmm
 
-    if isinstance(H.dia, DiaStreamDevice):
+    if isinstance(H.dia, DiaNMajorDevice):
+        Y_new = spmm_dia_nmajor(H.dia, X)
+    elif isinstance(H.dia, DiaStreamDevice):
         Y_new = spmm_dia_stream(H.dia, X)
     elif isinstance(H.dia, DiaStreamDFDevice):
         Y_new = spmm_dia_stream_df(H.dia, X)

@@ -333,6 +333,23 @@ def _dia_t_callable(D):
     return None, None
 
 
+def _interleaved_plan_of(A):
+    """The DiaNMajorDevice behind a plan when the whole matrix runs on
+    the n-major (row-interleaved) masked stream kernel; None otherwise.
+    Gates the interleaved-state multi-RHS fast path (state in the
+    kernel's guarded flat (T_g, 128) layout across iterations — no
+    per-iteration pack/unpack)."""
+    from tpusparse.kernels.dia_nmajor import DiaNMajorDevice
+    from tpusparse.ops.hybrid import HybridPlan
+
+    if isinstance(A, DiaNMajorDevice):
+        return A
+    if (isinstance(A, HybridPlan) and A.rest is None
+            and isinstance(A.dia, DiaNMajorDevice)):
+        return A.dia
+    return None
+
+
 def _transposed_matmat_of(A):
     """(mm_t, pad_to) when the plan supports the multi-RHS
     transposed-state fast path (state in (L, n) — or (L, pad_to) with
