@@ -371,9 +371,16 @@ class TestDiaStream:
             12, dtype=np.float32
         ).to_csr()
         # multi-RHS plans stream too past the plane budget (the kernel
-        # is RHS-major; solvers ride spmm_dia_stream_t)
+        # is RHS-major; solvers ride spmm_dia_stream_t). The n-major
+        # kernel stays an EXPLICIT strategy (faster standalone SpMM,
+        # 2-5% slower at solve level — RESULTS session 12).
+        from tpusparse.kernels.dia_nmajor import DiaNMajorDevice
+
         plan = plan_matrix(csr32, dtype=np.float32, L=8)
         assert isinstance(plan.dia, DiaStreamDevice)
+        plan_nm = plan_matrix(csr32, dtype=np.float32, L=8,
+                              strategy="nmajor")
+        assert isinstance(plan_nm.dia, DiaNMajorDevice)
         S = csr32.to_scipy()
         X = _rng().standard_normal((csr32.num_cols, 8)).astype(np.float32)
         Y = np.asarray(spmm(plan, X))

@@ -356,3 +356,64 @@ def test_pcg_transposed_dia_path_matches_generic(rng):
     np.testing.assert_allclose(
         np.asarray(r_t.x), np.asarray(r_g.x), rtol=2e-4, atol=2e-4
     )
+
+
+def test_pcg_nmajor_interleaved_path_matches_generic(rng):
+    """Explicit n-major plans route PCG (and SPAI-CG, which delegates)
+    through the interleaved-state fast path — state in the kernel's
+    guarded flat layout, the preconditioner behind one unpack/pack
+    pair per iteration. Must agree with the generic path on the
+    reference-strategy operand, including at a padded lane count."""
+    import numpy as np
+
+    from tpusparse.io import generators
+    from tpusparse.ops.spmv import plan_matrix
+    from tpusparse.solvers.cg import _interleaved_plan_of
+
+    csr = generators.make_laplacian_grid3d(6, dtype=np.float32).to_csr()
+    A = plan_matrix(csr, dtype=np.float32, L=13,
+                    strategy="nmajor")  # pads to Lp=16
+    assert _interleaved_plan_of(A) is not None
+    A_ref = plan_matrix(csr, dtype=np.float32, strategy="reference")
+    Lf = ic0_factorize(csr)
+    prec = make_ic0_preconditioner(Lf, sweeps=2, num_rhs=13,
+                                   dtype=np.float32)
+    B = rng.standard_normal((csr.num_rows, 13)).astype(np.float32)
+    r_t = pcg_solve_multi(A, jnp.asarray(B), prec, max_iters=600,
+                          tolerance=1e-5)
+    r_g = pcg_solve_multi(A_ref, jnp.asarray(B), prec, max_iters=600,
+                          tolerance=1e-5)
+    assert abs(int(r_t.iterations) - int(r_g.iterations)) <= 1
+    assert np.asarray(r_t.converged).shape == (13,)
+    assert bool(np.all(np.asarray(r_t.converged)))
+    np.testing.assert_allclose(
+        np.asarray(r_t.x), np.asarray(r_g.x), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_spai_cg_nmajor_interleaved_path(rng):
+    """SPAI-CG on an explicit n-major plan (apply = SpMM with the
+    approximate inverse behind the unpack/pack pair) converges and
+    matches the generic-path solve."""
+    import numpy as np
+
+    from tpusparse.io import generators
+    from tpusparse.ops.spmv import plan_matrix
+    from tpusparse.precond.spai import spai_inverse
+    from tpusparse.solvers.cg import _interleaved_plan_of
+
+    csr = generators.make_laplacian_grid3d(5, dtype=np.float32).to_csr()
+    A = plan_matrix(csr, dtype=np.float32, L=8, strategy="nmajor")
+    assert _interleaved_plan_of(A) is not None
+    A_ref = plan_matrix(csr, dtype=np.float32, strategy="reference")
+    M = spai_inverse(csr)
+    B = rng.standard_normal((csr.num_rows, 8)).astype(np.float32)
+    r_t = spai_cg_solve_multi(A, M.to_device(), jnp.asarray(B),
+                              max_iters=600, tolerance=1e-5)
+    r_g = spai_cg_solve_multi(A_ref, M.to_device(), jnp.asarray(B),
+                              max_iters=600, tolerance=1e-5)
+    assert abs(int(r_t.iterations) - int(r_g.iterations)) <= 1
+    assert bool(np.all(np.asarray(r_t.converged)))
+    np.testing.assert_allclose(
+        np.asarray(r_t.x), np.asarray(r_g.x), rtol=2e-4, atol=2e-4
+    )

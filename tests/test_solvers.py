@@ -355,6 +355,38 @@ class TestBakedDispatch:
             np.asarray(r_t.x), np.asarray(r_g.x), rtol=2e-4, atol=2e-4
         )
 
+    def test_nmajor_plan_interleaved_path_matches_generic(self, rng):
+        """Explicit n-major plans (strategy='nmajor') take the
+        interleaved-state fast path (state in the kernel's guarded
+        flat layout, packed once per solve) and must agree with the
+        generic reference-strategy path — including at an L that pads
+        up to the plan's lane count."""
+        from tpusparse.kernels.dia_nmajor import DiaNMajorDevice
+        from tpusparse.ops.spmv import plan_matrix
+        from tpusparse.solvers.cg import _interleaved_plan_of
+
+        csr = generators.make_laplacian_grid3d(6, dtype=np.float32).to_csr()
+        A_ref = plan_matrix(csr, dtype=np.float32, strategy="reference")
+        for L in (16, 13):  # exact lane count and padded (13 -> 16)
+            A = plan_matrix(csr, dtype=np.float32, L=L,
+                            strategy="nmajor")
+            assert isinstance(A.dia, DiaNMajorDevice)
+            assert _interleaved_plan_of(A) is not None
+            B = rng.standard_normal((csr.num_rows, L)).astype(np.float32)
+            r_t = cg_solve_multi(A, B, max_iters=600, tolerance=1e-5)
+            r_g = cg_solve_multi(A_ref, B, max_iters=600, tolerance=1e-5)
+            assert abs(int(r_t.iterations) - int(r_g.iterations)) <= 1
+            assert np.asarray(r_t.converged).shape == (L,)
+            assert bool(np.all(np.asarray(r_t.converged)))
+            np.testing.assert_allclose(
+                np.asarray(r_t.x), np.asarray(r_g.x), rtol=2e-4, atol=2e-4
+            )
+            it = min(int(r_t.iterations), int(r_g.iterations)) - 1
+            np.testing.assert_allclose(
+                np.asarray(r_t.history)[:it],
+                np.asarray(r_g.history)[:it], rtol=0.3,
+            )
+
     def test_hybrid_with_rest_keeps_generic_path(self, rng):
         """Hybrid plans with a scattered remainder KEEP the generic
         (n, L) path — measured 4% worse transposed (the gather-kernel

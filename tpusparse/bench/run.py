@@ -113,7 +113,11 @@ def _plan(csr, strategy, dtype, L=1, reorder=None, plan_cache=None):
         if isinstance(p, ReorderedPlan):
             return "rcm+" + kind_of(p.inner)
         if isinstance(p, HybridPlan):
-            return "dia" if p.rest is None else "hybrid_dia"
+            from tpusparse.kernels.dia_nmajor import DiaNMajorDevice
+
+            tag = ("dia_nmajor" if isinstance(p.dia, DiaNMajorDevice)
+                   else "dia")
+            return tag if p.rest is None else "hybrid_" + tag
         if isinstance(p, CsrMatrix):
             return "reference"
         if isinstance(p, jsparse.BCOO):

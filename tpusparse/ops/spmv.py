@@ -39,6 +39,7 @@ class SpmvStrategy(enum.Enum):
     BSR = "bsr"
     BCOO = "bcoo"
     DIA = "dia"
+    NMAJOR = "nmajor"
     AUTO = "auto"
 
     @classmethod
@@ -112,7 +113,8 @@ def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1,
     # DIA / hybrid gate: dense diagonal runs beat every gather kernel
     # by an order of magnitude (stream-bound shifted FMAs), so they are
     # peeled off first; the scattered remainder re-enters the planner.
-    if _allow_dia and strategy in (SpmvStrategy.AUTO, SpmvStrategy.DIA):
+    if _allow_dia and strategy in (SpmvStrategy.AUTO, SpmvStrategy.DIA,
+                                   SpmvStrategy.NMAJOR):
         plan = _try_plan_dia(csr, strategy, dtype, L)
         if plan is not None:
             return plan
@@ -268,6 +270,12 @@ DIA_STREAM_F64_MIN_BYTES = 256 * 1024 * 1024
 DIA_STREAM_MAX_L = 32
 
 
+def _nmajor_geometry_ok(dia_host, L) -> bool:
+    from tpusparse.kernels.dia_nmajor import plan_geometry
+
+    return plan_geometry(dia_host.offsets, L)[0]
+
+
 def _try_plan_dia(csr, strategy, dtype, L):
     """DIA / hybrid plan, or None when the matrix has no diagonal
     structure worth peeling (explicit strategy='dia' skips the
@@ -289,7 +297,7 @@ def _try_plan_dia(csr, strategy, dtype, L):
         return None
     all_off, counts, _ = diagonal_profile(csr)
     covered = int(counts[np.isin(all_off, offsets)].sum())
-    if (strategy != SpmvStrategy.DIA
+    if (strategy not in (SpmvStrategy.DIA, SpmvStrategy.NMAJOR)
             and covered < DIA_MIN_COVERAGE * csr.nnz):
         return None
     dia_host, rest = partition_dia(csr, offsets)
@@ -317,6 +325,32 @@ def _try_plan_dia(csr, strategy, dtype, L):
         # size — measured lap3d-48 890-910 GF vs XLA-dia 242-279 and
         # lap3d-192 1254-1375 vs 339 (scripts/r3_s10_masked_dia.py)
         dev = dia_stream.to_device_dia_stream(dia_host, L=1)
+    elif strategy == SpmvStrategy.NMAJOR:
+        # EXPLICIT n-major (row-interleaved) masked multi-RHS plan:
+        # the fastest standalone masked SpMM at scale (290-305 GF vs
+        # the lane-major stream's 235-244 at L=8/16/32 on lap3d-192,
+        # scripts/r3_s11_nmajor_ab.py) — but NOT the AUTO multi-RHS
+        # choice: at SOLVE level the interleaved-state CG measured
+        # 2-5% SLOWER than the lane-major transposed path (L=32:
+        # 21.1 vs 20.0 ms/iter; the kernel's win is eaten by an
+        # in-loop cost around the triple-operand pallas_call — the
+        # BLAS-1 layouts themselves are a wash,
+        # scripts/r3_s12_nmajor_cg_ab.py / r3_s12_blas_layout_ab.py).
+        # Solvers on these plans use the interleaved-state fast path.
+        from tpusparse.kernels import dia_nmajor
+
+        if itemsize > 4:
+            raise ValueError("strategy='nmajor' is fp32-only")
+        if not (maskable and square):
+            raise ValueError(
+                "strategy='nmajor' requires a square constant-"
+                "coefficient (maskable) diagonal operator")
+        if not _nmajor_geometry_ok(dia_host, L):
+            raise ValueError(
+                f"strategy='nmajor' geometry unsupported at L={L} "
+                "(needs 2 <= L <= 128 and the stencil halo within "
+                "the scoped-vmem block; see dia_nmajor.plan_geometry)")
+        dev = dia_nmajor.to_device_dia_nmajor(dia_host, L)
     elif (itemsize <= 4 and stream_ok and L <= DIA_STREAM_MAX_L
             and plane_bytes > DIA_STREAM_MIN_BYTES):
         dev = dia_stream.to_device_dia_stream(dia_host, L=L)

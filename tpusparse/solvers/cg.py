@@ -384,6 +384,19 @@ def _cg_solve_multi_impl(A, B, max_iters, tolerance, strategy, matmat,
         inv_perm = A.inv_perm
         A = A.inner
     if matmat is None:
+        # Interleaved-state fast path for n-major masked plans: the
+        # whole solver state lives in the kernel's guarded flat
+        # (T_g, 128) row-interleaved layout across iterations — no
+        # per-iteration pack/unpack, per-RHS scalars fold/tile over
+        # the G = 128/L row groups (kernels/dia_nmajor). The kernel
+        # itself measured 290-305 GF vs the lane-major stream's
+        # 235-244 at L=8..32 on lap3d-192 (scripts/r3_s11_nmajor_ab).
+        D_il = _interleaved_plan_of(A)
+        if (D_il is not None and jnp.asarray(B).dtype == jnp.float32
+                and B.shape[1] <= D_il.L):
+            return _cg_solve_multi_interleaved(
+                D_il, jnp.asarray(B), max_iters, tolerance,
+                record_history, inv_perm)
         # Transposed-space fast path for pure-DIA plans: the (n, L)
         # layout breaks XLA's layout assignment past L=16 once
         # per-lane-scalar BLAS-1 ops mix with spmm_dia's internal
@@ -510,6 +523,80 @@ def _cg_solve_multi_transposed(spmm_t, B, max_iters, tolerance,
         iterations=i,
         converged=converged,
         residual=rel,
+        history=hist,
+    )
+
+
+def _cg_solve_multi_interleaved(D, B, max_iters, tolerance,
+                                record_history, inv_perm) -> CgResult:
+    """Multi-RHS CG with the whole state in the n-major kernel's
+    guarded flat (T_g, 128) row-interleaved layout (kernels/dia_nmajor):
+    element (row r, rhs l) sits at flat index r*Lp + l, so per-RHS dots
+    are a sublane sum folded over the G = 128/Lp row groups sharing
+    each lane (``fold_lanes``), and per-RHS scalars broadcast by lane
+    tiling (``tile_lanes``). Zero guards/tail and zero pad lanes stay
+    exactly zero through every axpy/dot (the masked kernel outputs
+    zero there), so the state packs ONCE per solve. Pad lanes (Lp > L)
+    are born converged; recurrences and masking otherwise match the
+    generic path (no_pretreatment.hpp:35-197)."""
+    from tpusparse.kernels.dia_nmajor import (
+        fold_lanes,
+        pack_gp,
+        spmm_dia_nmajor_gp,
+        tile_lanes,
+        unpack_gp,
+    )
+
+    n, L_user = B.shape
+    Lp = D.L
+    Bg = pack_gp(D, B)  # (T_g, 128) f32, zero guards/tail/pad-lanes
+
+    def dot_gp(U, V):
+        return fold_lanes(jnp.sum(U * V, axis=0), Lp)  # (Lp,)
+
+    X = jnp.zeros_like(Bg)
+    b_norms = jnp.sqrt(dot_gp(Bg, Bg))
+    b_norms = jnp.where(b_norms == 0.0, 1.0, b_norms)
+    rs0 = dot_gp(Bg, Bg)
+    converged0 = jnp.arange(Lp) >= L_user
+    hist0 = (
+        jnp.full((max_iters,), jnp.nan, dtype=B.dtype)
+        if record_history
+        else jnp.zeros((0,), dtype=B.dtype)
+    )
+
+    def cond(state):
+        i, X, R, P, rs_old, converged, hist = state
+        return (i < max_iters) & ~jnp.all(converged)
+
+    def body(state):
+        i, X, R, P, rs_old, converged, hist = state
+        AP = spmm_dia_nmajor_gp(D, P)
+        pAp = dot_gp(P, AP)
+        alpha = jnp.where(converged | (pAp == 0), 0.0, rs_old / pAp)
+        a = tile_lanes(alpha, Lp)  # (128,) broadcast over sublanes
+        X2 = X + a * P
+        R2 = R - a * AP
+        rs_new = dot_gp(R2, R2)
+        rel = jnp.sqrt(rs_new) / b_norms  # pad lanes: 0/1 = 0
+        converged = converged | (rel < tolerance)
+        if record_history:
+            hist = hist.at[i].set(jnp.max(rel))
+        beta = jnp.where(converged | (rs_old == 0), 0.0,
+                         rs_new / rs_old)
+        P2 = R2 + tile_lanes(beta, Lp) * P
+        return (i + 1, X2, R2, P2, rs_new, converged, hist)
+
+    i, X, R, P, rs, converged, hist = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), X, Bg, Bg, rs0, converged0, hist0)
+    )
+    rel = jnp.sqrt(rs) / b_norms
+    XO = unpack_gp(D, X, L_user)
+    return CgResult(
+        x=XO if inv_perm is None else XO[inv_perm],
+        iterations=i,
+        converged=converged[:L_user],
+        residual=rel[:L_user],
         history=hist,
     )
 

@@ -47,8 +47,22 @@ def pcg_solve_multi(
     measured 4.7x). Multi-RHS dots are native lane-wise sums on both
     paths, so fp64 semantics are preserved."""
     if matmat is None:
-        from tpusparse.solvers.cg import _transposed_matmat_of
+        from tpusparse.solvers.cg import (
+            _interleaved_plan_of,
+            _transposed_matmat_of,
+        )
 
+        # n-major masked plans: state in the kernel's guarded flat
+        # row-interleaved layout (see cg._cg_solve_multi_interleaved);
+        # the preconditioner keeps its (n, L) contract behind one
+        # unpack/pack pair per iteration (reshape+slice copies, small
+        # next to the apply's own SpMMs at the gate's >=128 MB scale).
+        D_il = _interleaved_plan_of(A)
+        if (D_il is not None and jnp.asarray(B).dtype == jnp.float32
+                and B.shape[1] <= D_il.L):
+            return _pcg_solve_multi_interleaved(
+                D_il, jnp.asarray(B), apply_precond, max_iters,
+                tolerance, record_history)
         mm_t, pad_to = _transposed_matmat_of(A)
         if mm_t is not None:
             return _pcg_solve_multi_transposed(
@@ -175,6 +189,83 @@ def _pcg_solve_multi_transposed(spmm_t, B, apply_precond, max_iters,
     return CgResult(
         x=X[:, :n_out].T, iterations=i, converged=converged,
         residual=rel,
+        history=hist,
+    )
+
+
+def _pcg_solve_multi_interleaved(D, B, apply_precond, max_iters,
+                                 tolerance, record_history) -> CgResult:
+    """PCG with state in the n-major kernel's guarded flat (T_g, 128)
+    row-interleaved layout (cg._cg_solve_multi_interleaved): the
+    A-matvec is ``spmm_dia_nmajor_gp``; per-RHS dots fold the G row
+    groups per lane, per-RHS scalars tile back; ``apply_precond``
+    keeps its (n, L) contract behind one unpack/pack pair per
+    iteration. Recurrences/masking match incomplete_cholesky.hpp:36-199."""
+    from tpusparse.kernels.dia_nmajor import (
+        fold_lanes,
+        pack_gp,
+        spmm_dia_nmajor_gp,
+        tile_lanes,
+        unpack_gp,
+    )
+
+    n, L_user = B.shape
+    Lp = D.L
+    Bg = pack_gp(D, B)
+
+    def dot_gp(U, V):
+        return fold_lanes(jnp.sum(U * V, axis=0), Lp)
+
+    def apply_gp(Rg):
+        Z = apply_precond(unpack_gp(D, Rg, L_user)).astype(B.dtype)
+        return pack_gp(D, Z)
+
+    X = jnp.zeros_like(Bg)
+    R = Bg
+    Z = apply_gp(R)
+    P = Z
+    b_norms = jnp.sqrt(dot_gp(Bg, Bg))
+    b_norms = jnp.where(b_norms == 0.0, 1.0, b_norms)
+    rho_old = dot_gp(R, Z)
+    converged0 = jnp.arange(Lp) >= L_user  # pad lanes born converged
+    hist0 = (
+        jnp.full((max_iters,), jnp.nan, dtype=B.dtype)
+        if record_history
+        else jnp.zeros((0,), dtype=B.dtype)
+    )
+
+    def cond(state):
+        i, X, R, P, rho_old, converged, hist = state
+        return (i < max_iters) & ~jnp.all(converged)
+
+    def body(state):
+        i, X, R, P, rho_old, converged, hist = state
+        AP = spmm_dia_nmajor_gp(D, P)
+        pAp = dot_gp(P, AP)
+        alpha = jnp.where(converged | (pAp == 0), 0.0, rho_old / pAp)
+        a = tile_lanes(alpha, Lp)
+        X2 = X + a * P
+        R2 = R - a * AP
+        r_norms = dot_gp(R2, R2)
+        rel = jnp.sqrt(r_norms) / b_norms  # pad lanes: 0/1 = 0
+        converged = converged | (rel < tolerance)
+        if record_history:
+            hist = hist.at[i].set(jnp.max(rel))
+        Z = apply_gp(R2)
+        rho_new = dot_gp(R2, Z)
+        beta = jnp.where(converged | (rho_old == 0), 0.0,
+                         rho_new / rho_old)
+        P2 = Z + tile_lanes(beta, Lp) * P
+        return (i + 1, X2, R2, P2, rho_new, converged, hist)
+
+    i, X, R, P, rho, converged, hist = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), X, R, P, rho_old, converged0, hist0)
+    )
+    rs = dot_gp(R, R)
+    rel = jnp.sqrt(rs) / b_norms
+    return CgResult(
+        x=unpack_gp(D, X, L_user), iterations=i,
+        converged=converged[:L_user], residual=rel[:L_user],
         history=hist,
     )
 
