@@ -386,6 +386,17 @@ class TestDiaStream:
         Y = np.asarray(spmm(plan, X))
         refM = (S @ X).astype(np.float32)
         assert np.abs(Y - refM).max() / np.abs(refM).max() < 1e-5
+        # the n-major plan must also be numerically correct through
+        # the ops.spmm dispatch (ADVICE r3)
+        Y_nm = np.asarray(spmm(plan_nm, X))
+        assert np.abs(Y_nm - refM).max() / np.abs(refM).max() < 1e-5
+        # RHS wider than the plan's lane count fails loudly (ADVICE r3)
+        with pytest.raises(ValueError, match="n-major plan built for"):
+            spmm(plan_nm, np.zeros((csr32.num_cols, 16), np.float32))
+        # explicit nmajor with L=1 is rejected up front, not silently
+        # replanned as a masked stream (ADVICE r3)
+        with pytest.raises(ValueError, match="multi-RHS"):
+            plan_matrix(csr32, dtype=np.float32, L=1, strategy="nmajor")
         # fp64 under DIA_STREAM_F64_MIN_BYTES stays on the XLA DIA op
         csr64 = generators.make_laplacian_grid3d(
             12, dtype=np.float64

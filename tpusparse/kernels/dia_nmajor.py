@@ -211,6 +211,11 @@ def pack_gp(D: DiaNMajorDevice, X):
     (zero guards, zero col-pad, zero tail)."""
     n, Lu = X.shape
     assert n == D.num_cols, (n, D.num_cols)
+    if Lu > D.L:
+        raise ValueError(
+            f"n-major plan built for L <= {D.L} RHS columns, got "
+            f"{Lu}; rebuild with plan_matrix(..., strategy='nmajor', "
+            f"L={Lu})")
     Xp = X.astype(jnp.float32)
     if Lu < D.L:
         Xp = jnp.pad(Xp, ((0, 0), (0, D.L - Lu)))

@@ -290,10 +290,25 @@ def _try_plan_dia(csr, strategy, dtype, L):
     )
     from tpusparse.ops.hybrid import HybridPlan
 
+    if strategy == SpmvStrategy.NMAJOR and L < 2:
+        # validate the explicit request up front: without this, the
+        # L<=1 masked-stream branch below (or the AUTO tail after a
+        # None return) would silently hand back a non-nmajor plan,
+        # mislabeling A/B runs (ADVICE r3)
+        raise ValueError(
+            "strategy='nmajor' is a multi-RHS plan (needs L >= 2); "
+            "use strategy='dia' for single-RHS masked streams")
     if csr.nnz == 0:
+        if strategy == SpmvStrategy.NMAJOR:
+            raise ValueError("strategy='nmajor': matrix has no nonzeros")
         return None
     offsets = select_diagonals(csr)
     if offsets.size == 0:
+        if strategy == SpmvStrategy.NMAJOR:
+            raise ValueError(
+                "strategy='nmajor': no dense diagonals selected "
+                "(formats.dia.select_diagonals) — the n-major kernel "
+                "needs a constant-coefficient diagonal operator")
         return None
     all_off, counts, _ = diagonal_profile(csr)
     covered = int(counts[np.isin(all_off, offsets)].sum())
@@ -315,17 +330,7 @@ def _try_plan_dia(csr, strategy, dtype, L):
         dia_stream.choose_block_rows(K_planes, df=True),
     )
     maskable = dia_stream._maskable(dia_host)[1]
-    if itemsize <= 4 and L <= 1 and maskable and square \
-            and dia_stream.fits_stream(
-                dia_host.offsets,
-                dia_stream._auto_block_rows(dia_host, df=False, L=1,
-                                            masked=True)):
-        # constant-coefficient single-RHS: the masked stream kernel
-        # (int32 bitmask + static scalars, bit-identical) wins at ANY
-        # size — measured lap3d-48 890-910 GF vs XLA-dia 242-279 and
-        # lap3d-192 1254-1375 vs 339 (scripts/r3_s10_masked_dia.py)
-        dev = dia_stream.to_device_dia_stream(dia_host, L=1)
-    elif strategy == SpmvStrategy.NMAJOR:
+    if strategy == SpmvStrategy.NMAJOR:
         # EXPLICIT n-major (row-interleaved) masked multi-RHS plan:
         # the fastest standalone masked SpMM at scale (290-305 GF vs
         # the lane-major stream's 235-244 at L=8/16/32 on lap3d-192,
@@ -351,6 +356,16 @@ def _try_plan_dia(csr, strategy, dtype, L):
                 "(needs 2 <= L <= 128 and the stencil halo within "
                 "the scoped-vmem block; see dia_nmajor.plan_geometry)")
         dev = dia_nmajor.to_device_dia_nmajor(dia_host, L)
+    elif itemsize <= 4 and L <= 1 and maskable and square \
+            and dia_stream.fits_stream(
+                dia_host.offsets,
+                dia_stream._auto_block_rows(dia_host, df=False, L=1,
+                                            masked=True)):
+        # constant-coefficient single-RHS: the masked stream kernel
+        # (int32 bitmask + static scalars, bit-identical) wins at ANY
+        # size — measured lap3d-48 890-910 GF vs XLA-dia 242-279 and
+        # lap3d-192 1254-1375 vs 339 (scripts/r3_s10_masked_dia.py)
+        dev = dia_stream.to_device_dia_stream(dia_host, L=1)
     elif (itemsize <= 4 and stream_ok and L <= DIA_STREAM_MAX_L
             and plane_bytes > DIA_STREAM_MIN_BYTES):
         dev = dia_stream.to_device_dia_stream(dia_host, L=L)
