@@ -108,6 +108,19 @@ def main():
     )
     per_op = st.median_s
     gf = 2.0 * csr.nnz / max(per_op, 1e-9) / 1e9
+    # The general gather path (merge tiles) is reported alongside so
+    # regressions on the scattered-matrix flagship stay driver-visible
+    # even when AUTO picks a structured kernel for this fixture
+    # (VERDICT r3 item 3; the reference reports every strategy per
+    # run, cpu_spmv.cpp:750-923).
+    A_merge = plan_matrix(csr, strategy="merge", dtype=np.float32)
+    st_m = slope_time(
+        lambda v: spmv(A_merge, v), x, iters=(20, 420),
+        sets=8, reps=4,
+    )
+    gf_merge = 2.0 * csr.nnz / max(st_m.median_s, 1e-9) / 1e9
+    merge_bytes = models.spmv_bytes(csr.nnz, csr.num_rows,
+                                    value_bytes=4)
     if masked:
         # plane traffic compressed to one int32 word per row; >100%
         # of the r+w ceiling is expected (read channel at speed of
@@ -133,6 +146,14 @@ def main():
                 ),
                 "pct_of_roofline": round(
                     models.roofline_pct(ebytes, per_op), 1
+                ),
+                "merge_gflops": round(gf_merge, 2),
+                "merge_spread": round(st_m.spread, 3),
+                "merge_best_set_gflops": round(
+                    2.0 * csr.nnz / max(st_m.min_s, 1e-9) / 1e9, 2
+                ),
+                "merge_pct_of_roofline": round(
+                    models.roofline_pct(merge_bytes, st_m.median_s), 1
                 ),
             }
         )

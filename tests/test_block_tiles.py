@@ -148,6 +148,7 @@ def test_plan_matrix_merge_greedy_on_skewed(rng):
     assert np.abs(y - ref).max() / max(np.abs(ref).max(), 1e-30) < 1e-4
 
 
+@pytest.mark.slow
 def test_native_block_tiles_parity(rng):
     """Native builder (native/src/block_tiles.cpp) vs numpy: identical
     index structures; values compared through the dense reconstruction
@@ -218,3 +219,34 @@ def test_span_classed_block_plan_roundtrip(rng):
     assert np.abs(y - ref).max() / np.abs(ref).max() < 1e-5
     if isinstance(A, ClassedTiles):
         assert all(p.blk_list is not None for p in A.plans)
+
+
+def test_nnz_split_strategy(rng):
+    """The pure equal-nnz partition (reference NONZERO_SPLIT,
+    nonzero_splitting.hpp:19-152) is its own plan family: cuts only at
+    tile_nnz / row-window boundaries (no block-budget clustering), and
+    the strategy dispatches numerically through ops.spmv."""
+    from tpusparse.formats.tiles import build_nnz_split_tiles
+    from tpusparse.io import generators
+    from tpusparse.ops.spmv import plan_matrix, spmv
+
+    csr = generators.make_rmat(11, edge_factor=8, seed=3,
+                               dtype=np.float32).to_csr()
+    t = build_nnz_split_tiles(csr)
+    # no cut can come from the block budget: every tile except the
+    # last of each row window must be exactly full
+    counts = np.asarray(
+        [(np.asarray(t.end_pos)[i] >= 0).any() for i in range(t.ntiles)]
+    )
+    assert counts.all()
+    assert t.occupancy > 0.9  # equal-nnz packing is near-perfect
+    A = plan_matrix(csr, strategy="nonzero_split", dtype=np.float32)
+    x = rng.standard_normal(csr.num_cols).astype(np.float32)
+    y = np.asarray(spmv(A, jnp.asarray(x)))
+    ref = csr.to_scipy() @ x
+    assert np.abs(y - ref).max() / (np.abs(ref).max() + 1) < 1e-5
+    # fp64 routes to the double-float merge kernel family
+    A64 = plan_matrix(csr, strategy="nonzero_split", dtype=np.float64)
+    from tpusparse.ops.spmv import plan_semantics
+
+    assert plan_semantics(A64) == "double-float(~1e-14)"

@@ -3,6 +3,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpusparse.io import generators
 from tpusparse.ops.chunked import (
@@ -49,6 +50,7 @@ def test_chunked_rect_with_empty_blocks(rng):
     np.testing.assert_allclose(y, expect, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_chunked_scattered_uses_chooser(rng):
     """Blocks of a scattered matrix run the partition-family chooser
     independently (greedy where window clustering shatters) and the

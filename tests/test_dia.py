@@ -165,6 +165,7 @@ class TestAutoGating:
         plan = plan_matrix(csr, dtype=np.float32)
         assert not isinstance(plan, HybridPlan)
 
+    @pytest.mark.slow
     def test_band_plus_noise_goes_hybrid(self):
         n = 3000
         T = sp.diags(

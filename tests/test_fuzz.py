@@ -44,7 +44,10 @@ def random_matrix(rng, seed):
     )
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", [
+    pytest.param(s, marks=pytest.mark.slow if s >= 3 else [])
+    for s in range(12)
+])
 def test_fuzz_kernels_vs_oracle(seed, rng):
     csr = random_matrix(rng, seed)
     x = np.random.default_rng(seed + 999).standard_normal(csr.num_cols)
@@ -99,7 +102,10 @@ def test_cg_single_merge_plan(rng):
     assert rel < 1e-4
 
 
-@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("seed", [
+    pytest.param(s, marks=pytest.mark.slow if s >= 3 else [])
+    for s in range(8)
+])
 def test_fuzz_edge_halo_stream_kernels(seed):
     """Edge-halo stream kernels (f32 + double-float) against scipy on
     random banded matrices: random offset sets (lane-crossing, exact

@@ -32,6 +32,7 @@ def test_cli_spmv_reference(capsys):
     assert "PASS" in out
 
 
+@pytest.mark.slow
 def test_cli_spmv_fp64_default_has_pallas_row(capsys):
     """Default fp64 mode benches a Pallas kernel row (the double-float
     gather-job kernel) alongside reference + vendor — parity with the
@@ -41,7 +42,7 @@ def test_cli_spmv_fp64_default_has_pallas_row(capsys):
             if "," in ln]
     kinds = {r.split(",")[1] for r in rows}
     assert "row_split_df64" in kinds
-    assert all(r.split(",")[-1] == "PASS" for r in rows)
+    assert all(r.split(",")[7] == "PASS" for r in rows)
 
 
 def test_cli_fp64_subprocess_no_conftest():
@@ -66,9 +67,11 @@ def test_cli_fp64_subprocess_no_conftest():
     rows = [ln for ln in r.stdout.strip().splitlines() if "," in ln]
     assert len(rows) == 2
     for row in rows:
-        assert row.split(",")[-1] == "PASS", row
-        # a real fp64 run: error column printed via stdout row has no
-        # err field, so re-check kind labels instead
+        # columns: name,kind,rows,nnz,ms,gf,bw,status,semantics
+        assert row.split(",")[7] == "PASS", row
+        # real fp64 (not a silent f32 downcast): the semantics column
+        # must say so (VERDICT r3 item 7)
+        assert row.split(",")[8] == "ieee-f64", row
     assert {r.split(",")[1] for r in rows} == {"reference", "bcoo"}
 
 
@@ -219,6 +222,7 @@ def test_graph_stats():
     assert abs(gs["row_col_pearson_r"] - 1.0) < 1e-12
 
 
+@pytest.mark.slow
 def test_cli_efficiency(tmp_path, capsys):
     from tpusparse.bench.run import main as cli
 
@@ -282,6 +286,7 @@ def test_cli_cg_device_rate(capsys):
     assert float(parts[2]) > 0  # us/iter
 
 
+@pytest.mark.slow
 def test_cli_multicg_device_rate(tmp_path, capsys):
     from tpusparse.bench.run import main as cli
 
@@ -331,6 +336,7 @@ def test_cli_bsr_strategy(capsys):
     assert "PASS" in out and "bsr" in out
 
 
+@pytest.mark.slow
 def test_sweep_scripts_smoke(tmp_path):
     """The one-command reproduction scripts (eval_spmm/eval_para/
     eval_simple_gflops — parity with the reference's eval_csrmm.sh /
@@ -398,10 +404,11 @@ def test_cli_spmv_reorder(capsys, tmp_path):
               "--reorder", "rcm", "--quiet"])
     rows = [ln for ln in capsys.readouterr().out.strip().splitlines()
             if "," in ln]
-    assert rows and all(r.split(",")[-1] == "PASS" for r in rows)
+    assert rows and all(r.split(",")[7] == "PASS" for r in rows)
     assert any(r.split(",")[1].startswith("rcm+") for r in rows)
 
 
+@pytest.mark.slow
 def test_cli_multicg_reorder(capsys, tmp_path):
     """multicg --reorder factors the preconditioners on the permuted
     matrix and solves in the permuted space (iteration counts are

@@ -51,10 +51,12 @@ def _check(csr, rng, tol=1e-12):
     lambda: generators.make_wheel(4000, dtype=np.float64).to_csr(),
     lambda: generators.make_rmat(10, dtype=np.float64).to_csr(),
 ])
+@pytest.mark.slow
 def test_df_merge_parity(maker, rng):
     _check(maker(), rng)
 
 
+@pytest.mark.slow
 def test_df_merge_alpha_beta(rng):
     import jax.numpy as jnp
 
@@ -94,6 +96,7 @@ def test_fp64_auto_routes_merge_df(rng):
     (lambda: generators.make_wheel(4000, dtype=np.float64).to_csr(), 16),
     (lambda: generators.make_rmat(10, dtype=np.float64).to_csr(), 12),
 ])
+@pytest.mark.slow
 def test_df_spmm_multi_rhs_skew(maker, L, rng):
     # the in-kernel multi-RHS df merge SpMM (one payload stream,
     # (L,128) lane gathers, Hillis-Steele df scan) on the skewed

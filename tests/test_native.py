@@ -51,6 +51,7 @@ def test_native_mtx_pattern_and_skew(tmp_path):
     np.testing.assert_allclose(d, -d.T)
 
 
+@pytest.mark.slow
 def test_native_mtx_large_roundtrip(tmp_path):
     # big enough to hit the multi-threaded chunked path
     from tpusparse.io import generators

@@ -75,7 +75,10 @@ def test_spmv_public_dispatch(rng):
 def test_strategy_aliases():
     # reference driver kernel names map onto their TPU analogues
     assert SpmvStrategy.parse("simple") == SpmvStrategy.ROW_SPLIT
-    assert SpmvStrategy.parse("nonzero_split") == SpmvStrategy.MERGE
+    # round 4: NONZERO_SPLIT is its own plan family (pure equal-nnz
+    # partition), no longer an alias of MERGE
+    assert (SpmvStrategy.parse("nonzero_split")
+            == SpmvStrategy.NONZERO_SPLIT)
     assert SpmvStrategy.parse("merge") == SpmvStrategy.MERGE
     # the vendor baseline is BCOO, not an alias of reference
     assert SpmvStrategy.parse("mkl") == SpmvStrategy.BCOO

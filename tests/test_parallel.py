@@ -167,6 +167,7 @@ def test_cg_sharded_pallas_tiles_converges(mesh, rng):
     assert err < 1e-4  # fp32 kernel path
 
 
+@pytest.mark.slow
 def test_cg_sharded_overlap_matches_plain(mesh, rng):
     """The communication-overlapped CG step (diagonal block on the
     local vector + off-diagonal block on the gathered vector) must
@@ -226,6 +227,7 @@ def test_cg_sharded_overlap_converges(mesh, rng):
     assert err < 1e-4
 
 
+@pytest.mark.slow
 def test_cg_sharded_tiles_multi_rhs(mesh, rng):
     """Blocked multi-RHS CG with the in-kernel merge SpMM per shard:
     trajectory matches the reference-op sharded step and converges."""
@@ -323,6 +325,7 @@ def test_spmm_sharded_tiles(mesh, rng):
     np.testing.assert_allclose(Y / scale, expect / scale, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_pcg_sharded_spai_converges_faster(mesh, rng):
     """Distributed SPAI-PCG: both A and the explicit approximate
     inverse are row-sharded merge plans; the preconditioner apply is

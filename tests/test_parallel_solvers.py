@@ -62,6 +62,7 @@ def test_cg_solve_sharded_matches_single_device(mesh, rng):
     assert np.isnan(hist[int(res.iterations):]).all()
 
 
+@pytest.mark.slow
 def test_cg_solve_multi_sharded_per_lane_masks(mesh, rng):
     from tpusparse.ops.spmv import plan_matrix
     from tpusparse.solvers.cg import cg_solve_multi
@@ -89,6 +90,7 @@ def test_cg_solve_multi_sharded_per_lane_masks(mesh, rng):
     assert abs(int(res.iterations) - int(single.iterations)) <= 1
 
 
+@pytest.mark.slow
 def test_pcg_solve_sharded_ic0(mesh, rng):
     from tpusparse.precond.ic0 import ic0_factorize
 
@@ -120,6 +122,7 @@ def test_pcg_solve_sharded_ic0(mesh, rng):
     assert int(res.iterations) < int(plain.iterations)
 
 
+@pytest.mark.slow
 def test_spai_solve_sharded(mesh, rng):
     from tpusparse.precond.spai import spai_inverse
 

@@ -55,6 +55,7 @@ def test_rmat_mtx_pipeline_golden(tmp_path, dtype):
     assert np.abs(y - ref).max() / scale < tol
 
 
+@pytest.mark.slow
 def test_rmat_spd_cg_iteration_parity():
     """CG on a heavy-tailed SPD pattern: every strategy (AUTO, merge,
     reference) converges, with the double-float paths within their
@@ -152,6 +153,7 @@ class TestFem2d:
         scale = np.abs(ref).max() + 1.0
         assert np.abs(y - ref).max() / scale < 1e-10
 
+    @pytest.mark.slow
     def test_cg_iteration_parity(self):
         """FEM stiffness is ill-conditioned (cond ~1/lump); the
         double-float paths converge with ~10% extra iterations vs

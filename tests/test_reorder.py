@@ -157,6 +157,7 @@ def test_partition_quality_improves():
     assert cost_rec < 0.5 * cost_scr
 
 
+@pytest.mark.slow
 def test_cg_multi_reordered_fast_path(rng):
     """cg_solve_multi on a ReorderedPlan solves in the permuted space
     (one gather in, one out) and returns original-order solutions."""
@@ -174,6 +175,7 @@ def test_cg_multi_reordered_fast_path(rng):
     assert rel < 1e-4
 
 
+@pytest.mark.slow
 def test_pcg_reordered_plan_dispatch_route(rng):
     """Preconditioned solvers take the dispatch route for a
     ReorderedPlan (the preconditioner lives in original coordinates,

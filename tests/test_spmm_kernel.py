@@ -36,6 +36,7 @@ def test_spmm_merge_alpha_beta(rng):
     np.testing.assert_allclose(got / scale, expect / scale, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_spmm_merge_wheel_skew(rng):
     """Row-length skew (the reference's wheel stress test,
     sparse_matrix.h:417-450): the hub row spans many column blocks; the
@@ -51,6 +52,7 @@ def test_spmm_merge_wheel_skew(rng):
     np.testing.assert_allclose(Y / scale, expect / scale, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_spmm_merge_scattered_columns(rng):
     """Uniformly scattered columns (where ELL occupancy gating rejects
     the matrix and AUTO falls back to merge tiles)."""

@@ -49,6 +49,18 @@ def _load_matrix(args):
             if name.endswith(ext):
                 name = name[: -len(ext)]
                 break
+    elif getattr(args, "real", None):
+        # real SuiteSparse-collection matrices reconstructed offline
+        # from their published definitions (io.realmats; the
+        # reference's evaluation corpus is the UFL collection,
+        # get_uf_datasets.sh:10-24)
+        from tpusparse.io.realmats import build_real
+
+        coo = build_real(args.real)
+        if dtype is not None:
+            coo = CooMatrix(coo.num_rows, coo.num_cols, coo.rows,
+                            coo.cols, coo.vals.astype(dtype))
+        name = args.real
     elif args.grid2d:
         coo = generators.make_grid2d(args.grid2d, self_loop=True,
                                      dtype=dtype)
@@ -130,7 +142,13 @@ def _plan(csr, strategy, dtype, L=1, reorder=None, plan_cache=None):
             return "merge_df64"
         return type(p).__name__ == "BcsrMatrix" and "bsr" or "merge"
 
-    return A, kind_of(A)
+    kind = kind_of(A)
+    # the pure equal-nnz partition shares the merge plan/kernel types;
+    # label its row by the requested strategy (the reference reports
+    # NONZERO_SPLIT as its own benchmark row, cpu_spmv.cpp:750-923)
+    if str(strategy).lower() == "nonzero_split":
+        kind = kind.replace("merge", "nonzero_split")
+    return A, kind
 
 
 def _iters(args, default):
@@ -180,8 +198,8 @@ def cmd_spmv(args):
     # the reference benches {Simple, Merge, NonzeroSplit, MKL} per run
     # (cpu_spmv.cpp:750-923)
     strategies = (args.strategy.split(",") if args.strategy
-                  else (["auto", "merge", "row_split", "reference",
-                         "bcoo"]
+                  else (["auto", "merge", "nonzero_split", "row_split",
+                         "reference", "bcoo"]
                         if dtype == np.float32
                         # fp64: AUTO (native-f64 DIA when the matrix
                         # has diagonal structure), the double-float
@@ -227,12 +245,16 @@ def cmd_spmv(args):
                               value_bytes=np.dtype(dtype).itemsize),
             per,
         )
+        from tpusparse.ops.spmv import plan_semantics
+
+        sem = plan_semantics(A)
         rows.append((name, kind, csr.num_rows, csr.nnz,
-                     per * 1e3, gf, bw, "PASS" if ok else "FAIL"))
+                     per * 1e3, gf, bw, "PASS" if ok else "FAIL", sem))
         if not args.quiet:
             print(f"{name} [{kind}] {'fp32' if args.fp32 else 'fp64'}: "
                   f"{per*1e3:.3f} ms, {gf:.2f} GFLOP/s, {bw:.1f} GB/s "
-                  f"eff, {'PASS' if ok else 'FAIL'} (err {err:.2e})")
+                  f"eff, {'PASS' if ok else 'FAIL'} (err {err:.2e}, "
+                  f"{sem})")
     if args.quiet:
         for r in rows:
             print(",".join(str(v) for v in r))
@@ -293,12 +315,15 @@ def cmd_spmm(args):
             _error_row(name, strat, e, args)
             continue
         gf = models.gflops(models.spmv_flops(csr.nnz, L), per)
+        from tpusparse.ops.spmv import plan_semantics
+
+        sem = plan_semantics(A)
         rows.append((name, kind, L, csr.nnz, per * 1e3, gf,
-                     "PASS" if ok else "FAIL"))
+                     "PASS" if ok else "FAIL", sem))
         if not args.quiet:
             print(f"{name} [{kind}] L={L}: {per*1e3:.3f} ms, "
                   f"{gf:.2f} GFLOP/s, {'PASS' if ok else 'FAIL'} "
-                  f"(err {err:.2e})")
+                  f"(err {err:.2e}, {sem})")
     if args.quiet:
         for r in rows:
             print(",".join(str(v) for v in r))
@@ -775,6 +800,10 @@ def build_parser():
 
     def add_common(sp):
         sp.add_argument("--mtx")
+        sp.add_argument("--real", metavar="NAME",
+                        help="SuiteSparse-collection matrix "
+                             "reconstructed offline (io.realmats; "
+                             "e.g. Trefethen_2000, gr_30_30, karate)")
         sp.add_argument("--grid2d", type=int)
         sp.add_argument("--grid3d", type=int)
         sp.add_argument("--wheel", type=int)

@@ -558,6 +558,28 @@ def choose_partition(csr, tile_nnz: int = 1024) -> MergeTiles:
     return build_partition_from_params(csr, fam, tile_nnz)
 
 
+def build_nnz_split_tiles(csr, tile_nnz: int = 1024,
+                          row_window: int = 1024) -> MergeTiles:
+    """PURE equal-nnz partition — the reference's NONZERO_SPLIT
+    strategy (``work_2025/spmm/nonzero_splitting.hpp:19-152``: each
+    worker takes nnz/p consecutive nonzeros, rows split mid-stream) as
+    its own benchmarkable plan family.
+
+    Tiles cut ONLY at ``tile_nnz`` nonzeros and at the kernel's
+    row-window invariant; the column-block budget is unbounded
+    (``max_blocks=tile_nnz`` can never trigger before the nnz cut), so
+    NO locality clustering is applied — unlike ``choose_partition``'s
+    merge families, whose gap-split / greedy-span cuts trade a few
+    percent of slot occupancy for bounded gather loops. On scattered
+    patterns the resulting per-tile column span (and hence the static
+    gather trip count) grows with the scatter, which is exactly the
+    cost the merge families' clustering avoids — the measured A/B that
+    justifies AUTO never selecting this family lives in RESULTS.md.
+    """
+    return build_block_tiles(csr, tile_nnz, row_window=row_window,
+                             max_blocks=tile_nnz, contiguous=False)
+
+
 def build_partition_from_params(csr, fam, tile_nnz: int = 1024
                                 ) -> MergeTiles:
     """Build the partition named by a :func:`choose_partition_params`

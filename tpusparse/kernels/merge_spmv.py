@@ -443,6 +443,50 @@ def _gather_window(x_ref, cblk, lc, gather_rows):
     return g
 
 
+def _select_tree(cands, q):
+    """result[i,j] = cands[q[i,j]][i,j] via a binary select tree on
+    q's bits: S-1 selects + 2*log2(S) mask ops instead of the
+    select-loop's S compares + S selects — a ~10-15% cut of the gather
+    stage at spans >= 8 (round-4 A/B; adopted only where measured)."""
+    while len(cands) & (len(cands) - 1):
+        cands.append(cands[-1])
+    level = list(cands)
+    bit = 0
+    while len(level) > 1:
+        m = (q & (1 << bit)) != 0
+        level = [jnp.where(m, level[k + 1], level[k])
+                 for k in range(0, len(level), 2)]
+        bit += 1
+    return level[0]
+
+
+# trace-time switch for the round-4 gather A/B (scripts/r4_merge_tree.py)
+GATHER_TREE = False
+
+
+def _gather_window_tree(x_ref, cblk, lc, gather_rows):
+    b = lc % LANES
+    q = lc // LANES
+    win = x_ref[pl.ds(cblk, gather_rows), :]
+    cands = [
+        tala32(jnp.broadcast_to(win[qq:qq + 1, :], lc.shape), b, axis=1)
+        for qq in range(gather_rows)
+    ]
+    return _select_tree(cands, q)
+
+
+def _gather_blocks_tree(x_ref, blk_ref, t, lc, gather_rows):
+    b = lc % LANES
+    q = lc // LANES
+    cands = [
+        tala32(
+            jnp.broadcast_to(x_ref[pl.ds(blk_ref[t, qq], 1), :],
+                             lc.shape), b, axis=1)
+        for qq in range(gather_rows)
+    ]
+    return _select_tree(cands, q)
+
+
 def _gather_blocks(x_ref, blk_ref, t, lc, gather_rows):
     """g[i,j] = x[blk_list[t, q]*128 + b] for lc = q*128 + b — the
     block-LIST counterpart of :func:`_gather_window`: each loop
@@ -537,7 +581,14 @@ def _fused_kernel(gather_rows: int, rspan: int, tps: int, use_blk: bool,
     for u in range(tps):
         t = step * tps + u
         lc = lc_ref[u].astype(jnp.int32)
-        if use_blk:
+        if gather_rows > 1 and GATHER_TREE:
+            if use_blk:
+                g = _gather_blocks_tree(x_ref, cblk_ref, t, lc,
+                                        gather_rows)
+            else:
+                g = _gather_window_tree(x_ref, cblk_ref[t], lc,
+                                        gather_rows)
+        elif use_blk:
             g = _gather_blocks(x_ref, cblk_ref, t, lc, gather_rows)
         else:
             g = _gather_window(x_ref, cblk_ref[t], lc, gather_rows)

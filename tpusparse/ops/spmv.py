@@ -35,6 +35,7 @@ from tpusparse.ops import reference as ref
 class SpmvStrategy(enum.Enum):
     REFERENCE = "reference"
     MERGE = "merge"
+    NONZERO_SPLIT = "nonzero_split"
     ROW_SPLIT = "row_split"
     BSR = "bsr"
     BCOO = "bcoo"
@@ -51,7 +52,6 @@ class SpmvStrategy(enum.Enum):
             # reference driver kernel names (work_2025/types.hpp)
             "simple": "row_split",
             "ell": "row_split",
-            "nonzero_split": "merge",
             "hybrid": "dia",
             # the vendor baseline the reference benchmarks against is
             # MKL (cpu_spmv.cpp:631-664); the JAX-ecosystem analogue is
@@ -177,6 +177,24 @@ def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1,
         from tpusparse.ops.chunked import build_chunked_merge
 
         return build_chunked_merge(csr, dtype=dtype)
+    if strategy == SpmvStrategy.NONZERO_SPLIT:
+        # EXPLICIT pure equal-nnz partition (the reference's
+        # NONZERO_SPLIT strategy row, nonzero_splitting.hpp:19-152,
+        # benchmarked per matrix in cpu_spmv.cpp:750-923). Never the
+        # AUTO choice: equal-nnz cuts without locality clustering let
+        # the per-tile column span (= the kernel's static gather trip
+        # count) grow with the scatter — see
+        # formats.tiles.build_nnz_split_tiles and the RESULTS.md A/B.
+        from tpusparse.formats.tiles import build_nnz_split_tiles
+
+        tiles = build_nnz_split_tiles(csr)
+        if np.dtype(dtype).itemsize > 4:
+            from tpusparse.kernels import merge_df
+
+            return merge_df.to_device_tiles_df(tiles)
+        from tpusparse.kernels import merge_spmv
+
+        return merge_spmv.to_device_tiles(tiles, dtype=dtype)
     if (
         strategy == SpmvStrategy.REFERENCE
         or np.dtype(dtype).itemsize > 4
@@ -382,6 +400,46 @@ def _try_plan_dia(csr, strategy, dtype, L):
         rest_plan = plan_matrix(rest, strategy="auto", dtype=dtype,
                                 L=L, _allow_dia=False)
     return HybridPlan(dev, rest_plan, csr.nnz)
+
+
+def plan_semantics(A) -> str:
+    """Numeric semantics a plan's kernels deliver: ``'f32'``,
+    ``'ieee-f64'`` (strict XLA fp64 arithmetic), or
+    ``'double-float(~1e-14)'`` (two-f32 compensated kernels — ~1e-14
+    relative accuracy with the f32 exponent range, NOT strict IEEE
+    fp64). The reference's default driver mode is fp64
+    (``cpu_spmv.cpp:979-986``); this tag makes visible which semantics
+    each TPU strategy row actually ran (VERDICT r3 item 7)."""
+    import numpy as np
+
+    from tpusparse.ops.hybrid import HybridPlan
+    from tpusparse.ops.reorder import ReorderedPlan
+
+    if isinstance(A, ReorderedPlan):
+        return plan_semantics(A.inner)
+    if isinstance(A, HybridPlan):
+        parts = {plan_semantics(A.dia)}
+        if A.rest is not None:
+            parts.add(plan_semantics(A.rest))
+        if "double-float(~1e-14)" in parts:
+            return "double-float(~1e-14)"
+        if "ieee-f64" in parts:
+            return "ieee-f64"
+        return "f32"
+    from tpusparse.kernels.dia_stream import DiaStreamDFDevice
+
+    if isinstance(A, DiaStreamDFDevice):
+        return "double-float(~1e-14)"
+    tname = type(A).__name__
+    if tname in ("DfMergeTiles", "DeviceEllDF"):
+        return "double-float(~1e-14)"
+    dtype = getattr(A, "dtype", None)
+    if dtype is None:
+        values = getattr(A, "values", None)
+        if values is None:
+            values = getattr(A, "data", None)
+        dtype = getattr(values, "dtype", np.float32)
+    return "ieee-f64" if np.dtype(dtype).itemsize > 4 else "f32"
 
 
 def _host_merge_tiles(csr):
