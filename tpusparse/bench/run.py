@@ -54,6 +54,7 @@ def _load_matrix(args):
         # from their published definitions (io.realmats; the
         # reference's evaluation corpus is the UFL collection,
         # get_uf_datasets.sh:10-24)
+        from tpusparse.formats.coo import CooMatrix
         from tpusparse.io.realmats import build_real
 
         coo = build_real(args.real)
@@ -207,8 +208,8 @@ def cmd_spmv(args):
                         # and the double-float gather-job kernel
                         # (reference benches its kernels in the
                         # default fp64 mode, cpu_spmv.cpp:979)
-                        else ["auto", "merge", "row_split",
-                              "reference", "bcoo"]))
+                        else ["auto", "merge", "nonzero_split",
+                              "row_split", "reference", "bcoo"]))
     rows = []
     seen_kinds = set()
     for strat in strategies:
