@@ -111,3 +111,16 @@ def test_trefethen_spd():
     csr = build_real("Trefethen_150").to_csr()
     d = csr.to_scipy().toarray()
     assert np.all(np.linalg.eigvalsh(d) > 0)
+
+
+def test_cli_real_flag(capsys):
+    """`--real NAME` feeds any subcommand from the offline
+    reconstruction registry (reference: the UFL corpus feeds every
+    driver via --mtx, eval_csrmv.sh:14-17)."""
+    from tpusparse.bench.run import main as cli_main
+
+    cli_main(["stats", "--real", "karate", "--quiet"])
+    out = capsys.readouterr().out.strip()
+    parts = out.split(",")
+    assert parts[0] == "karate"
+    assert int(parts[3]) == 156
