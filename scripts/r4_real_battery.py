@@ -34,35 +34,12 @@ jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp  # noqa: E402
 
 from tpusparse.io.realmats import REAL_MATRICES, build_real, list_real  # noqa: E402
-from tpusparse.ops.spmv import plan_matrix, plan_semantics, spmv  # noqa: E402
-
-
-def kind_of(p):
-    from tpusparse.bench.run import _plan  # reuse the CLI's namer
-    # _plan replans; cheaper to call its inner naming through a tiny
-    # shim: build the name the same way
-    from tpusparse.formats.csr import CsrMatrix
-    from tpusparse.ops.hybrid import HybridPlan
-    import jax.experimental.sparse as jsparse
-    from tpusparse.kernels.ell_spmm import DeviceEll
-    from tpusparse.kernels.ell_df import DeviceEllDF
-    from tpusparse.ops.reorder import ReorderedPlan
-
-    if isinstance(p, ReorderedPlan):
-        return "rcm+" + kind_of(p.inner)
-    if isinstance(p, HybridPlan):
-        return "dia" if p.rest is None else "hybrid_dia"
-    if isinstance(p, CsrMatrix):
-        return "reference"
-    if isinstance(p, jsparse.BCOO):
-        return "bcoo"
-    if isinstance(p, DeviceEll):
-        return "row_split"
-    if isinstance(p, DeviceEllDF):
-        return "row_split_df64"
-    if type(p).__name__ == "DfMergeTiles":
-        return "merge_df64"
-    return (type(p).__name__ == "BcsrMatrix") and "bsr" or "merge"
+from tpusparse.ops.spmv import (  # noqa: E402
+    plan_kind,
+    plan_matrix,
+    plan_semantics,
+    spmv,
+)
 
 
 def is_spd_entry(name):
@@ -100,7 +77,7 @@ def main():
         S = csr.to_scipy()
         # fp32 AUTO plan + golden
         A = plan_matrix(csr, dtype=np.float32)
-        kind = kind_of(A)
+        kind = plan_kind(A)
         x = rng.standard_normal(csr.num_cols).astype(np.float32)
         y = np.asarray(spmv(A, jnp.asarray(x)))
         ref = S @ x

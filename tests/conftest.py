@@ -37,7 +37,7 @@ def pytest_collection_modifyitems(config, items):
     solver tests that dominate the ~40 min full suite); the full suite
     runs with RUN_SLOW=1 (CI / driver) or an explicit ``-m slow``.
     Default run is ~10 min — see CLAUDE.md for both timings."""
-    if os.environ.get("RUN_SLOW"):
+    if os.environ.get("RUN_SLOW", "0") not in ("", "0", "false", "no"):
         return
     mexpr = config.getoption("-m", default="") or ""
     if "slow" in mexpr:

@@ -234,11 +234,21 @@ def test_nnz_split_strategy(rng):
                                dtype=np.float32).to_csr()
     t = build_nnz_split_tiles(csr)
     # no cut can come from the block budget: every tile except the
-    # last of each row window must be exactly full
-    counts = np.asarray(
-        [(np.asarray(t.end_pos)[i] >= 0).any() for i in range(t.ntiles)]
-    )
-    assert counts.all()
+    # LAST of each row window must be exactly full (slot count ==
+    # tile_nnz). Recover per-tile real slot counts from the dense
+    # reconstruction-free invariant: occupancy * ntiles * tile_nnz =
+    # nnz, and per row window the tile sequence is full..full,partial.
+    rb = np.asarray(t.row_block)
+    win = rb // (t.row_window // LANES)
+    slots = np.asarray([
+        int((np.asarray(t.vals)[i] != 0).sum()) for i in range(t.ntiles)
+    ])
+    # conservative check (zeros in vals undercount): every non-last
+    # tile of a window must hold > tile_nnz - 128 genuine slots —
+    # impossible if the (removed) block budget were cutting early
+    for w in np.unique(win):
+        idx = np.where(win == w)[0]
+        assert (slots[idx[:-1]] > t.tile_nnz - 128).all(), (w, slots[idx])
     assert t.occupancy > 0.9  # equal-nnz packing is near-perfect
     A = plan_matrix(csr, strategy="nonzero_split", dtype=np.float32)
     x = rng.standard_normal(csr.num_cols).astype(np.float32)

@@ -122,28 +122,9 @@ def _plan(csr, strategy, dtype, L=1, reorder=None, plan_cache=None):
         A = plan_matrix(csr, strategy=strategy, dtype=dtype, L=L,
                         reorder=reorder)
 
-    def kind_of(p):
-        if isinstance(p, ReorderedPlan):
-            return "rcm+" + kind_of(p.inner)
-        if isinstance(p, HybridPlan):
-            from tpusparse.kernels.dia_nmajor import DiaNMajorDevice
+    from tpusparse.ops.spmv import plan_kind
 
-            tag = ("dia_nmajor" if isinstance(p.dia, DiaNMajorDevice)
-                   else "dia")
-            return tag if p.rest is None else "hybrid_" + tag
-        if isinstance(p, CsrMatrix):
-            return "reference"
-        if isinstance(p, jsparse.BCOO):
-            return "bcoo"
-        if isinstance(p, DeviceEll):
-            return "row_split"
-        if isinstance(p, DeviceEllDF):
-            return "row_split_df64"
-        if type(p).__name__ == "DfMergeTiles":
-            return "merge_df64"
-        return type(p).__name__ == "BcsrMatrix" and "bsr" or "merge"
-
-    kind = kind_of(A)
+    kind = plan_kind(A)
     # the pure equal-nnz partition shares the merge plan/kernel types;
     # label its row by the requested strategy (the reference reports
     # NONZERO_SPLIT as its own benchmark row, cpu_spmv.cpp:750-923)
@@ -208,8 +189,12 @@ def cmd_spmv(args):
                         # and the double-float gather-job kernel
                         # (reference benches its kernels in the
                         # default fp64 mode, cpu_spmv.cpp:979)
-                        else ["auto", "merge", "nonzero_split",
-                              "row_split", "reference", "bcoo"]))
+                        # nonzero_split stays explicit-only in fp64:
+                        # its df-merge variant doubles the costliest
+                        # interpret-mode compile (CLAUDE.md) for a row
+                        # the reference's fp64 table gets on request
+                        else ["auto", "merge", "row_split",
+                              "reference", "bcoo"]))
     rows = []
     seen_kinds = set()
     for strat in strategies:

@@ -67,6 +67,11 @@ class SpmvStrategy(enum.Enum):
 # takes over (kernels/merge_df._spmm_kernel_df).
 DF_ELL_MIN_OCC = 0.2
 
+# explicit nonzero_split plans refuse tiles whose column span (the
+# kernel's static gather trip count) exceeds this — unbounded spans
+# are the pure partition's failure mode on scattered patterns
+NNZ_SPLIT_MAX_SPAN = 256
+
 # fp32 multi-RHS AUTO: below this merge-tile slot occupancy the merge
 # SpMM's per-tile work (repeated serially per RHS lane block) loses to
 # the ELL gather kernel even when ELL's own packing is poor — see the
@@ -188,6 +193,19 @@ def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1,
         from tpusparse.formats.tiles import build_nnz_split_tiles
 
         tiles = build_nnz_split_tiles(csr)
+        # capacity guard: the per-tile column span is the kernel's
+        # STATIC unrolled gather trip count; with no clustering it
+        # grows with the scatter, and Mosaic compile time explodes on
+        # large unrolled bodies (CLAUDE.md). Raise with guidance so
+        # CLI sweeps print an ERROR row and continue.
+        max_span = int(np.asarray(tiles.col_span).max()) if \
+            tiles.ntiles else 0
+        if max_span > NNZ_SPLIT_MAX_SPAN:
+            raise ValueError(
+                f"nonzero_split tile span {max_span} exceeds the "
+                f"compile-safe cap {NNZ_SPLIT_MAX_SPAN} (pure "
+                "equal-nnz cuts on a scattered pattern); use "
+                "strategy='merge' — its clustering bounds the span")
         if np.dtype(dtype).itemsize > 4:
             from tpusparse.kernels import merge_df
 
@@ -400,6 +418,43 @@ def _try_plan_dia(csr, strategy, dtype, L):
         rest_plan = plan_matrix(rest, strategy="auto", dtype=dtype,
                                 L=L, _allow_dia=False)
     return HybridPlan(dev, rest_plan, csr.nnz)
+
+
+def plan_kind(A) -> str:
+    """Canonical short name of a plan's kernel family (the CLI row
+    label; the reference prints its kernel enum name per benchmark
+    row, ``cpu_spmv.cpp:750-923``). Single source of truth — the CLI
+    and the real-matrix battery both use it."""
+    import jax.experimental.sparse as jsparse
+
+    from tpusparse.formats.bcsr import BcsrMatrix
+    from tpusparse.formats.csr import CsrMatrix
+    from tpusparse.kernels.ell_df import DeviceEllDF
+    from tpusparse.kernels.ell_spmm import DeviceEll
+    from tpusparse.ops.hybrid import HybridPlan
+    from tpusparse.ops.reorder import ReorderedPlan
+
+    if isinstance(A, ReorderedPlan):
+        return "rcm+" + plan_kind(A.inner)
+    if isinstance(A, HybridPlan):
+        from tpusparse.kernels.dia_nmajor import DiaNMajorDevice
+
+        tag = ("dia_nmajor" if isinstance(A.dia, DiaNMajorDevice)
+               else "dia")
+        return tag if A.rest is None else "hybrid_" + tag
+    if isinstance(A, CsrMatrix):
+        return "reference"
+    if isinstance(A, jsparse.BCOO):
+        return "bcoo"
+    if isinstance(A, DeviceEll):
+        return "row_split"
+    if isinstance(A, DeviceEllDF):
+        return "row_split_df64"
+    if type(A).__name__ == "DfMergeTiles":
+        return "merge_df64"
+    if isinstance(A, BcsrMatrix):
+        return "bsr"
+    return "merge"
 
 
 def plan_semantics(A) -> str:
