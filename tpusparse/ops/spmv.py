@@ -6,18 +6,32 @@ MKL baseline, selected by the ``SpmmKernel`` enum
 NONZERO_SPLIT) and benchmarked against each other
 (``cpu_spmv.cpp:750-923``). The TPU-native strategy set is:
 
-  REFERENCE  — pure-XLA gather + segment_sum (the golden model).
-  MERGE      — the Pallas merge-tile kernel (skew-insensitive flagship;
-               TPU re-design of the SC'16 merge-path GPU pipeline —
-               the reference's MERGE / NONZERO_SPLIT strategies).
-  ROW_SPLIT  — the Pallas layered-ELL kernel (one vector lane per row;
-               TPU re-design of the reference's SIMPLE row-splitting
-               strategy; the fastest multi-RHS path for regular rows).
-  BSR        — blocked-CSR panels on the MXU (for block-structured
-               matrices; the TPU answer to the reference's BCSR format).
-  AUTO       — plan-time selection by occupancy / gather-span / VMEM
-               fit, mirroring the reference's benchmarked-strategy
-               selection.
+  REFERENCE     — pure-XLA gather + segment_sum (the golden model).
+  MERGE         — the Pallas merge-tile kernel (skew-insensitive
+                  flagship; TPU re-design of the SC'16 merge-path GPU
+                  pipeline — the reference's MERGE strategy).
+  NONZERO_SPLIT — the reference's pure equal-nnz partition
+                  (nonzero_splitting.hpp:19-152) as its own
+                  benchmarkable family: merge kernels on
+                  build_nnz_split_tiles (no locality clustering;
+                  explicit-only — see the RESULTS.md A/B).
+  ROW_SPLIT     — the Pallas layered-ELL kernel (one vector lane per
+                  row; TPU re-design of the reference's SIMPLE
+                  row-splitting strategy; the fastest multi-RHS path
+                  for regular rows).
+  BSR           — blocked-CSR panels on the MXU (for block-structured
+                  matrices; the TPU answer to the reference's BCSR).
+  DIA / NMAJOR  — diagonal-structure fast paths (formats/dia,
+                  kernels/dia_stream, kernels/dia_nmajor); AUTO peels
+                  dense diagonals first, NMAJOR is the explicit
+                  row-interleaved masked multi-RHS plan.
+  AUTO          — plan-time selection by occupancy / gather-span /
+                  VMEM fit, mirroring the reference's
+                  benchmarked-strategy selection.
+
+``plan_kind`` names a plan's family (CLI row labels);
+``plan_semantics`` tags its numeric semantics (f32 / ieee-f64 /
+double-float(~1e-14)).
 
 ``plan_matrix`` builds the device operand for a host CsrMatrix under a
 strategy; ``spmv``/``spmm`` dispatch on the operand type.
