@@ -32,6 +32,7 @@ def test_all_strategies_agree_spmv(name, make, rng):
     for strat, dtype, tol in [
         ("reference", np.float64, 1e-12),
         ("merge", np.float32, 3e-5),
+        ("nonzero_split", np.float32, 3e-5),
         ("row_split", np.float32, 3e-5),
     ]:
         A = plan_matrix(csr, strategy=strat, dtype=dtype)
