@@ -65,6 +65,14 @@ def _arm_watchdog():
 def main():
     wd = _arm_watchdog()
 
+    if os.environ.get("BENCH_FORCE_CPU") == "1":
+        # smoke-test mode: run the full code path hermetically (the
+        # ambient axon plugin ignores JAX_PLATFORMS, so force through
+        # the config API before backend init)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from tpusparse.bench import models
@@ -72,7 +80,7 @@ def main():
     from tpusparse.io import generators
     from tpusparse.ops.spmv import plan_matrix, spmv
 
-    width = 48  # 110k rows, ~760k nnz
+    width = int(os.environ.get("BENCH_WIDTH", 48))  # 110k rows, ~760k nnz
     csr = generators.make_laplacian_grid3d(width, dtype=np.float32).to_csr()
     A = plan_matrix(csr, strategy="auto", dtype=np.float32)
     strategy = type(A).__name__
@@ -102,9 +110,16 @@ def main():
         iters = (200, 3200)
     else:
         iters = (20, 420)
+    # env knobs so the full code path (both rows, all fields) can be
+    # smoke-run off-TPU with tiny chains (tests/CI); defaults are the
+    # production values
+    scale = float(os.environ.get("BENCH_CHAIN_SCALE", 1.0))
+    sets = int(os.environ.get("BENCH_SETS", 8))
+    reps = int(os.environ.get("BENCH_REPS", 4))
+    iters = (max(int(iters[0] * scale), 1), max(int(iters[1] * scale), 2))
     st = slope_time(
         lambda v: spmv(A, v), x, iters=iters,
-        sets=8, reps=4,
+        sets=sets, reps=reps,
     )
     per_op = st.median_s
     gf = 2.0 * csr.nnz / max(per_op, 1e-9) / 1e9
@@ -114,9 +129,10 @@ def main():
     # (VERDICT r3 item 3; the reference reports every strategy per
     # run, cpu_spmv.cpp:750-923).
     A_merge = plan_matrix(csr, strategy="merge", dtype=np.float32)
+    m_iters = (max(int(20 * scale), 1), max(int(420 * scale), 2))
     st_m = slope_time(
-        lambda v: spmv(A_merge, v), x, iters=(20, 420),
-        sets=8, reps=4,
+        lambda v: spmv(A_merge, v), x, iters=m_iters,
+        sets=sets, reps=reps,
     )
     gf_merge = 2.0 * csr.nnz / max(st_m.median_s, 1e-9) / 1e9
     merge_bytes = models.spmv_bytes(csr.nnz, csr.num_rows,
