@@ -429,3 +429,32 @@ def test_cli_multicg_reorder(capsys, tmp_path):
     assert out["cg"]["converged"]
     assert out["pcg_ic0"]["converged"]
     assert out["pcg_ic0"]["iters"] <= out["cg"]["iters"]
+
+
+def test_bench_headline_smoke():
+    """bench.py's full measurement path (AUTO + merge rows, all JSON
+    fields) runs hermetically with tiny chains — driver-gate code
+    coverage without the chip (round 4)."""
+    import json
+    import subprocess
+    import sys
+
+    env = dict(os.environ, BENCH_CHILD="1", BENCH_FORCE_CPU="1",
+               BENCH_WIDTH="12", BENCH_CHAIN_SCALE="0.01",
+               BENCH_SETS="2", BENCH_REPS="1")
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "bench.py")],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["metric"] == "spmv_fp32_auto_gflops"
+    assert res["value"] > 0
+    for field in ("merge_gflops", "merge_spread", "spread",
+                  "pct_of_roofline", "merge_pct_of_roofline",
+                  "best_set_gflops", "vs_baseline", "strategy"):
+        assert field in res, field
+    assert res["merge_gflops"] > 0
