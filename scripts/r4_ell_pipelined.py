@@ -59,6 +59,11 @@ def _pipe_kernel(J, L, rb_ref, new_ref, cblk_ref, lc_ref, vals_ref,
     y_ref[0] = y_ref[0] + cand * v
 
 
+# payload arrays reshape to (ntiles*J, 1, 128) so the (1, 1, 128)
+# blocks satisfy Mosaic's last-two-dims rule (second-to-last block dim
+# must divide by 8 or equal the array dim)
+
+
 @functools.partial(jax.jit, static_argnames=("mb",))
 @kernel_no_x64
 def _spmm_pipe(A, x3, mb: int):
@@ -76,9 +81,9 @@ def _spmm_pipe(A, x3, mb: int):
             grid=(A.ntiles, J),
             in_specs=[
                 pl.BlockSpec((1, 1, LANES),
-                             lambda t, j, rb, nw, cb: (t, j, 0)),
+                             lambda t, j, rb, nw, cb: (t * J + j, 0, 0)),
                 pl.BlockSpec((1, 1, LANES),
-                             lambda t, j, rb, nw, cb: (t, j, 0)),
+                             lambda t, j, rb, nw, cb: (t * J + j, 0, 0)),
                 pl.BlockSpec(
                     (1, L, LANES),
                     lambda t, j, rb, nw, cb: (cb[t * J + j], 0, 0)),
@@ -89,7 +94,9 @@ def _spmm_pipe(A, x3, mb: int):
         ),
         out_shape=jax.ShapeDtypeStruct((mb, L, LANES), A.vals.dtype),
         interpret=_interpret(),
-    )(A.row_block, A.new_block, A.job_cblk, A.local_cols, A.vals, x3)
+    )(A.row_block, A.new_block, A.job_cblk,
+      A.local_cols.reshape(-1, 1, LANES), A.vals.reshape(-1, 1, LANES),
+      x3)
     return y3
 
 

@@ -16,6 +16,7 @@ from tpusparse.io import generators
 from tpusparse.ops.reorder import (
     ReorderedPlan,
     bandwidth,
+    degree_order,
     permute_symmetric,
     plan_reorder,
     rcm_order,
@@ -116,6 +117,73 @@ def test_auto_gate_secondary_score_path():
     assert isinstance(
         plan_matrix(scr, dtype=np.float32, reorder="auto"),
         ReorderedPlan)
+
+
+def test_degree_order_spmv_parity(rng):
+    """order='degree' clusters hot columns and still computes the
+    original-coordinate y = A x (round-4 gather-span lever)."""
+    from tpusparse.ops.spmv import plan_kind
+
+    csr = generators.make_rmat(12, dtype=np.float32).to_csr()
+    A = plan_reorder(csr, strategy="merge", dtype=np.float32,
+                     order="degree")
+    assert isinstance(A, ReorderedPlan) and A.order == "degree"
+    assert plan_kind(A) == "degree+merge"
+    x = rng.standard_normal(csr.num_cols)
+    golden = spmv_numpy(csr, x)
+    y = np.asarray(spmv(A, jnp.asarray(x.astype(np.float32))))
+    scale = np.abs(golden).max()
+    np.testing.assert_allclose(y / scale, golden / scale, atol=5e-5)
+
+
+def test_degree_order_reduces_span():
+    """The point of the ordering: the partition's mean column span
+    (the kernel's gather trip statistic) shrinks on power-law
+    patterns (host stats; on-chip A/B in RESULTS.md)."""
+    from tpusparse.formats.tiles import choose_partition
+
+    csr = generators.make_rmat(14, dtype=np.float32).to_csr()
+    t_nat = choose_partition(csr)
+    rec = permute_symmetric(csr, degree_order(csr))
+    t_deg = choose_partition(rec)
+    span_nat = float(np.asarray(t_nat.col_span).mean())
+    span_deg = float(np.asarray(t_deg.col_span).mean())
+    assert span_deg < 0.85 * span_nat
+    # uniform-degree matrices come back unchanged (stable sort)
+    lap = generators.make_laplacian_grid2d(16, dtype=np.float32).to_csr()
+    np.testing.assert_array_equal(
+        degree_order(lap)[: lap.num_cols],
+        np.argsort(-np.bincount(
+            np.asarray(lap.col_indices), minlength=lap.num_cols),
+            kind="stable"))
+
+
+def test_degree_auto_dia_guard():
+    """auto never degree-permutes a DIA-eligible matrix even when the
+    column degrees are concentrated: reordering would scramble the
+    diagonal structure the planner exploits."""
+    from tpusparse.ops.reorder import _degree_concentration, _dia_eligible
+    from tpusparse.formats.coo import CooMatrix
+    from tpusparse.formats.csr import CsrMatrix
+
+    # tridiagonal operator (DIA-eligible) + two hub columns carrying
+    # enough nnz to clear the concentration prefilter
+    n = 4096
+    i = np.arange(n, dtype=np.int64)
+    rows = np.concatenate([i, i[:-1], i[1:], i, i])
+    cols = np.concatenate([i, i[1:], i[:-1],
+                           np.zeros(n, np.int64),
+                           np.full(n, 1, np.int64)])
+    vals = np.concatenate([np.full(n, 4.0), np.full(n - 1, -1.0),
+                           np.full(n - 1, -1.0), np.full(n, 0.01),
+                           np.full(n, 0.01)]).astype(np.float32)
+    keep = np.ones(rows.size, bool)  # dedupe (0,0),(1,1) collisions
+    csr = CsrMatrix.from_coo(CooMatrix(n, n, rows[keep], cols[keep],
+                                       vals[keep]))
+    assert _degree_concentration(csr) >= 0.25
+    assert _dia_eligible(csr)
+    A = plan_matrix(csr, dtype=np.float32, reorder="auto")
+    assert not (isinstance(A, ReorderedPlan) and A.order == "degree")
 
 
 def test_cg_iteration_parity_under_reorder(rng):

@@ -816,11 +816,13 @@ def build_parser():
                              "(io.plans): the first run per matrix "
                              "builds and saves the tuned plan, later "
                              "runs load it and skip planning")
-        sp.add_argument("--reorder", choices=["rcm", "auto"],
-                        help="RCM pre-order (ops.reorder; the "
-                             "reference's InitCsrRelabel capability). "
-                             "'auto' permutes only when RCM recovers "
-                             "substantial bandwidth locality")
+        sp.add_argument("--reorder", choices=["rcm", "degree", "auto"],
+                        help="symmetric pre-order (ops.reorder; the "
+                             "reference's InitCsrRelabel capability): "
+                             "'rcm' bandwidth recovery, 'degree' "
+                             "hot-column clustering (power-law gather-"
+                             "span reduction), 'auto' picks by the "
+                             "calibrated chooser-score gates")
         sp.add_argument("--num_vectors", type=int, default=32)
         sp.add_argument("--max_iters", type=int, default=10000)
         sp.add_argument("--tolerance", type=float, default=1e-5)

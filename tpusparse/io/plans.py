@@ -29,7 +29,8 @@ import numpy as np
 # v2: DiaStreamDevice / DiaStreamDFDevice grew the masked-compression
 # payload fields (mask_b + static vals) — v1 pickles would unpickle to
 # objects missing them.
-_FORMAT_VERSION = 2
+# v3: ReorderedPlan grew the ``order`` aux field ('rcm' | 'degree').
+_FORMAT_VERSION = 3
 _MAGIC = "tpusparse-plan"
 
 

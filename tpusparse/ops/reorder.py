@@ -46,6 +46,19 @@ RCM_SLACK = 128
 # lap3d 0.83x, wheel 1.00x keep their order).
 RCM_MEANBW_GAIN = 1.5
 RCM_SCORE_GAIN = 1.3
+# Degree-sort candidate (order='degree'): clustering HOT COLUMNS into
+# the first x blocks shrinks the per-tile column span (the kernel's
+# gather trip count) on power-law patterns — the round-4 micro study
+# put the merge kernel's gather stage at ~92% of the ISA floor
+# (4.3 ns per window row), so span reduction is the one remaining
+# gather lever. Host partition stats on rmat-16: mean span 15.0 ->
+# 8.9 and 2241 -> 1947 tiles (est. 1.5x; RCM reaches 8.5 but keeps
+# more tiles). auto evaluates the candidate only when the top ~3% of
+# columns carry >= DEGREE_TOP_FRAC of the nonzeros (measured: rmat
+# 0.57-0.61 vs lap3d/fem/wheel 0.03-0.05) and the matrix is not
+# DIA-eligible (reordering scrambles diagonal structure), then picks
+# by the same chooser score as RCM.
+DEGREE_TOP_FRAC = 0.25
 
 
 def bandwidth(csr: CsrMatrix) -> int:
@@ -106,6 +119,43 @@ def permute_symmetric(csr: CsrMatrix, perm: np.ndarray) -> CsrMatrix:
     )
 
 
+def degree_order(csr: CsrMatrix) -> np.ndarray:
+    """Column-degree-descending ordering (hub columns first), gather
+    convention (``permute_symmetric(csr, perm)`` has the hot columns
+    packed into the leading 128-column blocks). Stable, so ties keep
+    their native relative order — uniform-degree matrices come back
+    unchanged."""
+    ci = np.asarray(csr.col_indices).astype(np.int64)
+    deg = np.bincount(ci, minlength=csr.num_cols)
+    return np.argsort(-deg, kind="stable").astype(np.int64)
+
+
+def _degree_concentration(csr: CsrMatrix) -> float:
+    """Fraction of nonzeros carried by the top ~3% highest-degree
+    columns — the cheap O(nnz) prefilter for the degree candidate."""
+    ci = np.asarray(csr.col_indices).astype(np.int64)
+    if ci.size == 0:
+        return 0.0
+    deg = np.bincount(ci, minlength=csr.num_cols)
+    k = max(csr.num_cols // 32, 128)
+    return float(np.sort(deg)[::-1][:k].sum()) / csr.nnz
+
+
+def _dia_eligible(csr: CsrMatrix) -> bool:
+    """Would AUTO peel this matrix onto the DIA path? (Same coverage
+    test as ops.spmv._try_plan_dia — reordering must not scramble a
+    matrix the planner would otherwise run as dense diagonals.)"""
+    from tpusparse.formats.dia import diagonal_profile, select_diagonals
+    from tpusparse.ops.spmv import DIA_MIN_COVERAGE
+
+    offsets = select_diagonals(csr)
+    if offsets.size == 0:
+        return False
+    all_off, counts, _ = diagonal_profile(csr)
+    covered = int(counts[np.isin(all_off, offsets)].sum())
+    return covered >= DIA_MIN_COVERAGE * csr.nnz
+
+
 def rcm_order(csr: CsrMatrix) -> np.ndarray:
     """Reverse-Cuthill-McKee ordering of the symmetrized pattern:
     ``perm`` in the gather convention (``permute_symmetric(csr, perm)``
@@ -131,67 +181,28 @@ class ReorderedPlan:
     inner: Any
     perm: Any        # (n,) int32 device — new -> old
     inv_perm: Any    # (n,) int32 device — old -> new
+    order: str = "rcm"   # which ordering built the permutation
+                         # ('rcm' | 'degree') — the plan_kind prefix
 
     def tree_flatten(self):
         return ((self.inner, self.perm, self.inv_perm),
-                (self.num_rows, self.num_cols, self.nnz))
+                (self.num_rows, self.num_cols, self.nnz, self.order))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         inner, perm, inv = children
-        nr, nc, nnz = aux
-        return cls(nr, nc, nnz, inner, perm, inv)
+        nr, nc, nnz, order = aux
+        return cls(nr, nc, nnz, inner, perm, inv, order)
 
     @property
     def dtype(self):
         return getattr(self.inner, "dtype", None)
 
 
-def plan_reorder(csr: CsrMatrix, strategy="auto", dtype=None,
-                 L: int = 1, order: str = "rcm"):
-    """Build a plan on the RCM-permuted matrix, wrapped so callers use
-    it exactly like any other plan.
-
-    ``order='rcm'`` always permutes; ``order='auto'`` permutes only
-    when the RCM bandwidth clears the :data:`RCM_GAIN` gate (returns a
-    plain un-permuted plan otherwise — scattered and already-banded
-    matrices keep their native order).
-    """
+def _wrap_reordered(csr, perm, inv, strategy, dtype, L, order_name,
+                    csr_p=None):
     from tpusparse.ops.spmv import plan_matrix
 
-    if order not in ("rcm", "auto"):
-        raise ValueError(f"unknown order {order!r}")
-    if csr.num_rows != csr.num_cols or csr.nnz == 0:
-        return plan_matrix(csr, strategy=strategy, dtype=dtype, L=L)
-    perm = rcm_order(csr)
-    inv = np.argsort(perm)
-    csr_p = None
-    if order == "auto":
-        # permuted bandwidth straight from the relabeling — O(nnz),
-        # no need to build the permuted matrix to reject the gate
-        ro = np.asarray(csr.row_offsets)
-        ci = np.asarray(csr.col_indices).astype(np.int64)
-        rows = np.repeat(np.arange(csr.num_rows, dtype=np.int64),
-                         np.diff(ro))
-        d_orig = np.abs(rows - ci)
-        d_perm = np.abs(inv[rows] - inv[ci])
-        if int(d_perm.max()) + RCM_SLACK > RCM_GAIN * int(d_orig.max()):
-            # primary (max-bandwidth) gate failed — hub rows can pin
-            # the max while the bulk still localizes; fall through to
-            # the mean-bandwidth prefilter + chooser-score comparison
-            if (float(d_perm.mean()) * RCM_MEANBW_GAIN
-                    > float(d_orig.mean())):
-                return plan_matrix(csr, strategy=strategy, dtype=dtype,
-                                   L=L)
-            from tpusparse.formats.tiles import choose_partition_params
-
-            csr_p = permute_symmetric(csr, perm)
-            _, s_orig = choose_partition_params(csr, return_score=True)
-            _, s_perm = choose_partition_params(csr_p,
-                                                return_score=True)
-            if s_perm <= RCM_SCORE_GAIN * s_orig:
-                return plan_matrix(csr, strategy=strategy, dtype=dtype,
-                                   L=L)
     if csr_p is None:
         csr_p = permute_symmetric(csr, perm)
     inner = plan_matrix(csr_p, strategy=strategy, dtype=dtype, L=L)
@@ -200,4 +211,76 @@ def plan_reorder(csr: CsrMatrix, strategy="auto", dtype=None,
         inner=inner,
         perm=jnp.asarray(perm.astype(np.int32)),
         inv_perm=jnp.asarray(inv.astype(np.int32)),
+        order=order_name,
     )
+
+
+def plan_reorder(csr: CsrMatrix, strategy="auto", dtype=None,
+                 L: int = 1, order: str = "rcm"):
+    """Build a plan on a symmetrically permuted matrix, wrapped so
+    callers use it exactly like any other plan.
+
+    ``order='rcm'`` / ``order='degree'`` always permute (bandwidth
+    recovery / hot-column clustering); ``order='auto'`` permutes only
+    when a candidate clears its gates — RCM when it recovers
+    substantial bandwidth locality, degree-sort when the pattern's
+    column degrees are concentrated (:data:`DEGREE_TOP_FRAC`) and the
+    matrix is not DIA-eligible — ranking the survivors by the
+    partition chooser's calibrated score and returning a plain
+    un-permuted plan when nothing clears :data:`RCM_SCORE_GAIN`.
+    """
+    from tpusparse.ops.spmv import plan_matrix
+
+    if order not in ("rcm", "degree", "auto"):
+        raise ValueError(f"unknown order {order!r}")
+    if csr.num_rows != csr.num_cols or csr.nnz == 0:
+        return plan_matrix(csr, strategy=strategy, dtype=dtype, L=L)
+    if order == "degree":
+        perm = degree_order(csr)
+        return _wrap_reordered(csr, perm, np.argsort(perm), strategy,
+                               dtype, L, "degree")
+    perm = rcm_order(csr)
+    inv = np.argsort(perm)
+    if order == "rcm":
+        return _wrap_reordered(csr, perm, inv, strategy, dtype, L,
+                               "rcm")
+    # order == 'auto'
+    # permuted bandwidth straight from the relabeling — O(nnz),
+    # no need to build the permuted matrix to reject the gate
+    ro = np.asarray(csr.row_offsets)
+    ci = np.asarray(csr.col_indices).astype(np.int64)
+    rows = np.repeat(np.arange(csr.num_rows, dtype=np.int64),
+                     np.diff(ro))
+    d_orig = np.abs(rows - ci)
+    d_perm = np.abs(inv[rows] - inv[ci])
+    if int(d_perm.max()) + RCM_SLACK <= RCM_GAIN * int(d_orig.max()):
+        # primary gate: RCM recovers a banded form outright
+        return _wrap_reordered(csr, perm, inv, strategy, dtype, L,
+                               "rcm")
+    # hub rows can pin the max bandwidth while the bulk still
+    # localizes — candidates that pass their cheap prefilter are
+    # scored on the actually-built permuted matrix by the partition
+    # chooser's calibrated occupancy-over-cost score
+    candidates = []
+    if float(d_perm.mean()) * RCM_MEANBW_GAIN <= float(d_orig.mean()):
+        candidates.append(("rcm", perm, inv))
+    if (_degree_concentration(csr) >= DEGREE_TOP_FRAC
+            and not _dia_eligible(csr)):
+        dperm = degree_order(csr)
+        candidates.append(("degree", dperm, np.argsort(dperm)))
+    if not candidates:
+        return plan_matrix(csr, strategy=strategy, dtype=dtype, L=L)
+    from tpusparse.formats.tiles import choose_partition_params
+
+    _, s_orig = choose_partition_params(csr, return_score=True)
+    best = None
+    for name, p, iv in candidates:
+        csr_p = permute_symmetric(csr, p)
+        _, s = choose_partition_params(csr_p, return_score=True)
+        if best is None or s > best[0]:
+            best = (s, name, p, iv, csr_p)
+    if best[0] <= RCM_SCORE_GAIN * s_orig:
+        return plan_matrix(csr, strategy=strategy, dtype=dtype, L=L)
+    _, name, p, iv, csr_p = best
+    return _wrap_reordered(csr, p, iv, strategy, dtype, L, name,
+                           csr_p=csr_p)

@@ -101,8 +101,9 @@ def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1,
     ``reorder``: None (default) plans in the native order; ``'rcm'``
     plans on the RCM-permuted matrix (ops.reorder — the reference's
     ``InitCsrRelabel`` capability, ``sparse_matrix.h:184-207``);
-    ``'auto'`` permutes only when RCM recovers substantial bandwidth
-    locality.
+    ``'degree'`` clusters hot columns first (power-law gather-span
+    reduction); ``'auto'`` permutes only when a candidate ordering
+    clears its calibrated gates.
 
     AUTO policy: fp64 -> double-float plans (two-f32 planes, ~1e-14
     relative accuracy and f32 exponent range — NOT strict IEEE fp64;
@@ -449,7 +450,7 @@ def plan_kind(A) -> str:
     from tpusparse.ops.reorder import ReorderedPlan
 
     if isinstance(A, ReorderedPlan):
-        return "rcm+" + plan_kind(A.inner)
+        return A.order + "+" + plan_kind(A.inner)
     if isinstance(A, HybridPlan):
         from tpusparse.kernels.dia_nmajor import DiaNMajorDevice
 
