@@ -113,10 +113,11 @@ def test_auto_gate_secondary_score_path():
     # primary (max-bandwidth) gate must NOT be able to fire
     rec = permute_symmetric(scr, rcm_order(scr))
     assert bandwidth(rec) + RCM_SLACK > RCM_GAIN * bandwidth(scr)
-    # ...yet auto reorders on the secondary score path
-    assert isinstance(
-        plan_matrix(scr, dtype=np.float32, reorder="auto"),
-        ReorderedPlan)
+    # ...yet auto reorders on the secondary score path — and prefers
+    # degree over RCM inside the score proxy's resolution (on-chip:
+    # 78.1 vs 87.1-95.4 us, RESULTS.md round-4 reorder A/B)
+    A = plan_matrix(scr, dtype=np.float32, reorder="auto")
+    assert isinstance(A, ReorderedPlan) and A.order == "degree"
 
 
 def test_degree_order_spmv_parity(rng):

@@ -47,17 +47,19 @@ RCM_SLACK = 128
 RCM_MEANBW_GAIN = 1.5
 RCM_SCORE_GAIN = 1.3
 # Degree-sort candidate (order='degree'): clustering HOT COLUMNS into
-# the first x blocks shrinks the per-tile column span (the kernel's
-# gather trip count) on power-law patterns — the round-4 micro study
-# put the merge kernel's gather stage at ~92% of the ISA floor
-# (4.3 ns per window row), so span reduction is the one remaining
-# gather lever. Host partition stats on rmat-16: mean span 15.0 ->
-# 8.9 and 2241 -> 1947 tiles (est. 1.5x; RCM reaches 8.5 but keeps
-# more tiles). auto evaluates the candidate only when the top ~3% of
-# columns carry >= DEGREE_TOP_FRAC of the nonzeros (measured: rmat
-# 0.57-0.61 vs lap3d/fem/wheel 0.03-0.05) and the matrix is not
-# DIA-eligible (reordering scrambles diagonal structure), then picks
-# by the same chooser score as RCM.
+# the first x blocks shrinks the per-tile MEAN column span on
+# power-law patterns (rmat-16: 15.0 -> 8.9, 2241 -> 1947 tiles).
+# On-chip truth (scripts/r4_reorder_inner.py): the win does NOT
+# materialize — the kernel's static gather trip is the CLASS MAX
+# span, hub tiles are irreducible under any symmetric ordering, and
+# the permuted-space kernel measured 346 us vs natural 289 on
+# rmat-16 (RCM 362). The order stays available explicitly (same
+# benchmarkable-alternative status as strategy='nonzero_split');
+# 'auto' evaluates it only when the top ~3% of columns carry
+# >= DEGREE_TOP_FRAC of the nonzeros (measured: rmat 0.57-0.61 vs
+# lap3d/fem/wheel 0.03-0.05) and the matrix is not DIA-eligible,
+# then gates on the chooser score — which correctly REFUSES rmat-16
+# (gain 1.18 < 1.3; the chip confirmed the refusal).
 DEGREE_TOP_FRAC = 0.25
 
 
@@ -277,7 +279,14 @@ def plan_reorder(csr: CsrMatrix, strategy="auto", dtype=None,
     for name, p, iv in candidates:
         csr_p = permute_symmetric(csr, p)
         _, s = choose_partition_params(csr_p, return_score=True)
-        if best is None or s > best[0]:
+        # tie-break toward degree inside the score proxy's resolution:
+        # on rmat-16-ef4 the chip measured degree 78.1 us vs rcm
+        # 87.1-95.4 while the scores read 1.96 vs 2.03 — within ~10%
+        # the measured ordering, not the proxy, decides
+        # (scripts/r4_reorder_inner.py A/B)
+        if name == "degree" and best is not None and s > 0.9 * best[0]:
+            best = (max(s, best[0]), name, p, iv, csr_p)
+        elif best is None or s > best[0]:
             best = (s, name, p, iv, csr_p)
     if best[0] <= RCM_SCORE_GAIN * s_orig:
         return plan_matrix(csr, strategy=strategy, dtype=dtype, L=L)
