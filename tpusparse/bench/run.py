@@ -86,8 +86,11 @@ def _load_matrix(args):
         coo = generators.make_random_spd(args.spd, dtype=dtype)
         name = f"spd_{args.spd}"
     elif args.rmat:
-        coo = generators.make_rmat(args.rmat, dtype=dtype)
-        name = f"rmat_{args.rmat}"
+        ef = getattr(args, "rmat_ef", 16)
+        coo = generators.make_rmat(args.rmat, edge_factor=ef,
+                                   dtype=dtype)
+        name = (f"rmat_{args.rmat}" if ef == 16
+                else f"rmat_{args.rmat}_ef{ef}")
     elif args.rmat_spd:
         coo = generators.make_rmat_spd(args.rmat_spd, dtype=dtype)
         name = f"rmat_spd_{args.rmat_spd}"
@@ -799,6 +802,12 @@ def build_parser():
         sp.add_argument("--spd", type=int)
         sp.add_argument("--rmat", type=int, metavar="SCALE",
                         help="R-MAT power-law graph, 2^SCALE vertices")
+        sp.add_argument("--rmat_ef", type=int, default=16,
+                        metavar="EDGES",
+                        help="R-MAT edge factor (edges per vertex, "
+                             "default 16; the sparse ef=4 class is "
+                             "the measured reorder-win regime — "
+                             "RESULTS.md round-4 reorder A/B)")
         sp.add_argument("--rmat_spd", type=int, metavar="SCALE",
                         help="SPD R-MAT variant (solver drivers)")
         sp.add_argument("--fem", type=int, metavar="N",
