@@ -411,7 +411,7 @@ def _prefix_sum_mxu(P, dtype):
     kr = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
     tblk = ((jr // SUBLANES == kr // SUBLANES) & (kr < jr)).astype(dtype)
     dn = (((1,), (0,)), ((), ()))
-    hi = jax.lax.Precision.HIGHEST
+    hi = SCAN_PRECISION
     out = []
     for c in range(0, R, C):
         S = jax.lax.dot_general(P[c : c + C], tri, dn, precision=hi,
@@ -462,6 +462,13 @@ def _select_tree(cands, q):
 
 # trace-time switch for the round-4 gather A/B (scripts/r4_merge_tree.py)
 GATHER_TREE = False
+
+# MXU pass count for the prefix-sum matmuls (scripts/r4_scan_prec.py
+# A/B): HIGHEST = 6 bf16 passes (f32-faithful — the default; golden
+# ULP checks assume it); HIGH = 3 passes trades ~half the scan cost
+# for extra rounding in the prefix sums, which row-DIFFERENCING can
+# amplify on long rows. Trace-time, like GATHER_TREE.
+SCAN_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def _gather_window_tree(x_ref, cblk, lc, gather_rows):
