@@ -29,7 +29,8 @@ import numpy as np
 # v2: DiaStreamDevice / DiaStreamDFDevice grew the masked-compression
 # payload fields (mask_b + static vals) — v1 pickles would unpickle to
 # objects missing them.
-# v3: ReorderedPlan grew the ``order`` aux field ('rcm' | 'degree').
+# v3: ReorderedPlan grew the ``order`` aux field ('rcm' | 'degree')
+#     and the Pallas permute-kernel payloads (kperm/kinv children).
 _FORMAT_VERSION = 3
 _MAGIC = "tpusparse-plan"
 

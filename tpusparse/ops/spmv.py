@@ -546,10 +546,8 @@ def spmv(A, x, alpha=1.0, beta=0.0, y=None, strategy="auto"):
     from tpusparse.ops.reorder import ReorderedPlan
 
     if isinstance(A, ReorderedPlan):
-        import jax.numpy as jnp
-
-        yp = spmv(A.inner, jnp.asarray(x)[A.perm], alpha=alpha)
-        y_new = yp[A.inv_perm]
+        yp = spmv(A.inner, A.apply_perm(x), alpha=alpha)
+        y_new = A.apply_inv(yp)
         if beta == 0.0 or y is None:
             return y_new
         return y_new + beta * y

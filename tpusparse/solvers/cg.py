@@ -183,14 +183,16 @@ def _cg_solve_impl(A, b, max_iters, tolerance, strategy, x0, matvec,
                    record_history, fuse_mv=False) -> CgResult:
     from tpusparse.ops.reorder import ReorderedPlan
 
-    inv_perm = None
+    unpermute = None
     if isinstance(A, ReorderedPlan) and matvec is None and x0 is None:
         # solve in the permuted space (traced INSIDE the jitted
         # worker — still one host dispatch): one gather of b in, one
-        # of x out, instead of two per iteration. Residual norms and
-        # the iteration trajectory are permutation-invariant.
-        b = jnp.asarray(b)[A.perm]
-        inv_perm = A.inv_perm
+        # of x out, instead of two per iteration — via the Pallas
+        # permute kernel for f32 (XLA's element gather is the
+        # 0.14 Gelem/s cliff). Residual norms and the iteration
+        # trajectory are permutation-invariant.
+        b = A.apply_perm(b)
+        unpermute = A.apply_inv
         A = A.inner
     mv = matvec
     if mv is None and fuse_mv and strategy == "auto":
@@ -245,7 +247,7 @@ def _cg_solve_impl(A, b, max_iters, tolerance, strategy, x0, matvec,
     )
     rel = jnp.sqrt(rs) / b_norm
     return CgResult(
-        x=x if inv_perm is None else x[inv_perm],
+        x=x if unpermute is None else unpermute(x),
         iterations=i,
         converged=rel < tolerance,
         residual=rel,
