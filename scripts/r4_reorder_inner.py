@@ -64,7 +64,6 @@ def main():
                 xp = x
                 refp = ref
             else:
-                inv = np.argsort(p)
                 xp = jnp.asarray(np.asarray(x)[p])
                 refp = (csr.to_scipy() @ np.asarray(x))[p]
             y = np.asarray(spmv(A, xp))

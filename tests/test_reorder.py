@@ -150,13 +150,19 @@ def test_degree_order_reduces_span():
     span_nat = float(np.asarray(t_nat.col_span).mean())
     span_deg = float(np.asarray(t_deg.col_span).mean())
     assert span_deg < 0.85 * span_nat
-    # uniform-degree matrices come back unchanged (stable sort)
-    lap = generators.make_laplacian_grid2d(16, dtype=np.float32).to_csr()
-    np.testing.assert_array_equal(
-        degree_order(lap)[: lap.num_cols],
-        np.argsort(-np.bincount(
-            np.asarray(lap.col_indices), minlength=lap.num_cols),
-            kind="stable"))
+    # a genuinely uniform-degree matrix (ring: every column degree 2)
+    # comes back in its native order — the stable sort of equal keys
+    from tpusparse.formats.coo import CooMatrix
+    from tpusparse.formats.csr import CsrMatrix
+
+    m = 2048
+    i = np.arange(m, dtype=np.int64)
+    ring = CsrMatrix.from_coo(CooMatrix(
+        m, m,
+        np.concatenate([i, i]),
+        np.concatenate([(i + 1) % m, (i - 1) % m]),
+        np.ones(2 * m, dtype=np.float32)))
+    np.testing.assert_array_equal(degree_order(ring), np.arange(m))
 
 
 def test_degree_auto_dia_guard():
@@ -168,7 +174,10 @@ def test_degree_auto_dia_guard():
     from tpusparse.formats.csr import CsrMatrix
 
     # tridiagonal operator (DIA-eligible) + two hub columns carrying
-    # enough nnz to clear the concentration prefilter
+    # enough nnz to clear the concentration prefilter; scipy's
+    # coo->csr conversion sums the duplicate (0,0)/(1,1)-area entries
+    import scipy.sparse as sp
+
     n = 4096
     i = np.arange(n, dtype=np.int64)
     rows = np.concatenate([i, i[:-1], i[1:], i, i])
@@ -178,9 +187,12 @@ def test_degree_auto_dia_guard():
     vals = np.concatenate([np.full(n, 4.0), np.full(n - 1, -1.0),
                            np.full(n - 1, -1.0), np.full(n, 0.01),
                            np.full(n, 0.01)]).astype(np.float32)
-    keep = np.ones(rows.size, bool)  # dedupe (0,0),(1,1) collisions
-    csr = CsrMatrix.from_coo(CooMatrix(n, n, rows[keep], cols[keep],
-                                       vals[keep]))
+    S = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    S.sum_duplicates()
+    coo = S.tocoo()
+    csr = CsrMatrix.from_coo(CooMatrix(
+        n, n, coo.row.astype(np.int64), coo.col.astype(np.int64),
+        coo.data.astype(np.float32)))
     assert _degree_concentration(csr) >= 0.25
     assert _dia_eligible(csr)
     A = plan_matrix(csr, dtype=np.float32, reorder="auto")

@@ -464,10 +464,13 @@ def _select_tree(cands, q):
 GATHER_TREE = False
 
 # MXU pass count for the prefix-sum matmuls (scripts/r4_scan_prec.py
-# A/B): HIGHEST = 6 bf16 passes (f32-faithful — the default; golden
-# ULP checks assume it); HIGH = 3 passes trades ~half the scan cost
-# for extra rounding in the prefix sums, which row-DIFFERENCING can
-# amplify on long rows. Trace-time, like GATHER_TREE.
+# A/B): HIGHEST = 6 bf16 passes (f32-faithful — the production
+# setting; golden ULP checks assume it). The only other option
+# Mosaic's in-kernel dot lowering accepts is DEFAULT (one bf16 pass
+# — Precision.HIGH raises NotImplementedError); measured 1.44x
+# faster on lap3d-48 but err 9.2e-3: the row-DIFFERENCING of prefix
+# sums amplifies the bf16 rounding far outside the f32 golden
+# contract. Trace-time, like GATHER_TREE.
 SCAN_PRECISION = jax.lax.Precision.HIGHEST
 
 

@@ -68,26 +68,41 @@ class PermutePlan:
 
     n: int               # vector length
     nsub: int            # real subtile count (pre-padding)
-    blk_list: Any        # (nsub_pad, SPAN) int32 — source block ids
-    reg: Any             # (nsub_pad,) int32 — output register tile id
-    q: Any               # (nsub_pad, 8, 128) int16 — local block
-                         # index within this subtile's list, -1 =
+    code: Any            # (nsub_pad, 8, 128) int16 — q * 128 + b per
+                         # slot (q = local block index in this
+                         # subtile's list, b = source lane); -1 =
                          # slot not served by this subtile
-    b: Any               # (nsub_pad, 8, 128) int16 — source lane
+    reg: Any             # (steps, 1, S) int32 — output register tile
+                         # id, streamed as a per-step SMEM block
+    blk: Any             # (steps, S, SPAN) int32 — source block ids,
+                         # streamed as a per-step SMEM block (a
+                         # whole-array scalar prefetch would overflow
+                         # the 1 MB SMEM at ~128 B/subtile; CLAUDE.md)
 
     def tree_flatten(self):
-        return ((self.blk_list, self.reg, self.q, self.b),
-                (self.n, self.nsub))
+        return ((self.code, self.reg, self.blk), (self.n, self.nsub))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        blk, reg, q, b = children
+        code, reg, blk = children
         n, nsub = aux
-        return cls(n, nsub, blk, reg, q, b)
+        return cls(n, nsub, code, reg, blk)
 
 
-def build_permute_plan(perm: np.ndarray) -> PermutePlan:
-    """Host build: subtile decomposition of ``y = x[perm]``."""
+# Above this much per-plan device payload (~2 KB per subtile), skip
+# the kernel plan and let callers fall back to the XLA gather: only
+# pathologically scattered permutations on multi-million-element
+# vectors get here, and the kernel's advantage has shrunk to ~5x by
+# then while the payload upload starts to matter.
+PERMUTE_MAX_BYTES = 256 * 1024 * 1024
+
+
+def build_permute_plan(perm: np.ndarray) -> PermutePlan | None:
+    """Host build: subtile decomposition of ``y = x[perm]``.
+    Returns None past :data:`PERMUTE_MAX_BYTES` (callers fall back to
+    the XLA gather)."""
+    from tpusparse.utils.transfer import device_put_chunked
+
     perm = np.asarray(perm, dtype=np.int64)
     n = perm.size
     nt = -(-n // TILE)
@@ -101,7 +116,7 @@ def build_permute_plan(perm: np.ndarray) -> PermutePlan:
     blk = src // LANES                     # (nt, TILE)
     lane = (src % LANES).astype(np.int16)  # source lane per slot
 
-    blk_rows, regs, qs, bs = [], [], [], []
+    blk_rows, regs, codes = [], [], []
     for t in range(nt):
         ub = np.unique(blk[t][served[t]])
         if ub.size == 0:
@@ -113,35 +128,32 @@ def build_permute_plan(perm: np.ndarray) -> PermutePlan:
             row = np.zeros(SPAN, dtype=np.int32)
             row[: sub.size] = sub
             inset = served[t] & (loc >= s0) & (loc < s0 + sub.size)
-            q = np.where(inset, loc - s0, -1)
+            code = np.where(inset, (loc - s0) * LANES + lane[t], -1)
             blk_rows.append(row)
             regs.append(t)
-            qs.append(q.reshape(SUB, LANES))
-            bs.append(lane[t].reshape(SUB, LANES))
+            codes.append(code.astype(np.int16).reshape(SUB, LANES))
     nsub = len(regs)
     S = SUBTILES_PER_STEP
     nsp = max(-(-nsub // S) * S, S)
+    if nsp * SUB * LANES * 2 > PERMUTE_MAX_BYTES:
+        return None
     blk_a = np.zeros((nsp, SPAN), dtype=np.int32)
     reg_a = np.zeros(nsp, dtype=np.int32)
-    q_a = np.full((nsp, SUB, LANES), -1, dtype=np.int16)
-    b_a = np.zeros((nsp, SUB, LANES), dtype=np.int16)
+    code_a = np.full((nsp, SUB, LANES), -1, dtype=np.int16)
     if nsub:
         blk_a[:nsub] = np.stack(blk_rows)
         reg_a[:nsub] = np.asarray(regs, dtype=np.int32)
-        q_a[:nsub] = np.stack(qs).astype(np.int16)
-        b_a[:nsub] = np.stack(bs)
+        code_a[:nsub] = np.stack(codes)
     return PermutePlan(
         n=n, nsub=nsub,
-        blk_list=jnp.asarray(blk_a),
-        reg=jnp.asarray(reg_a),
-        q=jnp.asarray(q_a),
-        b=jnp.asarray(b_a),
+        code=device_put_chunked(code_a),
+        reg=jnp.asarray(reg_a.reshape(-1, S)[:, None, :]),  # (steps,1,S)
+        blk=jnp.asarray(blk_a.reshape(-1, S, SPAN)),
     )
 
 
 @kernel_no_x64
-def _permute_kernel(S: int, reg_ref, blk_ref, q_ref, b_ref, x_ref,
-                    y_ref):
+def _permute_kernel(S: int, code_ref, reg_ref, blk_ref, x_ref, y_ref):
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -149,57 +161,57 @@ def _permute_kernel(S: int, reg_ref, blk_ref, q_ref, b_ref, x_ref,
         y_ref[:] = jnp.zeros_like(y_ref)
 
     for u in range(S):
-        t = step * S + u
-        q = q_ref[u].astype(jnp.int32)
-        b = jnp.broadcast_to(b_ref[u].astype(jnp.int32), (SUB, LANES))
+        code = code_ref[u].astype(jnp.int32)
+        # numpy semantics: -1 // 128 = -1 (never matches a loop qq),
+        # -1 % 128 = 127 (harmless under a dead select)
+        q = code // LANES
+        b = code % LANES
         g = jnp.zeros((SUB, LANES), x_ref.dtype)
         for qq in range(SPAN):
-            row = x_ref[pl.ds(blk_ref[t, qq], 1), :]
+            row = x_ref[pl.ds(blk_ref[0, u, qq], 1), :]
             cand = tala32(jnp.broadcast_to(row, (SUB, LANES)), b,
                           axis=1)
             g = jnp.where(q == qq, cand, g)
-        rb = reg_ref[t] * SUB
+        rb = reg_ref[0, 0, u] * SUB
         y_ref[pl.ds(rb, SUB), :] = y_ref[pl.ds(rb, SUB), :] + g
 
 
-@functools.partial(jax.jit, static_argnames=("mb",))
+@functools.partial(jax.jit, static_argnames=("n", "mb"))
 @kernel_no_x64
-def _permute_call(P: PermutePlan, x2d, mb: int):
+def _permute_call(P: PermutePlan, x, n: int, mb: int):
     from tpusparse.kernels.merge_spmv import _vmem_params
 
     S = SUBTILES_PER_STEP
-    steps = P.reg.shape[0] // S
+    steps = P.blk.shape[0]
+    nb = -(-n // LANES)
+    x2d = jnp.zeros((nb * LANES,), x.dtype).at[:n].set(x)
+    x2d = x2d.reshape(nb, LANES)
     itemsize = x2d.dtype.itemsize
     y2d = pl.pallas_call(
         functools.partial(_permute_kernel, S),
         compiler_params=_vmem_params(
             (x2d.size + mb * LANES) * itemsize, S, 1),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,  # reg, blk_list
-            grid=(steps,),
-            in_specs=[
-                pl.BlockSpec((S, SUB, LANES),
-                             lambda i, rg, bl: (i, 0, 0)),
-                pl.BlockSpec((S, SUB, LANES),
-                             lambda i, rg, bl: (i, 0, 0)),
-                pl.BlockSpec(x2d.shape, lambda i, rg, bl: (0, 0)),
-            ],
-            out_specs=pl.BlockSpec((mb, LANES),
-                                   lambda i, rg, bl: (0, 0)),
-        ),
-        out_shape=jax.ShapeDtypeStruct((mb, LANES), x2d.dtype),
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((S, SUB, LANES), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, S), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S, SPAN), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(x2d.shape, lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((mb, LANES), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((mb, LANES), x.dtype),
         interpret=_interpret(),
-    )(P.reg, P.blk_list, P.q, P.b, x2d)
-    return y2d
+    )(P.code, P.reg, P.blk, x2d)
+    return y2d.reshape(-1)[:n]
 
 
 def permute_apply(P: PermutePlan, x):
     """``y = x[perm]`` for the permutation ``P`` was built from.
-    fp32/int32-width vectors; exact (selects only)."""
+    fp32/int32-width vectors; exact (selects only). Pad, kernel, and
+    slice run inside ONE jit — the eager path would pay a ~25 ms
+    tunnel round trip per dispatch."""
     x = jnp.asarray(x)
-    nb = -(-P.n // LANES)
-    x2d = jnp.zeros((nb * LANES,), x.dtype).at[: P.n].set(x)
-    x2d = x2d.reshape(nb, LANES)
-    mb = -(-P.n // TILE) * SUB
-    y2d = _permute_call(P, x2d, max(mb, SUB))
-    return y2d.reshape(-1)[: P.n]
+    mb = max(-(-P.n // TILE) * SUB, SUB)
+    return _permute_call(P, x, P.n, mb)

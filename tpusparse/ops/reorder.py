@@ -134,9 +134,13 @@ def degree_order(csr: CsrMatrix) -> np.ndarray:
 
 def _degree_concentration(csr: CsrMatrix) -> float:
     """Fraction of nonzeros carried by the top ~3% highest-degree
-    columns — the cheap O(nnz) prefilter for the degree candidate."""
+    columns — the cheap O(nnz) prefilter for the degree candidate.
+    Matrices under 1024 columns report 0.0: with fewer than ~8
+    128-column blocks the k-floor would make the 'top set' a quarter
+    of all columns (trivially concentrated), and hot-column
+    clustering has nothing to cluster INTO anyway."""
     ci = np.asarray(csr.col_indices).astype(np.int64)
-    if ci.size == 0:
+    if ci.size == 0 or csr.num_cols < 1024:
         return 0.0
     deg = np.bincount(ci, minlength=csr.num_cols)
     k = max(csr.num_cols // 32, 128)
@@ -308,21 +312,22 @@ def plan_reorder(csr: CsrMatrix, strategy="auto", dtype=None,
     from tpusparse.formats.tiles import choose_partition_params
 
     _, s_orig = choose_partition_params(csr, return_score=True)
-    best = None
+    scored = []
     for name, p, iv in candidates:
         csr_p = permute_symmetric(csr, p)
         _, s = choose_partition_params(csr_p, return_score=True)
-        # tie-break toward degree inside the score proxy's resolution:
-        # on rmat-16-ef4 the chip measured degree 78.1 us vs rcm
-        # 87.1-95.4 while the scores read 1.96 vs 2.03 — within ~10%
-        # the measured ordering, not the proxy, decides
-        # (scripts/r4_reorder_inner.py A/B)
-        if name == "degree" and best is not None and s > 0.9 * best[0]:
-            best = (max(s, best[0]), name, p, iv, csr_p)
-        elif best is None or s > best[0]:
-            best = (s, name, p, iv, csr_p)
-    if best[0] <= RCM_SCORE_GAIN * s_orig:
+        if s > RCM_SCORE_GAIN * s_orig:  # each candidate must clear
+            scored.append((s, name, p, iv, csr_p))  # the gate ITSELF
+    if not scored:
         return plan_matrix(csr, strategy=strategy, dtype=dtype, L=L)
+    best = max(scored, key=lambda t: t[0])
+    # tie-break toward degree inside the score proxy's resolution: on
+    # rmat-16-ef4 the chip measured degree 78.1 us vs rcm 87.1-95.4
+    # while the scores read 1.96 vs 2.03 — within ~10% the measured
+    # ordering, not the proxy, decides (scripts/r4_reorder_inner.py)
+    deg = next((t for t in scored if t[1] == "degree"), None)
+    if deg is not None and deg[0] > 0.9 * best[0]:
+        best = deg
     _, name, p, iv, csr_p = best
     return _wrap_reordered(csr, p, iv, strategy, dtype, L, name,
                            csr_p=csr_p)
