@@ -37,19 +37,32 @@ def _roundtrip_spmv(tmp_path, csr, dtype, **kwargs):
     ("lap3d", np.float64, {}),                     # native-f64 DIA
     ("rmat", np.float64, {}),                      # double-float merge
     ("lap2d", np.float32, {"L": 8}),               # ELL multi-RHS
-    ("lap2d", np.float32, {"reorder": "auto"}),    # reordered wrapper
+    ("lap2d", np.float32, {"reorder": "auto"}),    # auto: keeps order
+    ("scram", np.float32, {"reorder": "rcm"}),     # REAL ReorderedPlan
+                                                   # (kperm/kinv pytree)
 ])
 def test_roundtrip_families(tmp_path, fixture, dtype, kwargs):
     if fixture == "rmat":
         csr = generators.make_rmat(10, edge_factor=8, seed=3).to_csr()
     elif fixture == "lap3d":
         csr = generators.make_laplacian_grid3d(12, dtype=dtype).to_csr()
+    elif fixture == "scram":
+        from tpusparse.ops.reorder import permute_symmetric
+
+        base = generators.make_laplacian_grid2d(24, dtype=dtype).to_csr()
+        csr = permute_symmetric(
+            base, np.random.default_rng(7).permutation(base.num_rows))
     else:
         csr = generators.make_laplacian_grid2d(24, dtype=dtype).to_csr()
     plan, path = _roundtrip_spmv(tmp_path, csr, dtype, **kwargs)
     info = plan_info(path)
     assert info["class"] == type(plan).__name__
     assert info["nnz"] == csr.nnz
+    if fixture == "scram":
+        from tpusparse.ops.reorder import ReorderedPlan
+
+        assert isinstance(plan, ReorderedPlan)
+        assert plan.kperm is not None
 
 
 def test_roundtrip_spmm(tmp_path):
