@@ -108,42 +108,51 @@ def build_permute_plan(perm: np.ndarray) -> PermutePlan | None:
     nt = -(-n // TILE)
     pad = np.zeros(nt * TILE, dtype=np.int64)
     pad[:n] = perm
-    src = pad.reshape(nt, TILE)
-    served = np.zeros(nt * TILE, dtype=bool)
-    served[:n] = True
-    served = served.reshape(nt, TILE)
+    blk_flat = pad // LANES                        # (nt*TILE,)
+    lane_flat = (pad % LANES).astype(np.int64)
+    tile_id = np.arange(nt * TILE) // TILE
 
-    blk = src // LANES                     # (nt, TILE)
-    lane = (src % LANES).astype(np.int16)  # source lane per slot
+    # Vectorized per-tile unique + local rank: key = tile*OFFSET +
+    # block is tile-major, so the globally-sorted unique key list is
+    # per-tile-contiguous; each slot's local block rank is its global
+    # unique rank minus its tile's first rank. Pad slots (beyond n)
+    # are excluded from the unique sets via a sentinel key.
+    OFFSET = int(blk_flat.max()) + 2 if n else 2
+    key = tile_id * OFFSET + blk_flat
+    key_served = key[:n]
+    uniq, inv = np.unique(key_served, return_inverse=True)
+    uniq_tile = uniq // OFFSET
+    uniq_blk = (uniq % OFFSET).astype(np.int32)
+    first = np.searchsorted(uniq, uniq_tile * OFFSET)  # per-unique:
+    loc = inv - first[inv]                             # tile-local rank
 
-    blk_rows, regs, codes = [], [], []
-    for t in range(nt):
-        ub = np.unique(blk[t][served[t]])
-        if ub.size == 0:
-            continue
-        # local index of each slot's source block in ub
-        loc = np.searchsorted(ub, blk[t])
-        for s0 in range(0, ub.size, SPAN):
-            sub = ub[s0 : s0 + SPAN]
-            row = np.zeros(SPAN, dtype=np.int32)
-            row[: sub.size] = sub
-            inset = served[t] & (loc >= s0) & (loc < s0 + sub.size)
-            code = np.where(inset, (loc - s0) * LANES + lane[t], -1)
-            blk_rows.append(row)
-            regs.append(t)
-            codes.append(code.astype(np.int16).reshape(SUB, LANES))
-    nsub = len(regs)
+    # subtile decomposition: slot -> subtile sub_base[tile] + loc//SPAN
+    nu = np.bincount(uniq_tile, minlength=nt)          # uniques/tile
+    nsub_t = -(-nu // SPAN)
+    sub_base = np.concatenate([[0], np.cumsum(nsub_t)])
+    nsub = int(sub_base[-1])
     S = SUBTILES_PER_STEP
     nsp = max(-(-nsub // S) * S, S)
     if nsp * SUB * LANES * 2 > PERMUTE_MAX_BYTES:
         return None
+
     blk_a = np.zeros((nsp, SPAN), dtype=np.int32)
     reg_a = np.zeros(nsp, dtype=np.int32)
     code_a = np.full((nsp, SUB, LANES), -1, dtype=np.int16)
     if nsub:
-        blk_a[:nsub] = np.stack(blk_rows)
-        reg_a[:nsub] = np.asarray(regs, dtype=np.int32)
-        code_a[:nsub] = np.stack(codes)
+        # blk rows: unique blocks scatter to (subtile, loc % SPAN)
+        u_loc = np.arange(uniq.size) - first[np.arange(uniq.size)]
+        u_sub = sub_base[uniq_tile] + u_loc // SPAN
+        blk_a[u_sub, u_loc % SPAN] = uniq_blk
+        # reg: tile id per subtile
+        reg_a[:nsub] = np.repeat(np.arange(nt, dtype=np.int32),
+                                 nsub_t)
+        # codes: served slots scatter into their subtile's register
+        slot = np.arange(n) % TILE
+        sub_idx = sub_base[tile_id[:n]] + loc // SPAN
+        code = (loc % SPAN) * LANES + lane_flat[:n]
+        code_a.reshape(nsp, TILE)[sub_idx, slot] = code.astype(
+            np.int16)
     return PermutePlan(
         n=n, nsub=nsub,
         code=device_put_chunked(code_a),
