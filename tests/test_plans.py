@@ -59,10 +59,15 @@ def test_roundtrip_families(tmp_path, fixture, dtype, kwargs):
     assert info["class"] == type(plan).__name__
     assert info["nnz"] == csr.nnz
     if fixture == "scram":
+        from tpusparse.io.plans import load_plan
         from tpusparse.ops.reorder import ReorderedPlan
 
         assert isinstance(plan, ReorderedPlan)
-        assert plan.kperm is not None
+        # the LOADED plan must keep the kernel-permute payloads: a
+        # load that drops them falls back to the exact XLA gather and
+        # the numeric roundtrip check alone would never notice
+        loaded = load_plan(path)
+        assert loaded.kperm is not None and loaded.kinv is not None
 
 
 def test_roundtrip_spmm(tmp_path):

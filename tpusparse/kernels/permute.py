@@ -141,7 +141,7 @@ def build_permute_plan(perm: np.ndarray) -> PermutePlan | None:
     code_a = np.full((nsp, SUB, LANES), -1, dtype=np.int16)
     if nsub:
         # blk rows: unique blocks scatter to (subtile, loc % SPAN)
-        u_loc = np.arange(uniq.size) - first[np.arange(uniq.size)]
+        u_loc = np.arange(uniq.size) - first
         u_sub = sub_base[uniq_tile] + u_loc // SPAN
         blk_a[u_sub, u_loc % SPAN] = uniq_blk
         # reg: tile id per subtile
