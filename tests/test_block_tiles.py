@@ -257,6 +257,23 @@ def test_nnz_split_strategy(rng):
     assert np.abs(y - ref).max() / (np.abs(ref).max() + 1) < 1e-5
     # fp64 routes to the double-float merge kernel family
     A64 = plan_matrix(csr, strategy="nonzero_split", dtype=np.float64)
-    from tpusparse.ops.spmv import plan_semantics
+    from tpusparse.ops.spmv import plan_kind, plan_semantics
 
     assert plan_semantics(A64) == "double-float(~1e-14)"
+    # plan_kind itself (not a CLI-side string patch) labels the family
+    # — enum callers and the real-matrix battery see the right row
+    # label too (ADVICE r4)
+    assert plan_kind(A) == "nonzero_split"
+    assert plan_kind(A64) == "nonzero_split_df64"
+    B = plan_matrix(csr, strategy="merge", dtype=np.float32)
+    assert plan_kind(B) == "merge"
+    # the family tag survives a save/load roundtrip (it rides the
+    # pytree aux, plan format v4)
+    import tempfile
+
+    from tpusparse.io.plans import load_plan, save_plan
+
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/nnz.plan"
+        save_plan(p, A)
+        assert plan_kind(load_plan(p)) == "nonzero_split"

@@ -44,6 +44,23 @@ def test_permute_identity_reverse_int32():
             np.asarray(permute_apply(P, jnp.asarray(xi))), xi[perm])
 
 
+def test_permute_validation():
+    """Mismatched inputs raise clearly instead of silent wrong
+    gathers / opaque jit shape errors (ADVICE r4)."""
+    n = 600
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(n)
+    P = build_permute_plan(perm)
+    with pytest.raises(ValueError, match="elements but the plan"):
+        permute_apply(P, jnp.zeros(n + 1, jnp.float32))
+    bad = perm.copy()
+    bad[0] = n  # out of range
+    with pytest.raises(ValueError, match=r"\[0, 600\)"):
+        build_permute_plan(bad)
+    with pytest.raises(ValueError):
+        build_permute_plan(np.array([-1, 0, 1]))
+
+
 @pytest.mark.slow
 def test_permute_exact_random_large():
     """Interpret-mode scale case (hundreds of grid steps) — slow."""

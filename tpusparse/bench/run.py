@@ -127,13 +127,11 @@ def _plan(csr, strategy, dtype, L=1, reorder=None, plan_cache=None):
 
     from tpusparse.ops.spmv import plan_kind
 
-    kind = plan_kind(A)
-    # the pure equal-nnz partition shares the merge plan/kernel types;
-    # label its row by the requested strategy (the reference reports
-    # NONZERO_SPLIT as its own benchmark row, cpu_spmv.cpp:750-923)
-    if str(strategy).lower() == "nonzero_split":
-        kind = kind.replace("merge", "nonzero_split")
-    return A, kind
+    # plan_kind is the single source of truth for row labels — the
+    # equal-nnz partition carries a family tag on its device tiles, so
+    # nonzero_split rows label correctly for enum callers and the
+    # real-matrix battery too (ADVICE r4)
+    return A, plan_kind(A)
 
 
 def _iters(args, default):

@@ -110,6 +110,81 @@ def make_laplacian_grid3d(width: int, dtype=np.float64) -> CooMatrix:
     return CooMatrix(n, n, rows, cols, vals)
 
 
+def make_variable_stencil(width: int, dims: int = 3,
+                          full: bool = False, seed: int = 0,
+                          sigma: float = 1.0, shift: float = 1e-2,
+                          dtype=np.float64) -> CooMatrix:
+    """Variable-coefficient SPD diffusion stencil on a ``dims``-D grid.
+
+    The reference's synthetic grids (``InitGrid2d/3d``,
+    ``sparse_matrix.h:458-623``) are CONSTANT-coefficient — the masked
+    DIA path's best case; its real targets (SuiteSparse FD/FEM
+    operators) have per-entry coefficients, which land on the
+    *unmasked* plane-stream-bound kernels. This generator models
+    ``div(c grad u)`` with lognormal edge conductivities
+    ``c = exp(sigma * N(0, 1))``: the weighted graph Laplacian (diag =
+    sum of incident conductivities) plus ``shift`` on the diagonal —
+    symmetric, strictly diagonally dominant, SPD. Same diagonal
+    PATTERN as the constant fixtures (every nonzero on a stencil
+    diagonal — the DIA planner applies), but every plane carries
+    per-row values, so ``formats.dia.plane_constants`` rejects masking
+    and the plan streams full value planes.
+
+    ``full=False``: axis neighbors only (5-point 2-D / 7-point 3-D).
+    ``full=True``: all ``3^dims - 1`` neighbors (9-point / 27-point —
+    the trilinear-FEM-on-hexahedra pattern; K=27 planes make the
+    matvec decisively plane-bound, the bf16-plane refinement A/B
+    regime). ``sigma`` sets coefficient contrast (condition number
+    grows with it); ``shift`` regularizes the Neumann-singular
+    Laplacian."""
+    nd = int(dims)
+    n = int(width) ** nd
+    shape_dims = (width,) * nd
+    rng = np.random.default_rng(seed)
+    coords = np.stack(
+        np.unravel_index(np.arange(n), shape_dims), axis=0)  # (nd, n)
+    strides = np.ones(nd, dtype=np.int64)
+    for d in range(nd - 2, -1, -1):
+        strides[d] = strides[d + 1] * shape_dims[d + 1]
+    me = np.arange(n, dtype=np.int64)
+
+    if full:
+        # undirected edges once: keep lexicographically-positive
+        # deltas (exactly one of each +-pair compares > the 0 tuple)
+        deltas = []
+        for raw in np.ndindex(*(3,) * nd):
+            dl = tuple(x - 1 for x in raw)
+            if dl > (0,) * nd:
+                deltas.append(dl)
+    else:
+        deltas = [
+            tuple(1 if k == d else 0 for k in range(nd))
+            for d in range(nd)
+        ]
+
+    rows_l, cols_l, vals_l = [], [], []
+    diag = np.full(n, float(shift), dtype=np.float64)
+    for dl in deltas:
+        ok = np.ones(n, dtype=bool)
+        for d, dd in enumerate(dl):
+            if dd:
+                ok &= (coords[d] + dd >= 0) & (coords[d] + dd < width)
+        i = me[ok]
+        j = i + int(np.dot(dl, strides))
+        c = np.exp(sigma * rng.standard_normal(i.size))
+        rows_l += [i, j]
+        cols_l += [j, i]
+        vals_l += [-c, -c]
+        np.add.at(diag, i, c)
+        np.add.at(diag, j, c)
+    rows = np.concatenate(rows_l + [me])
+    cols = np.concatenate(cols_l + [me])
+    vals = np.concatenate(
+        [v.astype(dtype) for v in vals_l] + [diag.astype(dtype)])
+    idt = np.int32 if n < 2**31 else np.int64
+    return CooMatrix(n, n, rows.astype(idt), cols.astype(idt), vals)
+
+
 def make_random_spd(n: int, row_nnz: int = 8, seed: int = 0,
                     dtype=np.float64, bandwidth: int | None = None,
                     ) -> CooMatrix:

@@ -31,7 +31,10 @@ import numpy as np
 # objects missing them.
 # v3: ReorderedPlan grew the ``order`` aux field ('rcm' | 'degree')
 #     and the Pallas permute-kernel payloads (kperm/kinv children).
-_FORMAT_VERSION = 3
+# v4: DeviceTiles grew the ``family`` aux field ('merge' |
+#     'nonzero_split') so plan_kind labels equal-nnz plans correctly
+#     (ADVICE r4); v3 pickles would unpickle to objects missing it.
+_FORMAT_VERSION = 4
 _MAGIC = "tpusparse-plan"
 
 

@@ -118,6 +118,14 @@ class DeviceTiles:
     # contiguous-window plans.
     blk_list: Any = None
 
+    # Which PARTITION family produced these tiles: "merge" (clustered
+    # classic/greedy) or "nonzero_split" (pure equal-nnz cuts). The
+    # families share this device type and kernels; the tag keeps
+    # ``ops.spmv.plan_kind`` the single source of truth for strategy
+    # row labels (ADVICE r4) — without it nonzero_split rows printed
+    # as "merge" for enum callers and the real-matrix battery.
+    family: str = "merge"
+
     def tree_flatten(self):
         return (
             (self.vals, self.local_cols, self.end_pos, self.row_block,
@@ -126,16 +134,18 @@ class DeviceTiles:
              self.blk_list),
             (self.num_rows, self.num_cols, self.nnz, self.row_window,
              self.col_window, self.gather_rows, self.x_pad_rows,
-             self.tiles_per_step, self.row_span, self.y_pad_rows),
+             self.tiles_per_step, self.row_span, self.y_pad_rows,
+             self.family),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (vals, lcols, epos, rblk, cblk, cspan, orow, ocol, oval,
          blk) = children
-        (nr, nc, nnz, wr, wc, gr, xpr, tps, rs, ypr) = aux
+        (nr, nc, nnz, wr, wc, gr, xpr, tps, rs, ypr, fam) = aux
         return cls(nr, nc, nnz, wr, wc, vals, lcols, epos, rblk, cblk,
-                   cspan, gr, xpr, tps, rs, ypr, orow, ocol, oval, blk)
+                   cspan, gr, xpr, tps, rs, ypr, orow, ocol, oval, blk,
+                   fam)
 
     @property
     def ntiles(self) -> int:
@@ -193,6 +203,10 @@ class ClassedTiles:
     def ntiles(self):
         return sum(p.ntiles for p in self.plans)
 
+    @property
+    def family(self):
+        return self.plans[0].family
+
 
 def _tile_row_anchors(tiles: MergeTiles):
     """Per-tile tight row anchor (128-row slices below the window base)
@@ -208,7 +222,8 @@ def _tile_row_anchors(tiles: MergeTiles):
 
 
 def _subset_device_tiles(tiles: MergeTiles, sel, anchor, span, dtype,
-                         tiles_per_step, with_ovf: bool) -> DeviceTiles:
+                         tiles_per_step, with_ovf: bool,
+                         family: str = "merge") -> DeviceTiles:
     """Build a DeviceTiles from the tile subset ``sel`` (None = all)."""
     vals_h = np.asarray(tiles.vals)
     lcols_h = np.asarray(tiles.local_cols)
@@ -301,6 +316,7 @@ def _subset_device_tiles(tiles: MergeTiles, sel, anchor, span, dtype,
             tiles.ovf_vals.astype(dtype) if with_ovf
             else np.zeros(0, dtype=dtype)),
         blk_list=blk_dev,
+        family=family,
     )
 
 
@@ -312,7 +328,7 @@ MIN_CLASS_TILES = 64
 
 def to_device_tiles(tiles: MergeTiles, dtype=np.float32,
                     tiles_per_step: int | None = None,
-                    span_classes: int = 3):
+                    span_classes: int = 3, family: str = "merge"):
     """Upload a host MergeTiles partition, reshaping tile payloads into
     the kernel's (8, 128) ROW-major register layout (slot p ->
     [t, p // 128, p % 128]) and padding the tile count to a multiple of
@@ -340,7 +356,8 @@ def to_device_tiles(tiles: MergeTiles, dtype=np.float32,
     nt = tiles.ntiles
     if span_classes <= 1 or nt < 2 * MIN_CLASS_TILES:
         return _subset_device_tiles(tiles, None, anchor, span, dtype,
-                                    tiles_per_step, with_ovf=True)
+                                    tiles_per_step, with_ovf=True,
+                                    family=family)
     # pow2 span buckets, small buckets folded upward, capped at
     # span_classes by folding the smallest-population buckets upward.
     # Classic window plans bucket by ROW span (extraction/y-RMW is the
@@ -366,13 +383,14 @@ def to_device_tiles(tiles: MergeTiles, dtype=np.float32,
         uniq = sorted(set(bucket.tolist()))
     if len(uniq) == 1:
         return _subset_device_tiles(tiles, None, anchor, span, dtype,
-                                    tiles_per_step, with_ovf=True)
+                                    tiles_per_step, with_ovf=True,
+                                    family=family)
     plans = []
     for k, b in enumerate(uniq):
         sel = np.flatnonzero(bucket == b)
         plans.append(_subset_device_tiles(
             tiles, sel, anchor, span, dtype, tiles_per_step,
-            with_ovf=(k == 0)))
+            with_ovf=(k == 0), family=family))
     return ClassedTiles(tuple(plans))
 
 
@@ -460,7 +478,10 @@ def _select_tree(cands, q):
     return level[0]
 
 
-# trace-time switch for the round-4 gather A/B (scripts/r4_merge_tree.py)
+# trace-time switch for the round-4 gather A/B (scripts/r4_merge_tree.py).
+# NOT a jit cache key: flipping it after a kernel has compiled keeps
+# serving the OLD variant — callers must jax.clear_caches() after
+# toggling (r4_merge_tree.py does; ADVICE r4).
 GATHER_TREE = False
 
 # MXU pass count for the prefix-sum matmuls (scripts/r4_scan_prec.py

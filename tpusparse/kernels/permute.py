@@ -105,6 +105,13 @@ def build_permute_plan(perm: np.ndarray) -> PermutePlan | None:
 
     perm = np.asarray(perm, dtype=np.int64)
     n = perm.size
+    # cheap bounds check (full bijectivity would cost a bincount per
+    # build; out-of-range is the failure mode that otherwise surfaces
+    # as silent wrong gathers — ADVICE r4)
+    if n and (perm.min() < 0 or perm.max() >= n):
+        raise ValueError(
+            f"perm entries must lie in [0, {n}); got range "
+            f"[{perm.min()}, {perm.max()}]")
     nt = -(-n // TILE)
     pad = np.zeros(nt * TILE, dtype=np.int64)
     pad[:n] = perm
@@ -222,5 +229,9 @@ def permute_apply(P: PermutePlan, x):
     slice run inside ONE jit — the eager path would pay a ~25 ms
     tunnel round trip per dispatch."""
     x = jnp.asarray(x)
+    if x.size != P.n:
+        raise ValueError(
+            f"permute_apply: x has {x.size} elements but the plan "
+            f"permutes {P.n} (stale or mismatched PermutePlan)")
     mb = max(-(-P.n // TILE) * SUB, SUB)
     return _permute_call(P, x, P.n, mb)

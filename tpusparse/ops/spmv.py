@@ -224,10 +224,12 @@ def plan_matrix(csr, strategy="auto", dtype=None, L: int = 1,
         if np.dtype(dtype).itemsize > 4:
             from tpusparse.kernels import merge_df
 
-            return merge_df.to_device_tiles_df(tiles)
+            return merge_df.to_device_tiles_df(
+                tiles, family="nonzero_split")
         from tpusparse.kernels import merge_spmv
 
-        return merge_spmv.to_device_tiles(tiles, dtype=dtype)
+        return merge_spmv.to_device_tiles(tiles, dtype=dtype,
+                                          family="nonzero_split")
     if (
         strategy == SpmvStrategy.REFERENCE
         or np.dtype(dtype).itemsize > 4
@@ -466,10 +468,14 @@ def plan_kind(A) -> str:
     if isinstance(A, DeviceEllDF):
         return "row_split_df64"
     if type(A).__name__ == "DfMergeTiles":
-        return "merge_df64"
+        # the df plan's partition family rides its hi DeviceTiles
+        return getattr(A.hi, "family", "merge") + "_df64"
     if isinstance(A, BcsrMatrix):
         return "bsr"
-    return "merge"
+    # merge-device-typed plans: the family tag distinguishes the
+    # equal-nnz partition (reference NONZERO_SPLIT row) from the
+    # clustered merge families sharing these kernels (ADVICE r4)
+    return getattr(A, "family", "merge")
 
 
 def plan_semantics(A) -> str:
