@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""bf16-plane A/B on the variable-coefficient stencil class (round 5).
+
+VERDICT r4 item 1 / ROADMAP N1: variable-coefficient diagonal
+operators (io.generators.make_variable_stencil — the SuiteSparse
+FD/FEM reality) are plane-stream-bound at L=1; bf16 value planes
+halve the dominant HBM term. Same process, interleaved:
+
+  stage A — raw matvec: f32-plane vs bf16-plane stream kernel at L=1
+    on the 27-point varcoef fixture (plan as jit argument — the
+    production mode at this plane size). Predicted ceiling =
+    (4K + 8) / (2K + 8) bytes-per-row ratio.
+  stage B — CG end-to-end at equal VERIFIED tolerance: plain f32 CG
+    vs residual-replacement bf16 CG (cg_solve_bf16) vs inner/outer
+    refinement (cg_solve_refined_f32), wall min over interleaved
+    passes, iteration accounting printed.
+
+Usage: r5_bf16_ab.py [W=128] [stage=AB] [shift=1.0] [sigma=1.0]
+"""
+
+import functools
+import os
+import signal
+import sys
+import threading
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+W = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+STAGES = sys.argv[2] if len(sys.argv) > 2 else "AB"
+SHIFT = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0
+SIGMA = float(sys.argv[4]) if len(sys.argv) > 4 else 1.0
+
+
+def stamp(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def rate_arg(tag, fn, A, X0, nnz, iters):
+    @functools.partial(jax.jit, static_argnums=2)
+    def chain(Aa, X, M):
+        def body(_, Xc):
+            Y = fn(Aa, Xc)
+            return Y / (jnp.max(jnp.abs(Y)) + 1.0)
+
+        return jax.lax.fori_loop(0, M, body, X)
+
+    K1, K2 = iters
+
+    def run(M):
+        float(jnp.sum(chain(A, X0, M)))
+
+    run(K1)
+    run(K2)
+
+    def t(M):
+        t0 = time.perf_counter()
+        run(M)
+        return time.perf_counter() - t0
+
+    t1 = min(t(K1) for _ in range(3))
+    t2 = min(t(K2) for _ in range(3))
+    per = max((t2 - t1) / (K2 - K1), 1e-9)
+    gf = 2.0 * nnz / per / 1e9
+    print(f"  {tag}: {per*1e6:.1f} us/op, {gf:.1f} GF", flush=True)
+    return per
+
+
+if __name__ == "__main__":
+    import faulthandler
+
+    faulthandler.register(signal.SIGUSR1)
+    _staged = threading.Event()
+
+    def _fire():
+        if not _staged.is_set():
+            print("STARTUP WEDGE: exiting for retry", flush=True)
+            os._exit(3)
+
+    _t = threading.Timer(600.0, _fire)
+    _t.daemon = True
+    _t.start()
+
+    from tpusparse.io.generators import make_variable_stencil
+    from tpusparse.ops.spmv import plan_dia_bf16, plan_matrix, spmv
+    from tpusparse.solvers.cg import cg_solve
+    from tpusparse.solvers.refine import (
+        cg_solve_bf16,
+        cg_solve_refined_f32,
+    )
+
+    stamp(f"build varcoef W={W} (27-pt, sigma={SIGMA}, shift={SHIFT})")
+    csr = make_variable_stencil(W, dims=3, full=True, seed=2,
+                                sigma=SIGMA, shift=SHIFT,
+                                dtype=np.float32).to_csr()
+    n, nnz = csr.num_rows, csr.nnz
+    K = 27
+    stamp(f"n={n} nnz={nnz} planes f32={27*n*4/1e6:.0f} MB")
+    A32 = plan_matrix(csr, strategy="dia", dtype=np.float32)
+    A16 = plan_dia_bf16(csr)
+    from tpusparse.ops.spmv import plan_kind
+
+    stamp(f"plans: {plan_kind(A32)} / {plan_kind(A16)}")
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    # golden check on the real chip before timing anything
+    y32 = np.asarray(spmv(A32, x0))
+    y16 = np.asarray(spmv(A16, x0))
+    ref = csr.to_scipy() @ np.asarray(x0)
+    r32 = np.abs(y32 - ref).max() / np.abs(ref).max()
+    r16 = np.abs(y16 - ref).max() / np.abs(ref).max()
+    stamp(f"golden: f32 rel {r32:.1e} (want <1e-5), bf16 rel "
+          f"{r16:.1e} (want ~4e-3 band)")
+    assert r32 < 1e-5 and 1e-5 < r16 < 3e-2
+    _staged.set()
+
+    if "A" in STAGES:
+        stamp("stage A: raw matvec slope, interleaved")
+        pred = (4.0 * K + 8) / (2.0 * K + 8)
+        iters = (20, 220)
+        res = {}
+        for _ in range(2):
+            res.setdefault("f32", []).append(
+                rate_arg("f32 planes ", spmv, A32, x0, nnz, iters))
+            res.setdefault("bf16", []).append(
+                rate_arg("bf16 planes", spmv, A16, x0, nnz, iters))
+        w = min(res["f32"]) / min(res["bf16"])
+        by = (4.0 * K + 8) * n
+        gbs32 = by / min(res["f32"]) / 1e9
+        gbs16 = (2.0 * K + 8) * n / min(res["bf16"]) / 1e9
+        stamp(f"matvec win {w:.2f}x (predicted {pred:.2f}x); "
+              f"stream {gbs32:.0f} / {gbs16:.0f} GB/s")
+
+    if "B" in STAGES:
+        stamp("stage B: CG end-to-end at tol=1e-5, interleaved")
+        b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+
+        def run_plain():
+            r = cg_solve(A32, b, tolerance=1e-5)
+            return int(r.iterations), float(r.residual)
+
+        def run_repl():
+            r = cg_solve_bf16(A16, A32, b, tolerance=1e-5)
+            return (int(r.iterations), float(r.residual),
+                    int(r.replacements), int(r.restarts),
+                    bool(r.converged))
+
+        def run_refine():
+            r = cg_solve_refined_f32(A16, A32, b, tolerance=1e-5)
+            return (int(r.inner_iterations), float(np.max(np.asarray(
+                r.residual))), int(r.refinements))
+
+        # warm
+        ip, relp = run_plain()
+        ir = run_repl()
+        irf = run_refine()
+        stamp(f"plain iters={ip} rel={relp:.1e} | repl {ir} | "
+              f"refine {irf}")
+        times = {"plain": [], "repl": [], "refine": []}
+        for _ in range(3):
+            for tag, f in (("plain", run_plain), ("repl", run_repl),
+                           ("refine", run_refine)):
+                t0 = time.perf_counter()
+                f()
+                times[tag].append(time.perf_counter() - t0)
+        tp, tr, tf = (min(times[k]) for k in
+                      ("plain", "repl", "refine"))
+        stamp(f"wall min: plain {tp*1e3:.0f} ms, repl {tr*1e3:.0f} "
+              f"ms ({tp/tr:.2f}x), refine {tf*1e3:.0f} ms "
+              f"({tp/tf:.2f}x)")
+        stamp(f"iter ratio repl {ir[0]/max(ip,1):.2f}, refine "
+              f"{irf[0]/max(ip,1):.2f}")

@@ -97,6 +97,16 @@ def _load_matrix(args):
     elif getattr(args, "fem", None):
         coo = generators.make_fem2d(args.fem, dtype=dtype)
         name = f"fem2d_{args.fem}"
+    elif getattr(args, "varcoef", None):
+        # variable-coefficient SPD diffusion stencil (the SuiteSparse
+        # FD/FEM reality vs the constant-coefficient grids; 27-point
+        # by default — the plane-stream-bound bf16-refinement regime)
+        full = not getattr(args, "varcoef_axis", False)
+        coo = generators.make_variable_stencil(
+            args.varcoef, dims=3, full=full,
+            sigma=getattr(args, "varcoef_sigma", 1.0),
+            shift=getattr(args, "varcoef_shift", 1.0), dtype=dtype)
+        name = f"varco3_{args.varcoef}" + ("" if full else "_ax")
     else:
         raise SystemExit("no matrix source given (--mtx/--grid2d/...)")
     return coo.to_csr(), name
@@ -365,6 +375,59 @@ def cmd_cg(args):
                   f"inner iters, {t*1e3:.1f} ms, {gf:.2f} GFLOP/s, "
                   f"residual {float(np.max(np.asarray(res.residual))):.2e}")
         return row
+    if getattr(args, "bf16", False):
+        # same-process A/B: plain f32 CG vs the residual-replacement
+        # bf16-plane CG at equal VERIFIED tolerance (round 5 — the
+        # plane-stream-bound variable-coefficient class)
+        from tpusparse.ops.spmv import plan_dia_bf16
+        from tpusparse.solvers.refine import cg_solve_bf16
+
+        A32, kind = _plan(csr, args.strategy or "dia", np.float32)
+        A16 = plan_dia_bf16(csr)
+        rng = np.random.default_rng(0)
+        bw = jnp.asarray(
+            rng.standard_normal(csr.num_rows).astype(np.float32))
+        # warm both paths (compile outside the timed region)
+        int(cg_solve(A32, bw, max_iters=args.max_iters,
+                     tolerance=args.tolerance).iterations)
+        int(cg_solve_bf16(A16, A32, bw, max_iters=args.max_iters,
+                          tolerance=args.tolerance).iterations)
+        rows = []
+        for tag, solve in (
+            (kind, lambda b: cg_solve(
+                A32, b, max_iters=args.max_iters,
+                tolerance=args.tolerance)),
+            ("dia_bf16+repl", lambda b: cg_solve_bf16(
+                A16, A32, b, max_iters=args.max_iters,
+                tolerance=args.tolerance)),
+        ):
+            rng = np.random.default_rng(0)  # same RHS stream both arms
+            total = 0
+            t0 = time.perf_counter()
+            for _ in range(args.num_vectors):
+                b = jnp.asarray(rng.standard_normal(
+                    csr.num_rows).astype(np.float32))
+                res = solve(b)
+                total += int(res.iterations)
+            t = time.perf_counter() - t0
+            from tpusparse.bench import models
+
+            gf = models.gflops(
+                (2.0 * csr.nnz + 10.0 * csr.num_rows) * total, t)
+            rel = float(np.max(np.asarray(res.residual)))
+            rows.append((name, tag, args.num_vectors, t * 1e3, gf,
+                         total, rel))
+            if args.quiet:
+                print(",".join(str(v) for v in rows[-1]))
+            else:
+                print(f"{name} [{tag}]: {args.num_vectors} solves, "
+                      f"{total} total iters, {t*1e3:.1f} ms, "
+                      f"{gf:.2f} GFLOP/s, rel {rel:.2e}")
+        if not args.quiet and rows[1][3] > 0:
+            print(f"{name} bf16-repl speedup: "
+                  f"{rows[0][3]/rows[1][3]:.2f}x wall, iter ratio "
+                  f"{rows[1][5]/max(rows[0][5],1):.2f}")
+        return rows
     dtype = np.float32 if args.fp32 else np.float64
     A, kind = _plan(csr, args.strategy or "auto", dtype,
                     reorder=getattr(args, "reorder", None),
@@ -561,7 +624,14 @@ def cmd_multicg(args):
 
     try:
         t0 = time.perf_counter()
-        M = spai_inverse(csr, cap=getattr(args, "spai_cap", None))
+        # no --spai_cap: the construction-time hub auto-guard decides
+        # (precond.spai SPAI_GUARD_CELLS); --spai_uncapped restores
+        # the reference's literal uncapped pattern
+        cap = getattr(args, "spai_cap", None)
+        if cap is None:
+            cap = None if getattr(args, "spai_uncapped", False) \
+                else "auto"
+        M = spai_inverse(csr, cap=cap)
         Md, _ = _plan(M.astype(dtype), args.strategy or "auto", dtype,
                       L=L)
         prep = time.perf_counter() - t0
@@ -812,6 +882,19 @@ def build_parser():
                         help="P1 FEM stiffness on a random Delaunay "
                              "triangulation, N nodes (SPD, irregular "
                              "bandwidth — the SuiteSparse bcsstk class)")
+        sp.add_argument("--varcoef", type=int, metavar="W",
+                        help="variable-coefficient SPD diffusion "
+                             "stencil on a W^3 grid (27-point; "
+                             "lognormal edge conductivities — the "
+                             "plane-stream-bound class, round 5)")
+        sp.add_argument("--varcoef_axis", action="store_true",
+                        help="7-point (axis-neighbor) variant")
+        sp.add_argument("--varcoef_sigma", type=float, default=1.0,
+                        help="coefficient contrast exp(sigma*N(0,1))")
+        sp.add_argument("--varcoef_shift", type=float, default=1.0,
+                        help="diagonal shift (1.0 models an implicit-"
+                             "timestep operator I + dt*L; small "
+                             "shifts are the ill-conditioned regime)")
         sp.add_argument("--fp32", action="store_true")
         sp.add_argument("--fp64", action="store_true")
         sp.add_argument("--alpha", type=float, default=1.0)
@@ -842,7 +925,14 @@ def build_parser():
                              "|v| entries per row (+diagonal); required "
                              "in practice on power-law matrices (hub "
                              "columns otherwise yield degree^2-row "
-                             "dense QR problems)")
+                             "dense QR problems). Default: the hub "
+                             "auto-guard caps at 16 only when a padded "
+                             "problem exceeds the guard size (round 5)")
+        sp.add_argument("--spai_uncapped", action="store_true",
+                        help="strict reference parity: disable the SPAI "
+                             "hub auto-guard (uncapped pattern, "
+                             "sparse_approximate_inversion.hpp:41-321) "
+                             "— minutes-to-hours on power-law hubs")
         sp.add_argument("--timing_iters", "--i", type=int, default=0)
         sp.add_argument("--col_major_input", action="store_true",
                         help="RHS arrives (L, n) and is transposed in "
@@ -853,6 +943,12 @@ def build_parser():
         sp.add_argument("--refined", action="store_true",
                         help="cg: fp64-accurate solves via mixed-"
                         "precision iterative refinement")
+        sp.add_argument("--bf16", action="store_true",
+                        help="cg: same-process A/B of plain f32 CG vs "
+                        "the residual-replacement bf16-plane CG "
+                        "(solvers.refine.cg_solve_bf16) at equal "
+                        "verified tolerance; fp32, diagonal-"
+                        "structured matrices only")
         sp.add_argument("--device_rate", action="store_true",
                         help="cg/multicg: also report the per-iteration "
                         "DEVICE rate via a max_iters slope (cancels the "

@@ -488,8 +488,13 @@ def fits_stream(offsets, block_rows: int = BLOCK_ROWS) -> bool:
     return bool(offs) and max(abs(o) for o in offs) <= block_rows
 
 
-def prepare_stream(dia_host, block_rows: int = BLOCK_ROWS):
-    """Host-side blocking of a DiaHost plan: (data_b, num_rows, B)."""
+def prepare_stream(dia_host, block_rows: int = BLOCK_ROWS,
+                   plane_dtype=np.float32):
+    """Host-side blocking of a DiaHost plan: (data_b, num_rows, B).
+    ``plane_dtype`` is the STORED plane precision (f32, or bf16 for
+    the halved-traffic refinement operator — see plan_dia_bf16)."""
+    import jax.numpy as _jnp
+
     n = dia_host.num_rows
     K = dia_host.offsets.shape[0]
     B = int(block_rows)
@@ -500,6 +505,9 @@ def prepare_stream(dia_host, block_rows: int = BLOCK_ROWS):
     data_b = np.ascontiguousarray(
         flat.reshape(K, nb, B // LANES, LANES).transpose(1, 0, 2, 3)
     )
+    if np.dtype(plane_dtype) != np.float32:
+        # bf16 rounding on host (numpy has no bf16; jax does)
+        data_b = np.asarray(_jnp.asarray(data_b).astype(plane_dtype))
     return data_b, n, B
 
 
@@ -578,15 +586,30 @@ def _maskable(dia_host) -> tuple:
 def to_device_dia_stream(dia_host,
                          block_rows: int | None = None,
                          L: int = 1,
-                         masked: bool | None = None) -> DiaStreamDevice:
+                         masked: bool | None = None,
+                         plane_dtype=np.float32) -> DiaStreamDevice:
     """Ship a host DIA plan for the stream kernel. ``masked=None``
     auto-compresses constant-coefficient operators to the int32
     bitmask form (bit-identical results, K-planes -> one-word row
     traffic); ``False`` forces value planes, ``True`` raises if any
-    plane is not two-valued."""
+    plane is not two-valued.
+
+    ``plane_dtype=jnp.bfloat16`` stores the value planes in bf16
+    (halved plane traffic; the kernel upcasts in-register and all
+    arithmetic stays f32). The OPERATOR is perturbed ~1e-2 relative —
+    an approximation, never an AUTO choice; it exists as the inner
+    operator of the bf16-plane refinement solve
+    (solvers/refine.cg_solve_refined_f32, ops.spmv.plan_dia_bf16).
+    Forces the unmasked form (a maskable operator's bitmask plan is
+    already exact AND cheaper than any value-plane precision)."""
     from tpusparse.utils.transfer import device_put_chunked
 
-    vals64, ok = (None, False) if masked is False \
+    bf16_planes = np.dtype(plane_dtype) != np.float32
+    if bf16_planes and masked:
+        raise ValueError(
+            "bf16 planes apply to the value-plane form only — a "
+            "maskable operator's bitmask plan is exact and cheaper")
+    vals64, ok = (None, False) if (masked is False or bf16_planes) \
         else _maskable(dia_host)
     if masked is True and not ok:
         raise ValueError(
@@ -604,7 +627,8 @@ def to_device_dia_stream(dia_host,
             n, dia_host.num_cols, offsets, B,
             None, device_put_chunked(mask_b), vals,
         )
-    data_b, n, B = prepare_stream(dia_host, block_rows)
+    data_b, n, B = prepare_stream(dia_host, block_rows,
+                                  plane_dtype=plane_dtype)
     return DiaStreamDevice(
         n, dia_host.num_cols, offsets, B,
         device_put_chunked(data_b),
@@ -664,8 +688,10 @@ def _dia_stream_kernel_edge(offsets, R, E, interpret, lo_ref, x_ref,
     )  # (E + R + E, 128)
     acc = jnp.zeros((R, LANES), jnp.float32)
     for k, off in enumerate(offsets):
-        acc = acc + d_ref[0, k] * _shifted(buf, off, R, interpret,
-                                           base=E)
+        # planes may be stored bf16 (plan_dia_bf16); upcast in-register
+        # — the FMA and accumulator stay f32 either way
+        d = d_ref[0, k].astype(jnp.float32)
+        acc = acc + d * _shifted(buf, off, R, interpret, base=E)
     y_ref[0, 0] = acc
 
 
@@ -687,7 +713,8 @@ def _spmm_dia_stream_edge(data_b, x_b, lo_b, hi_b, offsets, R, E):
     else:
         from jax.experimental.pallas import tpu as pltpu
 
-        step = (2 + K + 2 * E / R) * R * LANES * 4
+        psize = jnp.dtype(data_b.dtype).itemsize  # 4 f32 / 2 bf16
+        step = (2 + 2 * E / R) * R * LANES * 4 + K * R * LANES * psize
         stack = (R + 2 * E) * LANES * 4   # in-kernel concat buffer
         params = {"compiler_params": pltpu.CompilerParams(
             vmem_limit_bytes=min(int(2 * step + stack) + (8 << 20),
@@ -831,7 +858,7 @@ def _dia_stream_kernel_edge_mxu(offsets, R, E, interpret, m_ref,
                          preferred_element_type=jnp.float32)
                  + jnp.dot(c1, m_ref[k, 1],
                            preferred_element_type=jnp.float32))
-        acc = acc + d_ref[0, k] * w
+        acc = acc + d_ref[0, k].astype(jnp.float32) * w
     y_ref[0, 0] = acc
 
 

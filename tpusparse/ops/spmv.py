@@ -437,6 +437,60 @@ def _try_plan_dia(csr, strategy, dtype, L):
     return HybridPlan(dev, rest_plan, csr.nnz)
 
 
+def plan_dia_bf16(csr, L: int = 1, block_rows: int | None = None):
+    """OPT-IN bf16-plane stream plan — the inner operator of the
+    mixed-precision refinement solve (solvers/refine.py,
+    ``cg_solve_refined_f32``). NEVER an AUTO choice: the planes are
+    stored bf16, perturbing the operator ~4e-3 relative (bf16 eps =
+    2^-8), so standalone SpMV results are approximate — the supported
+    use is inner-CG iterations whose error a full-precision outer
+    residual corrects.
+
+    Why it pays: variable-coefficient diagonal operators (the
+    SuiteSparse FD/FEM reality the constant-coefficient fixtures
+    idealize — ``make_variable_stencil`` vs ``InitGrid2d/3d``,
+    ``sparse_matrix.h:458-623``) are plane-stream-bound at L=1: a
+    27-point stencil reads 108 B/row of f32 planes against ~12 B/row
+    of x/y traffic. bf16 planes halve the dominant term; arithmetic
+    stays f32 in-register.
+
+    Requires: diagonal structure (>= DIA_MIN_COVERAGE nnz on selected
+    diagonals), square, stream-geometry fit. The scattered remainder
+    (if any) stays EXACT f32. Raises with guidance otherwise."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpusparse.formats.dia import partition_dia, select_diagonals
+    from tpusparse.kernels import dia_stream
+    from tpusparse.ops.hybrid import HybridPlan
+
+    offsets = select_diagonals(csr)
+    if offsets.size == 0:
+        raise ValueError(
+            "plan_dia_bf16: no dense diagonals selected — the bf16-"
+            "plane stream plan needs a diagonal-structured operator")
+    dia_host, rest = partition_dia(csr, offsets)
+    if csr.num_rows != csr.num_cols:
+        raise ValueError("plan_dia_bf16: square matrices only")
+    if not dia_stream.fits_stream(
+        dia_host.offsets,
+        block_rows or dia_stream._auto_block_rows(dia_host, df=False,
+                                                  L=L),
+    ):
+        raise ValueError(
+            "plan_dia_bf16: max |offset| exceeds the stream block "
+            "(pathologically wide band)")
+    dev = dia_stream.to_device_dia_stream(
+        dia_host, block_rows=block_rows, L=L,
+        plane_dtype=jnp.bfloat16)
+    rest_plan = None
+    if rest.nnz > 0:
+        rest_plan = plan_matrix(rest, strategy="auto",
+                                dtype=np.float32, L=L,
+                                _allow_dia=False)
+    return HybridPlan(dev, rest_plan, csr.nnz)
+
+
 def plan_kind(A) -> str:
     """Canonical short name of a plan's kernel family (the CLI row
     label; the reference prints its kernel enum name per benchmark
@@ -456,8 +510,12 @@ def plan_kind(A) -> str:
     if isinstance(A, HybridPlan):
         from tpusparse.kernels.dia_nmajor import DiaNMajorDevice
 
-        tag = ("dia_nmajor" if isinstance(A.dia, DiaNMajorDevice)
-               else "dia")
+        if isinstance(A.dia, DiaNMajorDevice):
+            tag = "dia_nmajor"
+        elif _bf16_planes(A.dia):
+            tag = "dia_bf16"
+        else:
+            tag = "dia"
         return tag if A.rest is None else "hybrid_" + tag
     if isinstance(A, CsrMatrix):
         return "reference"
@@ -501,11 +559,15 @@ def plan_semantics(A) -> str:
             return "double-float(~1e-14)"
         if "ieee-f64" in parts:
             return "ieee-f64"
+        if "bf16-plane(~4e-3)" in parts:
+            return "bf16-plane(~4e-3)"
         return "f32"
     from tpusparse.kernels.dia_stream import DiaStreamDFDevice
 
     if isinstance(A, DiaStreamDFDevice):
         return "double-float(~1e-14)"
+    if _bf16_planes(A):
+        return "bf16-plane(~4e-3)"
     tname = type(A).__name__
     if tname in ("DfMergeTiles", "DeviceEllDF"):
         return "double-float(~1e-14)"
@@ -516,6 +578,17 @@ def plan_semantics(A) -> str:
             values = getattr(A, "data", None)
         dtype = getattr(values, "dtype", np.float32)
     return "ieee-f64" if np.dtype(dtype).itemsize > 4 else "f32"
+
+
+def _bf16_planes(A) -> bool:
+    """True for a DiaStreamDevice whose value planes are stored bf16
+    (the plan_dia_bf16 inner-refinement operator)."""
+    import jax.numpy as jnp
+
+    from tpusparse.kernels.dia_stream import DiaStreamDevice
+
+    return (isinstance(A, DiaStreamDevice) and A.data_b is not None
+            and A.data_b.dtype == jnp.bfloat16)
 
 
 def _host_merge_tiles(csr):
