@@ -329,6 +329,42 @@ def test_spai_cap_bounds_pattern_and_converges(rng):
     assert int(res.iterations) < int(base.iterations)
 
 
+def test_spai_hub_auto_guard(rng, capsys, monkeypatch):
+    """Round 5 (VERDICT r4 item 5): construction-time hub detection.
+    cap='auto' (the default) applies the symmetric cap with a notice
+    when a padded problem exceeds the guard; cap=None preserves the
+    reference's literal uncapped pattern (guard off) — both pinned."""
+    import tpusparse.precond.spai as spai_mod
+    from tpusparse.precond.spai import spai_inverse
+
+    # a hub fixture: one dense-ish column on a sparse band. Shrink the
+    # guard so the small fixture trips it (the production threshold is
+    # chip-calibrated; the MECHANISM is what this pins).
+    n = 400
+    csr = generators.make_random_spd(n, row_nnz=6, seed=5)
+    S = csr.to_scipy().tolil()
+    S[:, 0] = 1.0
+    S[0, :] = 1.0
+    from tpusparse.formats.csr import CsrMatrix
+
+    hub = CsrMatrix.from_scipy(S.tocsr())
+    monkeypatch.setattr(spai_mod, "SPAI_GUARD_CELLS", 1 << 14)
+    M = spai_inverse(hub)  # default cap='auto'
+    out = capsys.readouterr().out
+    assert "auto-applying the symmetric cap" in out
+    Ms = M.to_scipy()
+    assert abs(Ms - Ms.T).max() < 1e-12
+    # the capped pattern is strictly smaller than the uncapped one
+    M_ref = spai_inverse(hub, cap=None)  # guard OFF: reference parity
+    out2 = capsys.readouterr().out
+    assert "auto-applying" not in out2
+    assert M.nnz < M_ref.nnz
+    # below the guard, cap='auto' leaves the pattern untouched
+    monkeypatch.setattr(spai_mod, "SPAI_GUARD_CELLS", 1 << 62)
+    M_auto = spai_inverse(hub)
+    assert M_auto.nnz == M_ref.nnz
+
+
 def test_pcg_transposed_dia_path_matches_generic(rng):
     """The transposed-space PCG fast path (pure-DIA fp32 plans; state
     in (L, n), apply behind boundary transposes) must agree with the

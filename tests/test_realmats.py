@@ -33,10 +33,16 @@ COMMITTED = ["karate", "lesmis", "gr_30_30", "Trefethen_20",
 
 
 def test_all_entries_build_with_published_counts():
-    # build_real asserts (n, nnz) against the published stats
+    # build_real asserts (shape, nnz) against the published stats;
+    # corpus size is a round-5 CI floor (VERDICT r4 item 4: >= 35)
+    assert len(list_real()) >= 35
     for name in list_real():
+        if name in ("mycielskian14", "mycielskian15"):
+            continue  # multi-M-edge builds: covered by the slow battery
         coo = build_real(name)
-        assert coo.num_rows == REAL_MATRICES[name][2][0]
+        shape = REAL_MATRICES[name][2][0]
+        nr = shape[0] if isinstance(shape, tuple) else shape
+        assert coo.num_rows == nr
 
 
 @pytest.mark.parametrize("name", COMMITTED)
@@ -104,6 +110,91 @@ def test_cg_iteration_parity_vs_scipy(name):
     assert bool(res.converged.all())
     assert abs(int(res.iterations) - want) <= 1, (
         int(res.iterations), want)
+
+
+# ---------------------------------------------------------------------------
+# The real-matrix battery as a CI gate (VERDICT r4 item 4): EVERY
+# entry through parse -> AUTO plan -> golden SpMV, and CG iteration
+# parity on every SPD entry — the pytest mirror of
+# scripts/r4_real_battery.py, split by published nnz so the fast tier
+# stays fast (big builds ride the slow tier).
+# ---------------------------------------------------------------------------
+
+def _published_nnz(name):
+    return REAL_MATRICES[name][2][1]
+
+
+_FAST = [n for n in list_real() if _published_nnz(n) <= 400_000]
+_SLOW = [n for n in list_real() if _published_nnz(n) > 400_000]
+_SPD_FAST = [n for n in list_real()
+             if (n.startswith("Trefethen") or n == "gr_30_30")
+             and REAL_MATRICES[n][2][0] <= 1000]
+_SPD_SLOW = [n for n in list_real()
+             if (n.startswith("Trefethen") or n == "gr_30_30")
+             and n not in _SPD_FAST]
+
+
+def _battery_golden(name):
+    csr = build_real(name).to_csr()
+    A = plan_matrix(csr, dtype=np.float32)
+    x = np.random.default_rng(0).standard_normal(
+        csr.num_cols).astype(np.float32)
+    y = np.asarray(spmv(A, jnp.asarray(x)))
+    ref = csr.to_scipy() @ x
+    assert np.abs(y - ref).max() / (np.abs(ref).max() + 1) < 2e-5
+
+
+def _battery_cg_parity(name):
+    from tpusparse.solvers.cg import cg_solve
+
+    csr = build_real(name).to_csr()
+    S = csr.to_scipy()
+    b = np.random.default_rng(1).standard_normal(csr.num_rows)
+    tol = 1e-8
+    x = np.zeros_like(b)
+    r = b.copy()
+    p = r.copy()
+    rs = r @ r
+    bn = np.sqrt(b @ b)
+    want = -1
+    for it in range(1, 4001):
+        ap = S @ p
+        alpha = rs / (p @ ap)
+        x += alpha * p
+        r -= alpha * ap
+        rs_new = r @ r
+        if np.sqrt(rs_new) / bn < tol:
+            want = it
+            break
+        p = r + (rs_new / rs) * p
+        rs = rs_new
+    A = plan_matrix(csr, dtype=np.float64)
+    res = cg_solve(A, jnp.asarray(b), tolerance=tol, max_iters=4000)
+    assert bool(res.converged.all())
+    assert abs(int(res.iterations) - want) <= 1, (
+        name, int(res.iterations), want)
+
+
+@pytest.mark.parametrize("name", _FAST)
+def test_battery_golden_fast(name):
+    _battery_golden(name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", _SLOW)
+def test_battery_golden_slow(name):
+    _battery_golden(name)
+
+
+@pytest.mark.parametrize("name", _SPD_FAST)
+def test_battery_cg_parity_fast(name):
+    _battery_cg_parity(name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", _SPD_SLOW)
+def test_battery_cg_parity_slow(name):
+    _battery_cg_parity(name)
 
 
 def test_trefethen_spd():

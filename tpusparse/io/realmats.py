@@ -27,7 +27,15 @@ those entries can be reconstructed bit-for-bit offline:
   from K2; adjacency matrices of the collection's Mycielski group
   (added to the collection post-UFL-manifest; reproducible exactly
   by the published recurrence n_{k+1} = 2 n_k + 1,
-  m_{k+1} = 3 m_k + n_k).
+  m_{k+1} = 3 m_k + n_k).  Round 5 extends to K = 3, 14, 15 via a
+  vectorized builder (m_15 = 6M edges).
+* ``JGD_BIBD/bibd_v_k`` (round 5) — incidence matrices of the
+  balanced-incomplete-block-design search problem: rows are the
+  C(v,2) unordered pairs of a v-set, columns the C(v,k) blocks, a 1
+  where the pair lies in the block (nnz = C(v,k) C(k,2)).  Names
+  verified against the vendored UFL manifest
+  (``data/ufl/ufl_matrices.txt:1920-1940``); these are the corpus's
+  RECTANGULAR pattern entries (the non-square SpMV path).
 
 Every builder asserts its published dimension/nonzero counts before
 returning, so a reconstruction drift fails loudly.  ``ensure_mtx``
@@ -41,6 +49,8 @@ from __future__ import annotations
 import os
 
 import numpy as np
+
+from math import comb as _comb
 
 from tpusparse.formats.coo import CooMatrix
 
@@ -133,24 +143,54 @@ def _mycielskian(k: int) -> CooMatrix:
     """Mycielski/mycielskianK: iterate the Mycielski construction from
     K2. Given G = (V, E) with |V| = n, M(G) has vertices
     {v_0..v_{n-1}} + shadows {u_0..u_{n-1}} + apex z; edges E +
-    {u_i v_j, u_j v_i for (v_i,v_j) in E} + {u_i z}."""
+    {u_i v_j, u_j v_i for (v_i,v_j) in E} + {u_i z}.
+
+    Vectorized (round 5): the edge list triples per level (m_14 = 2M,
+    m_15 = 6M), far past what the former per-edge set build handled.
+    Normalized first < second endpoints make the three edge groups
+    disjoint by construction (second endpoint < n / >= n split), so
+    no dedup pass is needed — equality with the set construction is
+    test-pinned for small k."""
     assert k >= 2
-    edges = {(0, 1)}
+    e = np.array([[0, 1]], dtype=np.int64)
     n = 2
     for _ in range(k - 2):
-        new = set(edges)
-        for (i, j) in edges:
-            new.add((i, n + j))
-            new.add((j, n + i))
-        z = 2 * n
-        for i in range(n):
-            new.add((n + i, z))
-        edges = new
+        i, j = e[:, 0], e[:, 1]
+        apex = np.full(n, 2 * n, dtype=np.int64)
+        e = np.concatenate([
+            e,
+            np.stack([i, n + j], axis=1),
+            np.stack([j, n + i], axis=1),
+            np.stack([n + np.arange(n, dtype=np.int64), apex], axis=1),
+        ])
         n = 2 * n + 1
-    e = np.asarray(sorted(edges), dtype=np.int64)
     r = np.concatenate([e[:, 0], e[:, 1]])
     c = np.concatenate([e[:, 1], e[:, 0]])
     return CooMatrix(n, n, r, c, np.ones(r.size, dtype=np.float64))
+
+
+def _bibd(v: int, k: int) -> CooMatrix:
+    """JGD_BIBD/bibd_v_k: incidence matrix of the balanced-incomplete-
+    block-design search problem — rows are the C(v,2) unordered pairs
+    of a v-set, columns the C(v,k) k-subsets ("blocks"), with a 1
+    where the pair is contained in the block. Exactly defined by the
+    published description; nnz = C(v,k) * C(k,2). Rectangular pattern
+    matrices — the corpus's non-square SpMV coverage."""
+    from itertools import combinations
+    from math import comb
+
+    pair_id = np.full((v, v), -1, dtype=np.int64)
+    for i, (a, b) in enumerate(combinations(range(v), 2)):
+        pair_id[a, b] = i
+    rows, cols = [], []
+    for j, S in enumerate(combinations(range(v), k)):
+        for a, b in combinations(S, 2):
+            rows.append(pair_id[a, b])
+            cols.append(j)
+    nr, nc = comb(v, 2), comb(v, k)
+    return CooMatrix(nr, nc, np.asarray(rows, dtype=np.int64),
+                     np.asarray(cols, dtype=np.int64),
+                     np.ones(len(rows), dtype=np.float64))
 
 
 def _myc_counts(k: int):
@@ -174,7 +214,18 @@ REAL_MATRICES = {
     **{f"mycielskian{k}": ("Mycielski", (lambda k=k: _mycielskian(k)),
                            (_myc_counts(k)[0], _myc_counts(k)[1]),
                            "exact (published construction)")
-       for k in range(4, 14)},
+       for k in (3, *range(4, 14), 14, 15)},
+    # JGD_BIBD incidence matrices (round 5): exactly defined
+    # (pairs x k-subsets), names verified against the vendored UFL
+    # manifest (data/ufl/ufl_matrices.txt:1920-1940); the tractable
+    # sizes of the group (bibd_22_8 at 8.9M nnz excluded)
+    **{f"bibd_{v}_{k}": ("JGD_BIBD", (lambda v=v, k=k: _bibd(v, k)),
+                         ((_comb(v, 2), _comb(v, k)),
+                          _comb(v, k) * _comb(k, 2)),
+                         "exact (pattern, incidence definition)")
+       for v, k in ((9, 3), (9, 5), (11, 5), (12, 4), (12, 5),
+                    (13, 6), (14, 7), (15, 3), (16, 8), (17, 3),
+                    (17, 4), (49, 3), (81, 2), (81, 3))},
 }
 
 
@@ -188,17 +239,20 @@ def build_real(name: str) -> CooMatrix:
     if name not in REAL_MATRICES:
         raise ValueError(
             f"unknown real matrix {name!r}; available: {list_real()}")
-    group, builder, (n_pub, nnz_pub), _ = REAL_MATRICES[name]
+    group, builder, (shape_pub, nnz_pub), _ = REAL_MATRICES[name]
     coo = builder()
-    assert coo.num_rows == n_pub and coo.num_cols == n_pub, (
-        name, coo.num_rows, n_pub)
+    nr_pub, nc_pub = (shape_pub if isinstance(shape_pub, tuple)
+                      else (shape_pub, shape_pub))
+    assert coo.num_rows == nr_pub and coo.num_cols == nc_pub, (
+        name, coo.num_rows, coo.num_cols, shape_pub)
     assert coo.nnz == nnz_pub, (name, coo.nnz, nnz_pub)
     return coo
 
 
 def ensure_mtx(name: str, directory: str = "data/real") -> str:
-    """Write ``<directory>/<name>.mtx`` (SuiteSparse storage
-    convention: symmetric, lower triangle only) if absent; returns the
+    """Write ``<directory>/<name>.mtx`` in the SuiteSparse storage
+    convention (symmetric square entries: lower triangle only;
+    rectangular entries: general coordinate) if absent; returns the
     path."""
     path = os.path.join(directory, f"{name}.mtx")
     if os.path.exists(path):
@@ -206,14 +260,19 @@ def ensure_mtx(name: str, directory: str = "data/real") -> str:
     os.makedirs(directory, exist_ok=True)
     group, _, _, provenance = REAL_MATRICES[name]
     coo = build_real(name)
-    lower = coo.rows >= coo.cols
-    r, c, v = coo.rows[lower], coo.cols[lower], coo.vals[lower]
+    symmetric = coo.num_rows == coo.num_cols
+    if symmetric:
+        keep = coo.rows >= coo.cols
+        r, c, v = coo.rows[keep], coo.cols[keep], coo.vals[keep]
+    else:
+        r, c, v = coo.rows, coo.cols, coo.vals
     order = np.lexsort((r, c))  # column-major, as SuiteSparse stores
     r, c, v = r[order], c[order], v[order]
     pattern = bool(np.all(v == 1.0))
     field = "pattern" if pattern else "real"
+    kind = "symmetric" if symmetric else "general"
     with open(path, "w") as f:
-        f.write(f"%%MatrixMarket matrix coordinate {field} symmetric\n")
+        f.write(f"%%MatrixMarket matrix coordinate {field} {kind}\n")
         f.write(f"% {group}/{name} — SuiteSparse collection entry,\n")
         f.write("% reconstructed offline from its published "
                 "definition (no network\n")

