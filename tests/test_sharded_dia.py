@@ -123,3 +123,59 @@ def test_cg_solve_multi_dia_sharded_masks(mesh, rng):
         jnp.asarray(B), max_iters=800, tolerance=1e-6,
     )
     assert abs(int(res.iterations) - int(single.iterations)) <= 1
+
+
+def test_masked_sharded_dia_matches_plane_form(mesh, rng):
+    """Round 5 (VERDICT r4 item 6b): the constant-coefficient bitmask
+    sharded form — values identical to the plane form, solver parity,
+    non-maskable operators rejected."""
+    csr = generators.make_laplacian_grid2d(20,
+                                           dtype=np.float32).to_csr()
+    dia = _dia_of(csr)
+    s_m = sd.shard_dia(dia, mesh.devices.size, masked=True)
+    assert s_m.vals is not None and s_m.data.dtype == np.int32
+    s_p = sd.shard_dia(dia, mesh.devices.size)
+    std_m = sd.device_put_sharded_dia(s_m, mesh)
+    std_p = sd.device_put_sharded_dia(s_p, mesh)
+    x = rng.standard_normal(csr.num_rows).astype(np.float32)
+    xp = sh.to_padded_layout(x, s_m)
+    y_m = np.asarray(sd.spmv_dia_sharded(std_m, xp, mesh))
+    y_p = np.asarray(sd.spmv_dia_sharded(std_p, xp, mesh))
+    np.testing.assert_array_equal(y_m, y_p)  # identical values
+    b = rng.standard_normal(csr.num_rows).astype(np.float32)
+    bp = sh.to_padded_layout(b, s_m)
+    r_m = sd.cg_solve_dia_sharded(std_m, bp, mesh, max_iters=800,
+                                  tolerance=1e-5)
+    r_p = sd.cg_solve_dia_sharded(std_p, bp, mesh, max_iters=800,
+                                  tolerance=1e-5)
+    assert bool(r_m.converged)
+    assert int(r_m.iterations) == int(r_p.iterations)
+    # variable-coefficient operators are not maskable
+    var = generators.make_variable_stencil(
+        8, dims=2, seed=1, dtype=np.float32).to_csr()
+    with pytest.raises(ValueError, match="constant-coefficient"):
+        sd.shard_dia(_dia_of(var), mesh.devices.size, masked=True)
+
+
+def test_fp64_sharded_dia_cg(mesh, rng):
+    """Round 5 (item 6a): genuine XLA f64 halo-DIA CG across the mesh,
+    iteration parity with the single-device fp64 solve."""
+    from tpusparse.formats.dia import to_device_dia
+    from tpusparse.solvers.cg import cg_solve
+
+    csr = generators.make_laplacian_grid2d(18,
+                                           dtype=np.float64).to_csr()
+    std, s = _setup(csr, mesh)
+    assert std.data.dtype == jnp.float64
+    b = rng.standard_normal(csr.num_rows)
+    bp = sh.to_padded_layout(b, s)
+    res = sd.cg_solve_dia_sharded(std, bp, mesh, max_iters=800,
+                                  tolerance=1e-10)
+    assert bool(res.converged)
+    x = sh.from_padded_layout(np.asarray(res.x), s)
+    rel = np.linalg.norm(b - csr.to_scipy() @ x) / np.linalg.norm(b)
+    assert rel < 1e-9
+    single = cg_solve(
+        to_device_dia(_dia_of(csr), dtype=np.float64),
+        jnp.asarray(b), max_iters=800, tolerance=1e-10)
+    assert abs(int(res.iterations) - int(single.iterations)) <= 1

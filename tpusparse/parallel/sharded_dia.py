@@ -59,17 +59,23 @@ class ShardedDia:
     offsets: tuple          # static python ints, sorted
     halo: int               # max |offset|
     data: Any
+    # masked (constant-coefficient) form, round 5: ``data`` is a
+    # (D*S,) int32 bitmask (bit k = plane k populated) and ``vals``
+    # the static per-plane scalars — the sharded mirror of the
+    # single-chip masked stream plan (kernels/dia_stream.py): plane
+    # memory drops K*itemsize -> 4 B/row, matvec values identical.
+    vals: Any = None        # static tuple of floats, or None
 
     def tree_flatten(self):
         return (
             (self.data,),
             (self.num_rows, self.num_cols, self.rows_per_shard,
-             self.n_shards, self.offsets, self.halo),
+             self.n_shards, self.offsets, self.halo, self.vals),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*aux, *children)
+        return cls(*aux[:6], *children, aux[6])
 
     # duck-typing for sharded.to_padded_layout / from_padded_layout
     @property
@@ -91,8 +97,16 @@ def fits_halo(dia: DiaHost, n_shards: int) -> bool:
     return int(np.max(np.abs(dia.offsets))) <= S
 
 
-def shard_dia(dia: DiaHost, n_shards: int) -> ShardedDia:
-    """Uniform row-slab split of a host DIA plan (square matrices)."""
+def shard_dia(dia: DiaHost, n_shards: int,
+              masked: bool = False) -> ShardedDia:
+    """Uniform row-slab split of a host DIA plan (square matrices).
+
+    ``masked=True`` builds the constant-coefficient compressed form
+    (round 5): ONE int32 bitmask word per row plus static per-plane
+    scalars — requires every plane two-valued
+    (``formats.dia.plane_constants``), like the single-chip masked
+    stream plan. Matvec values are identical to the plane form (the
+    per-element coefficient ``bit ? c : 0`` IS the stored value)."""
     if dia.num_rows != dia.num_cols:
         raise ValueError("sharded DIA requires a square matrix")
     if not fits_halo(dia, n_shards):
@@ -103,6 +117,30 @@ def shard_dia(dia: DiaHost, n_shards: int) -> ShardedDia:
     n = dia.num_rows
     S = -(-n // n_shards)
     K = dia.offsets.shape[0]
+    if masked:
+        from tpusparse.formats.dia import plane_constants
+
+        if K > 32:
+            raise ValueError("masked sharded DIA: > 32 planes")
+        vals64, ok = plane_constants(dia.data)
+        if not bool(ok.all()):
+            raise ValueError(
+                "masked sharded DIA requires constant-coefficient "
+                "planes (formats.dia.plane_constants)")
+        w = np.zeros(n, dtype=np.uint32)
+        for k in range(K):
+            w |= ((dia.data[k] != 0).astype(np.uint32)
+                  << np.uint32(k))
+        mask = np.zeros(n_shards * S, dtype=np.uint32)
+        mask[:n] = w
+        return ShardedDia(
+            num_rows=n, num_cols=n, rows_per_shard=S,
+            n_shards=n_shards,
+            offsets=tuple(int(o) for o in dia.offsets),
+            halo=int(np.max(np.abs(dia.offsets))),
+            data=mask.view(np.int32),
+            vals=tuple(float(v) for v in vals64),
+        )
     data = np.zeros((n_shards * S, K), dtype=dia.data.dtype)
     data[:n] = dia.data.T
     return ShardedDia(
@@ -118,7 +156,8 @@ def device_put_sharded_dia(sd: ShardedDia, mesh: Mesh,
     spec = NamedSharding(mesh, P(axis))
     return ShardedDia(
         sd.num_rows, sd.num_cols, sd.rows_per_shard, sd.n_shards,
-        sd.offsets, sd.halo, jax.device_put(jnp.asarray(sd.data), spec),
+        sd.offsets, sd.halo,
+        jax.device_put(jnp.asarray(sd.data), spec), sd.vals,
     )
 
 
@@ -136,10 +175,24 @@ def _halo_exchange(x_loc, halo: int, axis: str, n_shards: int):
     return jnp.concatenate([left, x_loc, right], axis=0)
 
 
-def _dia_apply(data_loc, xh, offsets, halo: int, S: int):
+def _dia_apply(data_loc, xh, offsets, halo: int, S: int, vals=None):
     """y[i] = sum_k data[i, k] * xh[H + i + off_k] on one slab.
-    ``xh`` is the halo-extended block (S + 2H, ...)."""
+    ``xh`` is the halo-extended block (S + 2H, ...). Masked form
+    (``vals`` set): data_loc is the (S,) int32 bitmask and the
+    coefficient is ``bit k ? vals[k] : 0`` — the same values the
+    plane form stores."""
     multi = xh.ndim == 2
+    if vals is not None:
+        y = jnp.zeros((S,) + xh.shape[1:], xh.dtype)
+        m = data_loc
+        for k, off in enumerate(offsets):
+            w = jax.lax.slice_in_dim(xh, halo + off, halo + off + S,
+                                     axis=0)
+            d = jnp.where((m & (1 << k)) != 0,
+                          jnp.asarray(vals[k], xh.dtype),
+                          jnp.asarray(0, xh.dtype))
+            y = y + (d[:, None] if multi else d) * w
+        return y
     y = jnp.zeros(
         (S,) + xh.shape[1:],
         jnp.result_type(data_loc.dtype, xh.dtype),
@@ -153,12 +206,12 @@ def _dia_apply(data_loc, xh, offsets, halo: int, S: int):
 
 def _matvec_factory(sd_aux, axis: str):
     """Local halo matvec closure from static ShardedDia metadata
-    (num_rows, num_cols, S, D, offsets, halo)."""
-    _, _, S, D, offsets, halo = sd_aux
+    (num_rows, num_cols, S, D, offsets, halo, vals)."""
+    _, _, S, D, offsets, halo, vals = sd_aux
 
     def matvec(data_loc, v_loc):
         vh = _halo_exchange(v_loc, halo, axis, D)
-        return _dia_apply(data_loc, vh, offsets, halo, S)
+        return _dia_apply(data_loc, vh, offsets, halo, S, vals)
 
     return matvec
 
