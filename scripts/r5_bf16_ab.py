@@ -154,18 +154,27 @@ if __name__ == "__main__":
             return (int(r.inner_iterations), float(np.max(np.asarray(
                 r.residual))), int(r.refinements))
 
-        # warm
+        # warm + accounting reads (UNtimed: every scalar field fetch
+        # is its own ~25 ms tunnel round trip — reading 5 fields
+        # inside the timed region fabricated a 2x "loss" in the first
+        # version of this script)
         ip, relp = run_plain()
         ir = run_repl()
         irf = run_refine()
         stamp(f"plain iters={ip} rel={relp:.1e} | repl {ir} | "
               f"refine {irf}")
-        times = {"plain": [], "repl": [], "refine": []}
+        timed = {
+            "plain": lambda: cg_solve(A32, b, tolerance=1e-5).x,
+            "repl": lambda: cg_solve_bf16(A16, A32, b,
+                                          tolerance=1e-5).x,
+            "refine": lambda: cg_solve_refined_f32(
+                A16, A32, b, tolerance=1e-5).x,
+        }
+        times = {k: [] for k in timed}
         for _ in range(3):
-            for tag, f in (("plain", run_plain), ("repl", run_repl),
-                           ("refine", run_refine)):
+            for tag, f in timed.items():
                 t0 = time.perf_counter()
-                f()
+                float(jnp.sum(f()))      # ONE sync
                 times[tag].append(time.perf_counter() - t0)
         tp, tr, tf = (min(times[k]) for k in
                       ("plain", "repl", "refine"))

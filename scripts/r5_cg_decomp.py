@@ -98,16 +98,16 @@ if __name__ == "__main__":
                    lambda M: float(jnp.sum(mv_chain(A16, b, M))),
                    (20, 220))
 
-    # (2) plain CG device rate (pinned trips)
+    # (2) plain CG device rate (pinned trips). NOTE: no outer jit —
+    # an outer jit closure would embed the 226 MB plan as an
+    # executable constant and wedge the tunnel (the 413-cap pattern);
+    # cg_solve's own argument-dispatch jit is the production mode at
+    # this plan size.
     cache = {}
 
     def cg_run(M):
-        fn = cache.get(("plain", M))
-        if fn is None:
-            fn = jax.jit(lambda b_: cg_solve(
-                A32, b_, max_iters=M, tolerance=0.0).x)
-            cache[("plain", M)] = fn
-        return float(jnp.sum(fn(b)))
+        return float(jnp.sum(cg_solve(
+            A32, b, max_iters=M, tolerance=0.0).x))
 
     t_cg = slope("plain CG      ", cg_run, (20, 220))
 
@@ -141,17 +141,29 @@ if __name__ == "__main__":
 
     t_blas = slope("BLAS-only body", cg_blas, (20, 220))
 
-    # (4) replacement CG device rate
-    def repl_run(M):
-        fn = cache.get(("repl", M))
-        if fn is None:
-            fn = jax.jit(lambda b_: cg_solve_bf16(
-                A16, A32, b_, max_iters=M, tolerance=0.0,
-                max_restarts=0).x)
-            cache[("repl", M)] = fn
-        return float(jnp.sum(fn(b)))
+    # (4) replacement CG device rate (argument dispatch, like (2)),
+    # swept over replace_every to separate the sweep-boundary cost
+    # (exact residual + loop re-entry) from the per-step cost;
+    # re=10^9 runs the inner loop once to budget = the pure
+    # nested-structure + bf16-step cost
+    t_re = {}
+    for re in (8, 32, 10**9):
+        def repl_run(M, re=re):
+            return float(jnp.sum(cg_solve_bf16(
+                A16, A32, b, max_iters=M, tolerance=0.0,
+                max_restarts=0, replace_every=re).x))
 
-    t_repl = slope("repl CG       ", repl_run, (20, 220))
+        t_re[re] = slope(f"repl re={re:<10d}", repl_run, (20, 220))
+    t_repl = t_re[8]
+
+    # control: the SAME nested structure with f32 planes both sides —
+    # isolates "nested-loop/structure cost" from "bf16-in-loop cost"
+    def nest32_run(M):
+        return float(jnp.sum(cg_solve_bf16(
+            A32, A32, b, max_iters=M, tolerance=0.0,
+            max_restarts=0, replace_every=10**9).x))
+
+    t_nest32 = slope("nest f32 ctrl ", nest32_run, (20, 220))
 
     v = 4.0 * n
     roof = 12 * v / 621e9

@@ -76,7 +76,8 @@ def test_variable_stencil_spd_solvable():
     assert w.min() > 0
 
 
-def test_plan_dia_bf16_tags_and_accuracy(var27, rng):
+def test_plan_dia_bf16_tags_and_accuracy(var27):
+    rng = np.random.default_rng(11)
     A16 = plan_dia_bf16(var27)
     assert plan_kind(A16) == "dia_bf16"
     assert plan_semantics(A16) == "bf16-plane(~4e-3)"
@@ -118,7 +119,8 @@ def test_bf16_masked_conflict_raises():
     assert D.mask_b is None and D.data_b.dtype == jnp.bfloat16
 
 
-def test_refined_f32_single_and_multi(var27, rng):
+def test_refined_f32_single_and_multi(var27):
+    rng = np.random.default_rng(12)
     A16 = plan_dia_bf16(var27)
     A32 = plan_matrix(var27, strategy="dia", dtype=np.float32)
     b = rng.standard_normal(var27.num_rows).astype(np.float32)
@@ -136,11 +138,12 @@ def test_refined_f32_single_and_multi(var27, rng):
     assert float(np.max(np.asarray(resm.residual))) < 1e-5
 
 
-def test_cg_bf16_replacement_parity(var27, rng):
+def test_cg_bf16_replacement_parity(var27):
     """The production replacement solver: verified convergence at a
     bounded iteration premium on the mild-conditioning fixture (the
     measured design point: ~1.1x vs plain f32 CG; refinement's
     restarts cost 1.33-1.48x — RESULTS round 5)."""
+    rng = np.random.default_rng(13)
     A16 = plan_dia_bf16(var27)
     A32 = plan_matrix(var27, strategy="dia", dtype=np.float32)
     b = rng.standard_normal(var27.num_rows).astype(np.float32)
@@ -158,23 +161,28 @@ def test_cg_bf16_replacement_parity(var27, rng):
     assert int(r16.restarts) == 0
 
 
-def test_cg_bf16_hard_case_honest(rng):
+def test_cg_bf16_hard_case_honest():
     """Near-singular shift: kappa*eps_bf16 is large, the recurrence
     drifts, the verified outer guard restarts — and still converges
-    with honest accounting (the documented limit of the scheme)."""
+    with honest accounting (the documented limit of the scheme).
+    Local rng: this contract is draw-sensitive, and the session-scoped
+    fixture made it order-dependent (the round-4 flake class)."""
+    rng = np.random.default_rng(14)
     csr = make_variable_stencil(10, dims=3, full=True, seed=2,
                                 shift=1e-2, dtype=np.float32).to_csr()
     A16 = plan_dia_bf16(csr)
     A32 = plan_matrix(csr, strategy="dia", dtype=np.float32)
     b = rng.standard_normal(csr.num_rows).astype(np.float32)
-    r16 = cg_solve_bf16(A16, A32, jnp.asarray(b), tolerance=1e-4)
+    r16 = cg_solve_bf16(A16, A32, jnp.asarray(b), tolerance=1e-4,
+                        max_restarts=6)
     assert bool(r16.converged)
     x = np.asarray(r16.x)
     rel = np.linalg.norm(b - csr.to_scipy() @ x) / np.linalg.norm(b)
     assert rel < 1.1e-4
 
 
-def test_multi_refined_matches_plain_solution(var27, rng):
+def test_multi_refined_matches_plain_solution(var27):
+    rng = np.random.default_rng(15)
     A16 = plan_dia_bf16(var27)
     A32 = plan_matrix(var27, strategy="dia", dtype=np.float32)
     B = rng.standard_normal((var27.num_rows, 2)).astype(np.float32)

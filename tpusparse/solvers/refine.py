@@ -28,6 +28,8 @@ import dataclasses
 import functools
 from typing import Any
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -350,25 +352,20 @@ def _cg_bf16_impl(A16, A32, b, tolerance, max_iters, replace_every,
     if mv16 is None:
         mv16 = lambda v: spmv(A16, v, strategy=strategy)  # noqa: E731
 
-    def inner(x, r, it0, budget):
-        """One replacement-CG sweep from exact residual r (p = r)."""
-        p = r
-        rs = dot_single(r, r)
+    def cg_steps(x, r, p, rs, it, budget):
+        """Up to ``replace_every`` textbook CG steps on the bf16
+        operator — NO conditionals in the body: a lax.cond holding
+        the f32 matvec measured as paying its cost EVERY iteration on
+        TPU (+220 us/iter, scripts/r5_cg_decomp.py); the replacement
+        lives BETWEEN loop nests instead."""
 
         def cond(s):
-            i, x, r, p, rs, nrep = s
-            return (i < budget) & (jnp.sqrt(rs) >= thr)
+            j, x, r, p, rs, it = s
+            return ((j < replace_every) & (it < budget)
+                    & (jnp.sqrt(rs) >= thr))
 
         def body(s):
-            i, x, r, p, rs, nrep = s
-            do_repl = (i > 0) & (i % replace_every == 0)
-            r, rs = jax.lax.cond(
-                do_repl,
-                lambda: (lambda rt: (rt, dot_single(rt, rt)))(
-                    b - mv32(x)),
-                lambda: (r, rs),
-            )
-            nrep = nrep + do_repl.astype(jnp.int32)
+            j, x, r, p, rs, it = s
             Ap = mv16(p)
             pAp = dot_single(p, Ap)
             alpha = jnp.where(pAp == 0, 0.0, rs / pAp)
@@ -377,31 +374,52 @@ def _cg_bf16_impl(A16, A32, b, tolerance, max_iters, replace_every,
             rs_new = dot_single(r, r)
             beta = jnp.where(rs == 0, 0.0, rs_new / rs)
             p = r + beta * p
-            return (i + 1, x, r, p, rs_new, nrep)
+            return (j + 1, x, r, p, rs_new, it + 1)
 
-        i, x, r, p, rs, nrep = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), x, r, p, rs, jnp.int32(0)))
-        return x, it0 + i, nrep
+        _, x, r, p, rs, it = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), x, r, p, rs, it))
+        return x, r, p, rs, it
+
+    def sweep(x, p, it, nrep):
+        """Replacement loop: exact f32 residual (KEEPING p), then a
+        conditional-free block of ``replace_every`` bf16 CG steps;
+        repeats until the recurrence converges or the budget ends."""
+
+        def cond(s):
+            x, p, rs, it, nrep = s
+            return (it < max_iters) & (jnp.sqrt(rs) >= thr)
+
+        def body(s):
+            x, p, rs, it, nrep = s
+            r = b - mv32(x)                  # EXACT f32 residual
+            rs = dot_single(r, r)
+            x, r, p, rs, it = cg_steps(x, r, p, rs, it, max_iters)
+            return (x, p, rs, it, nrep + 1)
+
+        # enter with rs = +inf: the first body always refreshes
+        x, p, rs, it, nrep = jax.lax.while_loop(
+            cond, body,
+            (x, p, jnp.float32(np.inf), it, nrep))
+        return x, it, nrep
 
     # outer guard: verify against the EXACT operator; hard-restart
     # (fresh p from the true residual) while unconverged and budgeted
     def outer_cond(s):
-        x, rel, it, nrep, nres = s
+        x, p, rel, it, nrep, nres = s
         return ((rel >= tolerance) & (it < max_iters)
                 & (nres <= max_restarts))
 
     def outer_body(s):
-        x, rel, it, nrep, nres = s
-        r = b - mv32(x)
-        x, it, nrep_k = inner(x, r, it, max_iters - it)
+        x, p, rel, it, nrep, nres = s
+        x, it, nrep = sweep(x, p, it, nrep)
         rt = b - mv32(x)
         rel = (jnp.sqrt(dot_single(rt, rt)) / bn).astype(jnp.float32)
-        return (x, rel, it, nrep + nrep_k, nres + 1)
+        return (x, rt, rel, it, nrep, nres + 1)  # restart p = rt
 
     x0 = jnp.zeros_like(b)
-    x, rel, it, nrep, nres = jax.lax.while_loop(
+    x, _, rel, it, nrep, nres = jax.lax.while_loop(
         outer_cond, outer_body,
-        (x0, jnp.float32(1.0), jnp.int32(0), jnp.int32(0),
+        (x0, b, jnp.float32(1.0), jnp.int32(0), jnp.int32(0),
          jnp.int32(0)))
     return ReplCgResult(
         x=x, iterations=it, converged=rel < tolerance, residual=rel,
