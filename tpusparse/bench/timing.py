@@ -171,12 +171,17 @@ def slope_time(fn, x, iters=(10, 110), sets: int = 1, reps: int = 3,
     st = SlopeTiming(slopes, robust_slope_s=robust)
     # Amplify while the chain-length DELTA is inside the noise floor:
     # the tunnel's ~25 ms round trip jitters at ms scale, so the delta
-    # must clear ~20 ms before the slope is trustworthy. (The per-op
-    # estimate alone would amplify forever for genuinely fast tiny
-    # ops; a large-enough delta is trustworthy at any op size.)
+    # must clear ~20 ms before the slope is trustworthy — in EITHER
+    # direction. The old guard amplified only when the reading
+    # undercut ``min_per_op``; jitter can just as well fabricate a
+    # too-SLOW slope that sails past that check (the round-5
+    # regression battery caught the lap3d-48 masked-dia CLI row at
+    # 28.9 us/op for a 1.7 us kernel — a pure short-chain artifact),
+    # so the trigger is now the delta itself. (The per-op estimate
+    # alone would amplify forever for genuinely fast tiny ops; a
+    # large-enough delta is trustworthy at any op size.)
     delta = float(np.median(all_t2) - np.median(all_t1))
-    if (min_per_op > 0 and st.median_s < min_per_op
-            and delta < 20e-3 and K2 < 1_000_000):
+    if min_per_op > 0 and delta < 20e-3 and K2 < 1_000_000:
         return slope_time(fn, x, iters=(K1 * 20, K2 * 20), sets=sets,
                           reps=reps, min_per_op=min_per_op)
     return st
