@@ -27,9 +27,11 @@ from tpusparse.ops.spmv import plan_matrix, spmv
 
 DATA_DIR = os.path.join(os.path.dirname(__file__), "..", "data", "real")
 
-# the committed .mtx subset (small files checked into data/real)
+# the committed .mtx subset (small files checked into data/real);
+# bibd_9_3 is the RECTANGULAR entry — exercises the general-form
+# (non-symmetric) writer/reader path (round 5)
 COMMITTED = ["karate", "lesmis", "gr_30_30", "Trefethen_20",
-             "Trefethen_200", "mycielskian7"]
+             "Trefethen_200", "mycielskian7", "bibd_9_3"]
 
 
 def test_all_entries_build_with_published_counts():
