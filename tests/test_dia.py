@@ -807,3 +807,35 @@ class TestDiaStream:
         Y = np.asarray(spmm(plan, X))
         refM = A @ X
         assert np.abs(Y - refM).max() / np.abs(refM).max() < 1e-13
+
+
+def test_masked_stream_32_planes_no_overflow():
+    """K = MASK_MAX_PLANES = 32 exercises bit 31: the masked kernels
+    must read the word with (m >> k) & 1 — the literal ``1 << 31``
+    overflows int32 under the kernels' mandatory no-x64 tracing
+    (round-5 review; kernel_no_x64 applies regardless of the ambient
+    x64 setting, so this test fails loudly on the bad form)."""
+    import scipy.sparse as sp
+
+    from tpusparse.formats.csr import CsrMatrix
+    from tpusparse.formats.dia import partition_dia, select_diagonals
+    from tpusparse.kernels.dia_stream import (
+        MASK_MAX_PLANES,
+        spmv_dia_stream,
+        to_device_dia_stream,
+    )
+
+    n = 2048
+    offsets = list(range(32))          # 32 constant diagonals
+    assert len(offsets) == MASK_MAX_PLANES
+    diags = [np.full(n - o, float(k + 1))
+             for k, o in enumerate(offsets)]
+    A = sp.diags(diags, offsets, shape=(n, n), format="csr")
+    csr = CsrMatrix.from_scipy(A.astype(np.float32))
+    dia, rest = partition_dia(csr, select_diagonals(csr))
+    assert rest.nnz == 0 and len(dia.offsets) == 32
+    D = to_device_dia_stream(dia, masked=True)
+    x = np.random.default_rng(0).standard_normal(n).astype(np.float32)
+    y = np.asarray(spmv_dia_stream(D, jnp.asarray(x)))
+    ref = A @ x
+    assert np.abs(y - ref).max() / (np.abs(ref).max() + 1) < 1e-5

@@ -376,7 +376,10 @@ def _dia_stream_kernel_df_edge_mask(offsets, vals_hi, vals_lo, R, E,
     for k, off in enumerate(offsets):
         wh = _shifted(bufh, off, R, interpret, base=E)
         wl = _shifted(bufl, off, R, interpret, base=E)
-        bit = (m & (1 << k)) != 0
+        # (m >> k) & 1, NOT m & (1 << k): the literal 1 << 31
+        # overflows int32 under the kernels' mandatory no-x64 tracing
+        # while MASK_MAX_PLANES admits 32 planes (round-5 review)
+        bit = ((m >> k) & 1) != 0
         dh = jnp.where(bit, jnp.float32(vals_hi[k]), jnp.float32(0.0))
         dl = jnp.where(bit, jnp.float32(vals_lo[k]), jnp.float32(0.0))
         ph, pl = _df_mul(dh, dl, wh, wl)
@@ -493,8 +496,6 @@ def prepare_stream(dia_host, block_rows: int = BLOCK_ROWS,
     """Host-side blocking of a DiaHost plan: (data_b, num_rows, B).
     ``plane_dtype`` is the STORED plane precision (f32, or bf16 for
     the halved-traffic refinement operator — see plan_dia_bf16)."""
-    import jax.numpy as _jnp
-
     n = dia_host.num_rows
     K = dia_host.offsets.shape[0]
     B = int(block_rows)
@@ -506,8 +507,12 @@ def prepare_stream(dia_host, block_rows: int = BLOCK_ROWS,
         flat.reshape(K, nb, B // LANES, LANES).transpose(1, 0, 2, 3)
     )
     if np.dtype(plane_dtype) != np.float32:
-        # bf16 rounding on host (numpy has no bf16; jax does)
-        data_b = np.asarray(_jnp.asarray(data_b).astype(plane_dtype))
+        # bf16 rounding stays on HOST: numpy handles ml_dtypes'
+        # bfloat16 directly (round-to-nearest-even, identical to the
+        # device cast) — an eager jnp round-trip here would device_put
+        # the full f32 plane array UNCHUNKED through the tunnel, the
+        # documented >=160 MB wedge hazard (round-5 review)
+        data_b = data_b.astype(np.dtype(plane_dtype))
     return data_b, n, B
 
 
@@ -551,20 +556,31 @@ class DiaStreamDevice:
 MASK_MAX_PLANES = 32
 
 
+def mask_words(dia_host) -> np.ndarray:
+    """(n,) uint32 validity words for a host DIA plan: bit k = plane
+    k populated at that row. THE one bit-layout definition — the
+    single-chip bitmask kernels, the XLA masked matvec
+    (ops.dia.xla_matvec_of) and the sharded masked form
+    (parallel.sharded_dia.shard_dia) all read these words with
+    ``(m >> k) & 1``."""
+    K = dia_host.offsets.shape[0]
+    assert K <= MASK_MAX_PLANES
+    w = np.zeros(dia_host.num_rows, dtype=np.uint32)
+    for k in range(K):
+        w |= (dia_host.data[k] != 0).astype(np.uint32) << np.uint32(k)
+    return w
+
+
 def prepare_stream_mask(dia_host, block_rows: int):
     """Host-side bitmask blocking: (mask_b int32 (nb, R, 128), n, B).
     Bit k of word i = plane k populated at row i; pad tail rows are 0
     so pad outputs stay exactly 0 (same contract as zero-padded value
     planes)."""
     n = dia_host.num_rows
-    K = dia_host.offsets.shape[0]
-    assert K <= MASK_MAX_PLANES
     B = int(block_rows)
     assert B % LANES == 0
     nb = -(-n // B)
-    w = np.zeros(n, dtype=np.uint32)
-    for k in range(K):
-        w |= (dia_host.data[k] != 0).astype(np.uint32) << np.uint32(k)
+    w = mask_words(dia_host)
     flat = np.zeros(nb * B, dtype=np.uint32)
     flat[:n] = w
     mask_b = np.ascontiguousarray(
@@ -758,7 +774,8 @@ def _dia_stream_kernel_edge_mask(offsets, vals, R, E, interpret,
     acc = jnp.zeros((R, LANES), jnp.float32)
     for k, off in enumerate(offsets):
         w = _shifted(buf, off, R, interpret, base=E)
-        d = jnp.where((m & (1 << k)) != 0,
+        # (m >> k) & 1: 1 << 31 would overflow int32 under no-x64
+        d = jnp.where(((m >> k) & 1) != 0,
                       jnp.float32(vals[k]), jnp.float32(0.0))
         acc = acc + d * w
     y_ref[0, 0] = acc

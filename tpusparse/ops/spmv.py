@@ -464,14 +464,14 @@ def plan_dia_bf16(csr, L: int = 1, block_rows: int | None = None):
     from tpusparse.kernels import dia_stream
     from tpusparse.ops.hybrid import HybridPlan
 
+    if csr.num_rows != csr.num_cols:
+        raise ValueError("plan_dia_bf16: square matrices only")
     offsets = select_diagonals(csr)
     if offsets.size == 0:
         raise ValueError(
             "plan_dia_bf16: no dense diagonals selected — the bf16-"
             "plane stream plan needs a diagonal-structured operator")
     dia_host, rest = partition_dia(csr, offsets)
-    if csr.num_rows != csr.num_cols:
-        raise ValueError("plan_dia_bf16: square matrices only")
     if not dia_stream.fits_stream(
         dia_host.offsets,
         block_rows or dia_stream._auto_block_rows(dia_host, df=False,

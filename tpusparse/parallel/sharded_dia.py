@@ -118,21 +118,22 @@ def shard_dia(dia: DiaHost, n_shards: int,
     S = -(-n // n_shards)
     K = dia.offsets.shape[0]
     if masked:
-        from tpusparse.formats.dia import plane_constants
+        from tpusparse.kernels.dia_stream import (
+            MASK_MAX_PLANES,
+            _maskable,
+            mask_words,
+        )
 
-        if K > 32:
-            raise ValueError("masked sharded DIA: > 32 planes")
-        vals64, ok = plane_constants(dia.data)
-        if not bool(ok.all()):
+        if K > MASK_MAX_PLANES:
+            raise ValueError(
+                f"masked sharded DIA: > {MASK_MAX_PLANES} planes")
+        vals64, ok = _maskable(dia)
+        if not ok:
             raise ValueError(
                 "masked sharded DIA requires constant-coefficient "
                 "planes (formats.dia.plane_constants)")
-        w = np.zeros(n, dtype=np.uint32)
-        for k in range(K):
-            w |= ((dia.data[k] != 0).astype(np.uint32)
-                  << np.uint32(k))
         mask = np.zeros(n_shards * S, dtype=np.uint32)
-        mask[:n] = w
+        mask[:n] = mask_words(dia)  # shared bit-layout definition
         return ShardedDia(
             num_rows=n, num_cols=n, rows_per_shard=S,
             n_shards=n_shards,
@@ -188,7 +189,9 @@ def _dia_apply(data_loc, xh, offsets, halo: int, S: int, vals=None):
         for k, off in enumerate(offsets):
             w = jax.lax.slice_in_dim(xh, halo + off, halo + off + S,
                                      axis=0)
-            d = jnp.where((m & (1 << k)) != 0,
+            # (m >> k) & 1: 1 << 31 overflows int32 under no-x64
+            # while the guard admits K=32 planes (round-5 review)
+            d = jnp.where(((m >> k) & 1) != 0,
                           jnp.asarray(vals[k], xh.dtype),
                           jnp.asarray(0, xh.dtype))
             y = y + (d[:, None] if multi else d) * w

@@ -196,7 +196,8 @@ def spai_inverse(csr: CsrMatrix, batched: bool = True,
     reference's uncapped static pattern, guard disabled
     (sparse_approximate_inversion.hpp:41-321)."""
     if cap == "auto":
-        _, _, (_, _, mj0, mi0) = _structure(csr)
+        struct = _structure(csr)  # reused below when the guard holds
+        _, _, (_, _, mj0, mi0) = struct
         cells = int((mi0 * mj0).max()) if mi0.size else 0
         if cells > SPAI_GUARD_CELLS:
             k = int(np.argmax(mi0 * mj0))
@@ -208,9 +209,12 @@ def spai_inverse(csr: CsrMatrix, batched: bool = True,
                   "choose, cap=None for the reference's uncapped "
                   "pattern)", flush=True)
             csr = _cap_pattern(csr, SPAI_AUTO_CAP)
-    elif cap is not None:
-        csr = _cap_pattern(csr, int(cap))
-    S, P, (nJ, nI, mj, mi) = _structure(csr)
+            struct = _structure(csr)
+    else:
+        if cap is not None:
+            csr = _cap_pattern(csr, int(cap))
+        struct = _structure(csr)
+    S, P, (nJ, nI, mj, mi) = struct
     n = csr.num_cols
     (k_g, jl_g, local_g, v_g), (in_I, e_local), rep_k, j_local = (
         _expanded_entries(S, P)

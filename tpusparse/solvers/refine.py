@@ -241,7 +241,13 @@ def _solve_refined_f32(A16, A32, b, multi, tolerance, inner_tolerance,
     if bake is None:
         bake = _plan_bakeable(A16) and _plan_bakeable(A32)
     if bake:
-        key = ("refine_f32", b.shape, str(b.dtype)) + statics
+        # the executable closes over BOTH plans but the cache lives on
+        # A16 — key A32's identity too, or a reused A16 would silently
+        # serve a solve baked over a stale exact operator (round-5
+        # review; the cached closure keeps A32 alive, so id() is
+        # stable and unique for the entry's lifetime)
+        key = ("refine_f32", id(A32), b.shape,
+               str(b.dtype)) + statics
         fn = _baked_worker(A16, key, lambda: jax.jit(
             lambda b_: _refined_f32_impl(
                 A16, A32, b_, *statics[:5], statics[5], fused=True)))
@@ -465,7 +471,9 @@ def cg_solve_bf16(A16, A32, b, tolerance: float = 1e-5,
     if bake is None:
         bake = _plan_bakeable(A16) and _plan_bakeable(A32)
     if bake:
-        key = ("cg_bf16", b.shape, str(b.dtype)) + statics
+        # id(A32) in the key: see _solve_refined_f32 (stale-operator
+        # hazard when one A16 is reused against a re-planned A32)
+        key = ("cg_bf16", id(A32), b.shape, str(b.dtype)) + statics
         fn = _baked_worker(A16, key, lambda: jax.jit(
             lambda b_: _cg_bf16_impl(A16, A32, b_, *statics,
                                      fused=True)))
