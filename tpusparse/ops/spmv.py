@@ -480,6 +480,14 @@ def plan_dia_bf16(csr, L: int = 1, block_rows: int | None = None):
         raise ValueError(
             "plan_dia_bf16: max |offset| exceeds the stream block "
             "(pathologically wide band)")
+    if dia_stream._maskable(dia_host)[1]:
+        # constant-coefficient operators compress to the EXACT int32
+        # bitmask plan at 4 B/row — strictly better than bf16 value
+        # planes; honor the request but say so
+        print("plan_dia_bf16: operator is constant-coefficient — the "
+              "exact masked plan (strategy='dia') reads 4 B/row and "
+              "beats bf16 value planes; proceeding as requested",
+              flush=True)
     dev = dia_stream.to_device_dia_stream(
         dia_host, block_rows=block_rows, L=L,
         plane_dtype=jnp.bfloat16)
